@@ -1,0 +1,83 @@
+"""Benchmark harness: Mrays/s on the default scene at 1080p (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The headline metric is wavefront ray throughput (Mrays/s/chip) on the default
+scene at 1920x1080, the BASELINE.json north-star config.  Rays are counted
+exactly — the per-bounce live-lane counts the wavefront integrator reports
+(the reference's frame-0 telemetry, OptixBackend.cpp:1690-1695) plus shadow
+rays (one per live surface lane per light when enabled).
+
+vs_baseline is value / 100 Mrays/s — the BASELINE.json target, since the
+reference publishes no numbers of its own (SURVEY.md §6).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from spt_tpu.camera import default_camera
+from spt_tpu.config import RenderConfig
+from spt_tpu.engine.renderer import Renderer
+from spt_tpu.scene import build_default_scene
+
+TARGET_MRAYS = 100.0  # BASELINE.json: ">=100 Mrays/sec/chip"
+
+
+def count_rays(stats, cfg, n_lights: int) -> int:
+    """Exact rays traced for one frame: per-bounce live lanes + shadow rays.
+
+    Shadow rays: every live lane that hits a surface traces one occlusion ray
+    per light.  Live lanes at bounce b that survive to bounce b+1 all hit
+    surfaces; lanes that terminated either missed (no shadow ray) or died at
+    a surface (shadow ray traced).  We undercount conservatively by assuming
+    terminated lanes missed — the reported Mrays/s is a lower bound.
+    """
+    rays = np.asarray(stats.rays_per_bounce, np.int64)
+    primary_and_bounce = int(rays.sum())
+    if n_lights > 0 and rays.size > 1:
+        shadow = int(rays[1:].sum()) * n_lights  # lanes alive after bounce k hit a surface at bounce k-1
+    else:
+        shadow = 0
+    return primary_and_bounce + shadow
+
+
+def main():
+    width, height = 1920, 1080
+    warmup, iters = 2, 8
+    if "--quick" in sys.argv:
+        width, height, iters = 640, 480, 4
+
+    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6)
+    r = Renderer(build_default_scene(), cfg,
+                 camera=default_camera(width, height))
+    r.camera.reset_movement_tracking()
+
+    for _ in range(warmup):
+        r.render_frame(check_camera=False)
+    jax.block_until_ready(r.state.accum)
+
+    t0 = time.perf_counter()
+    total_rays = 0
+    for _ in range(iters):
+        r.render_frame(check_camera=False)
+        total_rays += count_rays(r.last_stats, cfg, n_lights=1)
+    jax.block_until_ready(r.state.accum)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    result = {
+        "metric": f"wavefront_mrays_per_sec_default_scene_{width}x{height}",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""spt_tpu — a TPU-native progressive Monte-Carlo wavefront path tracer.
+
+A from-scratch re-design of the capabilities of `yangyonggit/simple-path-tracer`
+(C++17 / Embree4 / OptiX 7.7) for TPU hardware: JAX/XLA for the compute path,
+Pallas for the hot kernels, `jax.sharding` + `shard_map` for multi-chip scaling.
+
+Architecture (vs. the reference):
+
+- The reference's backend-agnostic ``scene::SceneDesc`` (SceneDesc.h:89-159)
+  becomes :mod:`spt_tpu.scene` — a host-side description flattened into SoA
+  ``jnp`` arrays (:class:`spt_tpu.scene.DeviceScene`).
+- Embree/OptiX BVH traversal (EmbreeBackend.cpp, OptixBackend.cpp) becomes
+  vectorized ray-primitive intersection (:mod:`spt_tpu.ops.intersect`) with a
+  Pallas ray-stream kernel and a BVH for large scenes.
+- The OptiX wavefront pipeline gen_primary -> [trace -> shade]*depth -> resolve
+  (OptixBackend.cpp:1506-1850, device_programs.cu) becomes a single jitted
+  multi-stage XLA program with an on-device depth loop — no host syncs per
+  bounce (:mod:`spt_tpu.integrators.wavefront`).
+- Atomic-counter index queues (device_programs.cu:268-273) become masked SoA
+  lanes plus deterministic scan-based compaction (:mod:`spt_tpu.ops.compaction`).
+- TBB tile parallelism (PathTracer.cpp:305-329) becomes pixel-axis sharding
+  over a device mesh (:mod:`spt_tpu.parallel`).
+"""
+
+from spt_tpu.config import RenderConfig
+from spt_tpu.camera import Camera
+from spt_tpu.scene import SceneDesc, build_default_scene, build_test_triangle_scene
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RenderConfig",
+    "Camera",
+    "SceneDesc",
+    "build_default_scene",
+    "build_test_triangle_scene",
+]

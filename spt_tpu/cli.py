@@ -1,0 +1,145 @@
+"""CLI entry (the reference's main.cpp, headless-first).
+
+Flag-compatible with the reference (`--i <gltf>`, `--s <hdr>`, `--help`,
+main.cpp:21-54) plus the knobs the reference hardcoded.  Default mode renders
+N progressive frames of the default scene and writes a PNG; `--interactive`
+opens the terminal viewer (spt_tpu.engine.display).
+
+Unlike the reference, `--i` actually works (main.cpp:147-151 printed "not yet
+implemented"; SURVEY.md §7 step 6 fixes it here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spt-tpu",
+        description="TPU-native progressive Monte-Carlo path tracer "
+        "(wavefront, JAX/XLA)",
+    )
+    p.add_argument("--i", "-i", dest="gltf", metavar="FILE",
+                   help="load a glTF model (replaces the default scene)")
+    p.add_argument("--s", "-s", dest="skybox", metavar="FILE",
+                   help="load an HDR skybox (replaces the procedural sky)")
+    p.add_argument("--scene", choices=["default", "triangle", "cornell"],
+                   default="default", help="built-in scene")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp", type=int, default=4,
+                   help="samples per pixel per frame (reference default: 4)")
+    p.add_argument("--depth", type=int, default=6,
+                   help="max path depth (reference default: 6)")
+    p.add_argument("--frames", type=int, default=16,
+                   help="progressive frames to accumulate")
+    p.add_argument("--o", "-o", dest="output", default="render.png",
+                   help="output PNG path")
+    p.add_argument("--checkpoint", metavar="FILE",
+                   help="save render state here (resume with --resume)")
+    p.add_argument("--resume", metavar="FILE",
+                   help="resume accumulation from a checkpoint")
+    p.add_argument("--interactive", action="store_true",
+                   help="interactive terminal viewer (WASD + mouse-less look)")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-frame ray telemetry")
+    return p
+
+
+def make_renderer(args):
+    from spt_tpu.camera import Camera, default_camera
+    from spt_tpu.config import RenderConfig
+    from spt_tpu.engine.renderer import Renderer
+    from spt_tpu.env import load_environment
+    from spt_tpu.scene import (
+        build_cornell_box_scene,
+        build_default_scene,
+        build_test_triangle_scene,
+    )
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       spp=args.spp, max_depth=args.depth)
+
+    camera = default_camera(cfg.width, cfg.height)
+    if args.gltf:
+        from spt_tpu.io.gltf import bounding_box, load_gltf
+
+        desc = load_gltf(args.gltf)
+        lo, hi = bounding_box(desc)
+        center = (lo + hi) / 2
+        extent = float(np.linalg.norm(hi - lo)) or 1.0
+        camera = Camera(
+            position=center + np.array([0.0, 0.35, 1.1]) * extent,
+            target=center,
+            fov_degrees=60.0,
+            aspect_ratio=cfg.width / cfg.height,
+        )
+        print(f"Loaded {args.gltf}: {len(desc.meshes)} meshes, "
+              f"{desc.total_triangles} triangles, {len(desc.materials)} materials")
+    elif args.scene == "triangle":
+        desc = build_test_triangle_scene()
+    elif args.scene == "cornell":
+        desc = build_cornell_box_scene()
+        camera = Camera(position=(0, 2.75, 9.0), target=(0, 2.75, 0.0),
+                        fov_degrees=50.0, aspect_ratio=cfg.width / cfg.height)
+    else:
+        desc = build_default_scene()
+
+    env = load_environment(args.skybox)
+    if args.skybox:
+        print(f"Loaded skybox {args.skybox}")
+
+    return Renderer(desc, cfg, env=env, camera=camera)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    r = make_renderer(args)
+
+    if args.resume:
+        r.load_checkpoint(args.resume)
+        print(f"Resumed from {args.resume} at {r.accumulated_samples:.0f} samples")
+
+    if args.interactive:
+        from spt_tpu.engine.display import run_viewer
+
+        run_viewer(r)
+        return 0
+
+    r.camera.reset_movement_tracking()
+    t0 = time.perf_counter()
+    last_log = t0
+    for f in range(args.frames):
+        r.render_frame(check_camera=False)
+        now = time.perf_counter()
+        if args.stats and r.last_stats is not None:
+            rays = np.asarray(r.last_stats.rays_per_bounce)
+            print(f"frame {f}: rays/bounce {rays.tolist()}")
+        # FPS + samples every 5 s (GLRenderer.cpp:183-187)
+        if now - last_log > 5.0:
+            fps = (f + 1) / (now - t0)
+            print(f"[{now - t0:6.1f}s] {fps:5.1f} fps, "
+                  f"{r.accumulated_samples:.0f} samples/pixel")
+            last_log = now
+    import jax
+
+    jax.block_until_ready(r.state.accum)
+    dt = time.perf_counter() - t0
+    print(f"Rendered {args.frames} frames ({r.accumulated_samples:.0f} spp) "
+          f"in {dt:.2f}s ({args.frames / dt:.1f} fps)")
+
+    r.save_png(args.output)
+    print(f"Wrote {args.output}")
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
+        print(f"Checkpointed to {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Progressive headless renderer — the render-loop state machine.
+
+Replaces GLRenderer::renderLoop (GLRenderer.cpp:111-188) minus the GL window:
+per frame it (a) checks camera movement and resets accumulation
+(GLRenderer.cpp:154-161), (b) runs one jit-compiled wavefront frame that
+accumulates cfg.spp samples, and (c) on demand resolves the accumulation to a
+display image (exposure -> Reinhard -> gamma, device_programs.cu:854-899).
+
+The whole frame — gen/trace/shade/depth-loop/accumulate — is ONE XLA program
+with donated state buffers: the only host<->device traffic is the resolved
+image when the caller asks for it, versus the reference's per-frame PCIe
+image copy + 2 counter syncs per bounce (OptixBackend.cpp:1677-1848).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spt_tpu.config import RenderConfig
+from spt_tpu.camera import Camera, CameraRays
+from spt_tpu.engine import state as state_mod
+from spt_tpu.engine.image import write_png
+from spt_tpu.env import Environment, make_procedural_environment
+from spt_tpu.integrators.wavefront import render_wavefront
+from spt_tpu.lights import DeviceLights, default_lights
+from spt_tpu.ops.tonemap import resolve
+from spt_tpu.scene.desc import SceneDesc
+from spt_tpu.scene.flatten import DeviceScene, flatten_scene
+
+
+def _frame_step(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    env: Environment,
+    lights: DeviceLights,
+    camera: CameraRays,
+    rstate: state_mod.RenderState,
+):
+    """One progressive frame: render cfg.spp samples at the state's
+    frame_index and fold them into the accumulation."""
+    img, stats = render_wavefront(cfg, scene, env, lights, camera,
+                                  frame_index=rstate.frame_index)
+    new_state = state_mod.accumulate(rstate, img.reshape(-1, 3), float(cfg.spp))
+    return new_state, stats
+
+
+def _resolve_image(cfg: RenderConfig, rstate: state_mod.RenderState):
+    img01 = resolve(
+        rstate.accum,
+        rstate.sample_count,
+        exposure=cfg.exposure,
+        gamma=cfg.gamma,
+        tonemap=cfg.tonemap,
+    )
+    return img01.reshape(cfg.height, cfg.width, 3)
+
+
+class Renderer:
+    """Progressive renderer over one scene. Headless; the interactive viewer
+    (spt_tpu.engine.display) drives this same object."""
+
+    def __init__(
+        self,
+        desc: SceneDesc,
+        cfg: Optional[RenderConfig] = None,
+        env: Optional[Environment] = None,
+        lights: Optional[DeviceLights] = None,
+        camera: Optional[Camera] = None,
+    ):
+        self.cfg = cfg or RenderConfig()
+        self.scene = flatten_scene(desc)
+        self.env = env if env is not None else make_procedural_environment()
+        self.lights = lights if lights is not None else default_lights()
+        self.camera = camera or Camera(aspect_ratio=self.cfg.width / self.cfg.height)
+        self.state = state_mod.init_state(self.cfg.num_pixels)
+        self.last_stats = None
+
+        self._step = jax.jit(
+            functools.partial(_frame_step, self.cfg), donate_argnums=(4,)
+        )
+        self._resolve = jax.jit(functools.partial(_resolve_image, self.cfg))
+
+    # --- frame loop -----------------------------------------------------------
+
+    def render_frame(self, check_camera: bool = True) -> None:
+        """Advance the progressive render by one frame (cfg.spp samples)."""
+        if check_camera and self.camera.has_moved_since_last_check():
+            self.state = state_mod.reset(self.state)
+        self.state, self.last_stats = self._step(
+            self.scene, self.env, self.lights, self.camera.rays(), self.state
+        )
+
+    def render(self, frames: int = 1) -> np.ndarray:
+        """Run `frames` progressive frames and return the resolved image."""
+        for _ in range(frames):
+            self.render_frame()
+        return self.image()
+
+    # --- outputs ----------------------------------------------------------------
+
+    @property
+    def accumulated_samples(self) -> float:
+        return float(self.state.sample_count)
+
+    def image(self) -> np.ndarray:
+        """Resolved display image, (H, W, 3) float in [0, 1]."""
+        return np.asarray(self._resolve(self.state))
+
+    def hdr_image(self) -> np.ndarray:
+        """Linear HDR mean radiance, (H, W, 3) float32."""
+        cnt = max(self.accumulated_samples, 1e-30)
+        return np.asarray(self.state.accum).reshape(
+            self.cfg.height, self.cfg.width, 3
+        ) / cnt
+
+    def save_png(self, path: str) -> None:
+        write_png(path, self.image())
+
+    # --- checkpoint / resume ---------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        state_mod.save_checkpoint(path, self.state)
+
+    def load_checkpoint(self, path: str) -> None:
+        self.state = state_mod.load_checkpoint(path)
+        assert self.state.num_pixels == self.cfg.num_pixels, (
+            "checkpoint resolution mismatch"
+        )

@@ -1,0 +1,138 @@
+"""Environment lighting: procedural sky + equirectangular HDR maps.
+
+Replaces EnvironmentManager/Cubemap (src/EnvironmentManager.cpp,
+src/Cubemap.cpp).  The reference keeps two representations — 6 resampled cube
+faces for the CPU (Cubemap.cpp:271-310) and the raw equirect RGBA for the GPU
+texture (Cubemap.cpp:252-269).  On TPU only the equirect path is needed:
+a (H, W, 3) array sampled bilinearly with a gather — this is exactly the GPU
+backend's model (device_programs.cu:374-397), which is also the radiometric
+reference for env lookups.
+
+Semantics preserved:
+- env color = clamp(sample, max=5.0) * intensity 0.8 (EnvironmentManager.cpp:
+  9-28, EnvironmentManager.h:12-13).
+- procedural sky fallback (EnvironmentManager.cpp:35-61): horizon->zenith
+  smoothstep gradient + pow-64 sun disk + pow-8 glow toward (0.3, 0.6, -0.8),
+  all scaled by 0.8.
+- equirect mapping: theta = atan2(z, x), phi = acos(y), u = (theta+pi)/2pi,
+  v = phi/pi (device_programs.cu:376-387).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from spt_tpu.ops import math3d as m3
+
+SUN_DIRECTION = np.array([0.3, 0.6, -0.8], np.float64)
+SUN_DIRECTION /= np.linalg.norm(SUN_DIRECTION)
+
+
+class Environment(NamedTuple):
+    """Pytree environment. When `enabled` is False the (1,1,3) placeholder
+    image is ignored and the procedural sky is used — both paths are computed
+    and masked, keeping a single jitted program for either mode."""
+
+    image: jnp.ndarray      # (H, W, 3) float32 linear HDR
+    enabled: jnp.ndarray    # () bool
+    intensity: jnp.ndarray  # () float32
+    max_clamp: jnp.ndarray  # () float32
+
+
+def procedural_sky(direction: jnp.ndarray) -> jnp.ndarray:
+    """getSkyColor (EnvironmentManager.cpp:35-61), batched."""
+    d = direction
+    t = 0.5 * (d[..., 1] + 1.0)
+    t = m3.smoothstep(0.0, 1.0, t)
+    horizon = jnp.array([0.7, 0.8, 0.9], d.dtype)
+    zenith = jnp.array([0.2, 0.4, 0.8], d.dtype)
+    sky = horizon * (1.0 - t[..., None]) + zenith * t[..., None]
+
+    sun_dir = jnp.asarray(SUN_DIRECTION, d.dtype)
+    sun_dot = jnp.maximum(m3.dot(d, sun_dir), 0.0)
+    sun_intensity = sun_dot ** 64.0
+    sun_glow = (sun_dot ** 8.0) * 0.3
+    sun_color = jnp.array([1.0, 0.9, 0.7], d.dtype)
+    sky = sky + sun_color * (sun_intensity + sun_glow)[..., None]
+    return sky * 0.8
+
+
+def sample_equirect(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear equirect lookup (device_programs.cu:374-387): wrap in u,
+    clamp in v. `direction` must be normalized."""
+    h, w = image.shape[0], image.shape[1]
+    d = direction
+    theta = jnp.arctan2(d[..., 2], d[..., 0])
+    phi = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    u = (theta + jnp.pi) / (2.0 * jnp.pi)
+    v = phi / jnp.pi
+
+    # Texel-center bilinear (cudaFilterModeLinear semantics).
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    # Clamp each tap independently (cudaAddressModeClamp): at the poles both
+    # taps collapse onto the edge row instead of blending inward.
+    y0f = y0.astype(jnp.int32)
+    y0i = jnp.clip(y0f, 0, h - 1)
+    y1i = jnp.clip(y0f + 1, 0, h - 1)
+
+    c00 = image[y0i, x0i]
+    c01 = image[y0i, x1i]
+    c10 = image[y1i, x0i]
+    c11 = image[y1i, x1i]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def environment_color(env: Environment, direction: jnp.ndarray) -> jnp.ndarray:
+    """getEnvironmentColor (EnvironmentManager.cpp:9-33): HDR sample clamped
+    then scaled, else procedural sky."""
+    d = m3.safe_normalize(direction)
+    tex = sample_equirect(env.image, d)
+    tex = jnp.minimum(tex, env.max_clamp) * env.intensity
+    sky = procedural_sky(d)
+    return jnp.where(env.enabled, tex, sky)
+
+
+def make_procedural_environment(dtype=jnp.float32) -> Environment:
+    return Environment(
+        image=jnp.zeros((1, 1, 3), dtype),
+        enabled=jnp.asarray(False),
+        intensity=jnp.asarray(0.8, dtype),
+        max_clamp=jnp.asarray(5.0, dtype),
+    )
+
+
+def make_hdr_environment(
+    image: np.ndarray, intensity: float = 0.8, max_clamp: float = 5.0
+) -> Environment:
+    img = jnp.asarray(np.asarray(image, np.float32))
+    assert img.ndim == 3 and img.shape[-1] == 3, "expected (H, W, 3) HDR image"
+    return Environment(
+        image=img,
+        enabled=jnp.asarray(True),
+        intensity=jnp.asarray(intensity, jnp.float32),
+        max_clamp=jnp.asarray(max_clamp, jnp.float32),
+    )
+
+
+def load_environment(path: Optional[str]) -> Environment:
+    """Load a Radiance .hdr file (the `--s` CLI path, main.cpp:30-46) or fall
+    back to the procedural sky, mirroring the missing-asset fallback
+    (PathTracer.cpp:24-26)."""
+    if not path:
+        return make_procedural_environment()
+    from spt_tpu.io.hdr import read_hdr
+
+    img = read_hdr(path)
+    return make_hdr_environment(img)

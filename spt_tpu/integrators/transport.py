@@ -1,0 +1,268 @@
+"""The canonical light transport, vectorized over path lanes.
+
+One per-bounce shading function shared by the megakernel and wavefront
+integrators, so backend parity (the reference's dual-backend oracle,
+SURVEY.md §4) holds by construction.  Semantics are the reference's GPU
+wavefront shade kernel (device_programs.cu:315-690) with the fixes the
+reference planned but never shipped, each a RenderConfig toggle:
+
+- shadow rays for direct lighting (CPU semantics Light.cpp:16-40; the GPU
+  skipped them, cu:455-457) — ON by default;
+- emission handled (unused on GPU, LaunchParams.h:40) — always on;
+- Russian roulette after bounce 2 (wf_pt_cpu.cpp:233-242) — on by default;
+- direct lighting applies NdotL exactly once. NOTE (conscious fix): the CPU
+  reference multiplies cos_theta on top of evaluateBRDF's internal NdotL
+  (PathTracer.cpp:158-167 + Material.cpp:116), double-counting it; the GPU
+  applies it once (cu:455-496). We follow the GPU.
+- the dielectric branch is the GPU's tagged delta BSDF (throughput unchanged,
+  cu:498-543); the CPU's ior-derived transparency weights (SURVEY.md §5
+  quirk 7) are not reproduced.
+
+Path state is a SoA pytree — the LaunchParams PathState (LaunchParams.h:16-25)
+with the SoA layout its author intended (wf_types.h:4-5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from spt_tpu.config import RenderConfig
+from spt_tpu.camera import CameraRays
+from spt_tpu.env import Environment, environment_color
+from spt_tpu.lights import DeviceLights, sample_light
+from spt_tpu.materials import gather
+from spt_tpu.ops import intersect as isect
+from spt_tpu.ops import math3d as m3
+from spt_tpu.ops import rng as rng_ops
+from spt_tpu.ops import sampling
+from spt_tpu.scene.flatten import DeviceScene
+
+
+class PathState(NamedTuple):
+    """SoA path state (LaunchParams.h:16-25 as arrays, not structs)."""
+
+    origin: jnp.ndarray      # (N, 3)
+    direction: jnp.ndarray   # (N, 3)
+    throughput: jnp.ndarray  # (N, 3)
+    radiance: jnp.ndarray    # (N, 3)
+    rng: jnp.ndarray         # (N,) uint32
+    alive: jnp.ndarray       # (N,) bool
+
+    @property
+    def num_paths(self) -> int:
+        return self.origin.shape[0]
+
+
+def gen_primary(
+    cfg: RenderConfig,
+    camera: CameraRays,
+    frame_index,
+    sample_index: int = 0,
+    row0=0,
+    rows: int = None,
+) -> PathState:
+    """Stage 1 — primary ray generation (__raygen__gen_primary,
+    device_programs.cu:239-274).
+
+    Rays go through pixel centers (+0.5, cu:226) unless cfg.jitter, in which
+    case a per-(frame, sample) subpixel offset is drawn from the path RNG
+    (the CPU wavefront driver's jitter, GLRenderer.cpp:386-398).
+
+    `row0`/`rows` select a horizontal band of the image (for pixel-axis
+    sharding): lanes carry GLOBAL pixel indices, so RNG streams and ray
+    directions are bitwise identical however the image is banded.
+    """
+    w, h = cfg.width, cfg.height
+    if rows is None:
+        rows = h
+    n = w * rows
+    pixel = jnp.asarray(row0, jnp.uint32) * jnp.uint32(w) + jnp.arange(n, dtype=jnp.uint32)
+    px = (pixel % jnp.uint32(w)).astype(jnp.float32)
+    py = (pixel // jnp.uint32(w)).astype(jnp.float32)
+
+    state = rng_ops.seed_paths(pixel, frame_index)
+    if cfg.spp > 1 or sample_index:
+        state = rng_ops.seed_samples(state, sample_index)
+
+    if cfg.jitter:
+        state, ju, jv = rng_ops.next_float2(state)
+    else:
+        ju = jv = jnp.float32(0.5)
+
+    x = (px + ju) / jnp.float32(w)
+    y = (py + jv) / jnp.float32(h)
+    direction = camera.ray_directions(x, y)
+    origin = jnp.broadcast_to(camera.position, (n, 3))
+
+    return PathState(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        rng=state,
+        alive=jnp.ones((n,), bool),
+    )
+
+
+def trace_bounce(scene: DeviceScene, ps: PathState) -> isect.Hit:
+    """Stage 2 — trace (__raygen__trace, cu:279-310). Dead lanes trace a
+    degenerate ray; their results are masked in shade."""
+    return isect.intersect(scene, ps.origin, ps.direction, tmin=0.0)
+
+
+def _select(mask, a, b):
+    """Per-lane select over PathState-shaped leaves ((N,) or (N, 3))."""
+    if a.ndim == 2:
+        mask = mask[:, None]
+    return jnp.where(mask, a, b)
+
+
+def shade(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    env: Environment,
+    lights: DeviceLights,
+    ps: PathState,
+    hit: isect.Hit,
+    bounce: jnp.ndarray,
+    is_last: jnp.ndarray,
+) -> PathState:
+    """Stage 3 — shade (__raygen__shade, cu:315-690), fully masked.
+
+    Every branch of the reference's divergent kernel is computed for every
+    lane and selected — the TPU's lanes are SIMD, so masked math replaces the
+    SBT/queue divergence machinery at zero extra cost for the small material
+    set (SURVEY.md §7 design stance).
+    """
+    n_lanes = ps.num_paths
+    is_last = jnp.asarray(is_last, bool)
+    alive = ps.alive
+    missed = alive & ~hit.hit_mask
+    surf = alive & hit.hit_mask
+
+    # --- miss: environment contribution, path dies (cu:370-418) -------------
+    env_c = environment_color(env, ps.direction)
+    radiance = ps.radiance + jnp.where(missed[:, None], ps.throughput * env_c, 0.0)
+
+    # --- surface setup --------------------------------------------------------
+    mat = gather(scene.materials, hit.mat_id)
+    ng = m3.normalize_or(hit.normal, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    n, entering = m3.faceforward(ng, ps.direction)
+    t_safe = jnp.where(hit.hit_mask, hit.t, 0.0)
+    p = ps.origin + t_safe[:, None] * ps.direction
+
+    diffuse_color = mat.base_color * (1.0 - mat.metallic[:, None])
+    is_dielectric = mat.mat_type == 1
+    is_metal = (mat.metallic > 0.5) & ~is_dielectric
+    is_diffuse = ~is_metal & ~is_dielectric
+
+    # --- emission (wf_pt_cpu.cpp:121-124; GPU never shipped it) --------------
+    radiance = radiance + jnp.where(surf[:, None], ps.throughput * mat.emission, 0.0)
+
+    # --- direct lighting (unrolled over the small static light table) --------
+    direct_ok = surf if cfg.direct_light_dielectric else (surf & ~is_dielectric)
+    v = m3.safe_normalize(-ps.direction)
+    for li in range(lights.count):
+        li_rad, ldir, ldist, lactive = sample_light(lights, li, p)
+        cos_theta = jnp.maximum(m3.dot(n, ldir), 0.0)
+        contrib_mask = direct_ok & lactive & (cos_theta > 0.0)
+        if cfg.shadow_rays:
+            shadow_o = isect.safe_origin(p, n, jnp.ones((n_lanes,), bool))
+            blocked = isect.occluded(
+                scene, shadow_o, ldir, tmin=cfg.hit_eps, tmax=ldist - cfg.hit_eps
+            )
+            contrib_mask = contrib_mask & ~blocked
+        brdf_nl = sampling.evaluate_brdf(
+            n, v, ldir, mat.base_color, mat.metallic, mat.roughness, mat.ior
+        )
+        radiance = radiance + jnp.where(
+            contrib_mask[:, None], ps.throughput * brdf_nl * li_rad, 0.0
+        )
+
+    # --- scatter: compute all three branches, select ---------------------------
+    rng = ps.rng
+
+    # Dielectric (cu:498-543): Fresnel-probabilistic reflect/refract, delta BSDF.
+    rng_d, xi_d = rng_ops.next_float(rng)
+    eta_i = jnp.where(entering, 1.0, mat.ior)
+    eta_t = jnp.where(entering, mat.ior, 1.0)
+    eta = eta_i / eta_t
+    cos_i = jnp.clip(-m3.dot(ps.direction, n), -1.0, 1.0)
+    fr = sampling.fresnel_schlick_eta(cos_i, eta_i, eta_t)
+    refr_dir, can_refract = m3.refract(ps.direction, n, eta)
+    reflect_dir = m3.safe_normalize(m3.reflect(ps.direction, n))
+    d_dir = jnp.where((~can_refract | (xi_d < fr))[:, None], reflect_dir, refr_dir)
+    d_org = p + cfg.ray_offset_dir * d_dir
+    d_thr = ps.throughput  # delta BSDF, throughput unchanged (cu:537)
+
+    # Metal (cu:545-666): GGX NDF half-vector sampling, D cancels in the
+    # throughput; degenerate cases fall back to a mirror bounce.
+    cos_nv_raw = m3.dot(n, v)
+    rng_m, u1, u2 = rng_ops.next_float2(rng)
+    alpha = sampling.roughness_to_alpha(mat.roughness)
+    h = sampling.ggx_sample_half_vector(u1, u2, alpha, n)
+    cos_nh_raw = m3.dot(n, h)
+    l_dir = m3.normalize_or(m3.reflect(-v, h), n)
+    cos_nl_raw = m3.dot(n, l_dir)
+    mirror_dir = m3.normalize_or(m3.reflect(ps.direction, n), n)
+
+    ggx_ok = (cos_nv_raw > 0.0) & (cos_nh_raw > 0.0) & (cos_nl_raw > 0.0)
+    if cfg.metal_mirror:
+        # CPU megakernel quirk 6: perfect mirror, throughput *= albedo*metallic
+        # (PathTracer.cpp:170-176).
+        m_dir = mirror_dir
+        m_thr = ps.throughput * mat.base_color * mat.metallic[:, None]
+        rng_m_out = rng
+    else:
+        cos_nv = jnp.maximum(cos_nv_raw, 1e-6)
+        cos_nl = jnp.maximum(cos_nl_raw, 1e-6)
+        cos_nh = jnp.maximum(cos_nh_raw, 1e-6)
+        cos_vh = jnp.maximum(m3.dot(v, h), 0.0)
+        f = sampling.fresnel_schlick(cos_vh, mat.base_color)  # metal F0 = baseColor
+        g = sampling.g_smith_gpu(cos_nl, cos_nv, alpha)
+        scale = jnp.clip(g * cos_vh / (cos_nv * cos_nh), 0.0, cfg.firefly_clamp)
+        m_dir = jnp.where(ggx_ok[:, None], l_dir, mirror_dir)
+        m_thr = ps.throughput * jnp.where(
+            ggx_ok[:, None], f * scale[:, None], mat.base_color
+        )
+        # The GPU's cosNV<=0 fallback bails before drawing randoms (cu:554-576).
+        rng_m_out = jnp.where(cos_nv_raw > 0.0, rng_m, rng)
+    m_org = p + 1e-3 * n  # offset along the normal (cu:530,608)
+
+    # Diffuse (cu:668-690 + wf_pt_cpu.cpp:226-247): cosine sample + RR.
+    rng_f, du1, du2 = rng_ops.next_float2(rng)
+    f_dir = sampling.cosine_sample(n, du1, du2)
+    f_org = isect.safe_origin(p, n, jnp.ones((n_lanes,), bool))
+    survival = jnp.clip(m3.luminance_max(diffuse_color), 1e-6, 1.0)
+    rng_f, xi_rr = rng_ops.next_float(rng_f)
+    rr_on = bounce > cfg.rr_after
+    rr_dead = rr_on & (xi_rr >= survival)
+    f_thr = ps.throughput * diffuse_color
+    f_thr = jnp.where(rr_on[..., None] if jnp.ndim(rr_on) else rr_on,
+                      f_thr / survival[:, None], f_thr)
+
+    # --- select the branch per lane -------------------------------------------
+    new_dir = _select(is_dielectric, d_dir, _select(is_metal, m_dir, f_dir))
+    new_org = _select(is_dielectric, d_org, _select(is_metal, m_org, f_org))
+    new_thr = _select(is_dielectric, d_thr, _select(is_metal, m_thr, f_thr))
+    new_rng = jnp.where(is_dielectric, rng_d, jnp.where(is_metal, rng_m_out, rng_f))
+
+    scatter_alive = surf & ~is_last & ~(is_diffuse & rr_dead)
+
+    # Quirk 5 (optional): the GPU paints diffuse * normal-vis at max depth
+    # (cu:420-440) instead of going black.
+    if cfg.depth_term_normal_vis:
+        nvis = (m3.normalize_or(ng, jnp.array([0.0, 1.0, 0.0], jnp.float32)) + 1.0) * 0.5
+        term_c = ps.throughput * diffuse_color * nvis
+        radiance = radiance + jnp.where((surf & is_last)[:, None], term_c, 0.0)
+
+    return PathState(
+        origin=_select(scatter_alive, new_org, ps.origin),
+        direction=_select(scatter_alive, new_dir, ps.direction),
+        throughput=_select(scatter_alive, new_thr, ps.throughput),
+        radiance=radiance,
+        rng=jnp.where(surf, new_rng, ps.rng),
+        alive=scatter_alive,
+    )

@@ -1,0 +1,5 @@
+"""Multi-chip scaling: pixel-axis sharding over a device mesh."""
+
+from spt_tpu.parallel.sharding import make_mesh, shard_pixels, sharded_frame_step
+
+__all__ = ["make_mesh", "shard_pixels", "sharded_frame_step"]

@@ -1,0 +1,132 @@
+"""SceneDesc -> DeviceScene: the TPU analog of the backend build step.
+
+The reference's EmbreeBackend flattens instances by pre-transforming triangle
+geometry into world space (positions by worldFromObject, normals by
+inverse-transpose; EmbreeBackend.cpp:60-79) and registers analytic spheres as
+user geometry (:139-178), maintaining a geomID->materialId map (:129-174).
+
+Here the flattening produces dense SoA arrays padded to a lane multiple so
+every downstream kernel sees static shapes: padded triangles are degenerate
+(zero area -> Möller-Trumbore determinant 0, never hit) and padded spheres
+have radius 0 (discriminant < 0 for any ray not through the center).
+Material resolution order matches EmbreeBackend.cpp:51-57: instance override,
+then mesh material, then 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from spt_tpu.materials import DeviceMaterials, build_device_materials
+from spt_tpu.scene.desc import NO_MATERIAL, SceneDesc
+
+
+class DeviceScene(NamedTuple):
+    """World-space scene as SoA device arrays. A pytree — passes straight
+    through jit/shard_map; replicate per chip for image-space DP
+    (SURVEY.md §2 parallelism table)."""
+
+    tri_v0: jnp.ndarray       # (T, 3) float32
+    tri_e1: jnp.ndarray       # (T, 3) v1 - v0 (precomputed MT edges)
+    tri_e2: jnp.ndarray       # (T, 3) v2 - v0
+    tri_mat: jnp.ndarray      # (T,) int32
+    sph_center: jnp.ndarray   # (S, 3) float32
+    sph_radius: jnp.ndarray   # (S,) float32 (0 for padding)
+    sph_mat: jnp.ndarray      # (S,) int32
+    materials: DeviceMaterials
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
+
+def _resolve_material(instance, mesh) -> int:
+    mid = instance.material_id
+    if mid == NO_MATERIAL:
+        mid = mesh.material_id
+    if mid == NO_MATERIAL:
+        mid = 0
+    return int(mid)
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    if n == 0:
+        return multiple
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def flatten_scene(desc: SceneDesc, pad_multiple: int = 8) -> DeviceScene:
+    """Bake instance transforms and build the padded SoA arrays."""
+    v0s, v1s, v2s, tri_mats = [], [], [], []
+    for inst in desc.instances:
+        if inst.mesh_id >= len(desc.meshes):
+            continue
+        mesh = desc.meshes[inst.mesh_id]
+        if not mesh.is_valid():
+            continue
+        mat_id = _resolve_material(inst, mesh)
+        # positions -> world (EmbreeBackend.cpp:63-69)
+        xf = inst.world_from_object
+        pos_h = np.concatenate(
+            [mesh.positions, np.ones((mesh.vertex_count, 1), np.float32)], axis=1
+        )
+        world = (pos_h @ xf.T)[:, :3].astype(np.float32)
+        idx = mesh.indices.astype(np.int64)
+        v0s.append(world[idx[:, 0]])
+        v1s.append(world[idx[:, 1]])
+        v2s.append(world[idx[:, 2]])
+        tri_mats.append(np.full(idx.shape[0], mat_id, np.int32))
+
+    if v0s:
+        v0 = np.concatenate(v0s)
+        v1 = np.concatenate(v1s)
+        v2 = np.concatenate(v2s)
+        tri_mat = np.concatenate(tri_mats)
+    else:
+        v0 = np.zeros((0, 3), np.float32)
+        v1 = np.zeros((0, 3), np.float32)
+        v2 = np.zeros((0, 3), np.float32)
+        tri_mat = np.zeros((0,), np.int32)
+
+    t_pad = _pad_to(v0.shape[0], pad_multiple)
+    pad_n = t_pad - v0.shape[0]
+    if pad_n:
+        zero = np.zeros((pad_n, 3), np.float32)
+        v0 = np.concatenate([v0, zero])
+        v1 = np.concatenate([v1, zero])
+        v2 = np.concatenate([v2, zero])
+        tri_mat = np.concatenate([tri_mat, np.zeros(pad_n, np.int32)])
+
+    if desc.spheres:
+        centers = np.stack([s.center for s in desc.spheres]).astype(np.float32)
+        radii = np.array([s.radius for s in desc.spheres], np.float32)
+        sph_mat = np.array([s.material_id for s in desc.spheres], np.int32)
+    else:
+        centers = np.zeros((0, 3), np.float32)
+        radii = np.zeros((0,), np.float32)
+        sph_mat = np.zeros((0,), np.int32)
+
+    s_pad = _pad_to(centers.shape[0], pad_multiple)
+    pad_n = s_pad - centers.shape[0]
+    if pad_n:
+        centers = np.concatenate([centers, np.zeros((pad_n, 3), np.float32)])
+        radii = np.concatenate([radii, np.zeros(pad_n, np.float32)])
+        sph_mat = np.concatenate([sph_mat, np.zeros(pad_n, np.int32)])
+
+    return DeviceScene(
+        tri_v0=jnp.asarray(v0),
+        tri_e1=jnp.asarray(v1 - v0),
+        tri_e2=jnp.asarray(v2 - v0),
+        tri_mat=jnp.asarray(tri_mat),
+        sph_center=jnp.asarray(centers),
+        sph_radius=jnp.asarray(radii),
+        sph_mat=jnp.asarray(sph_mat),
+        materials=build_device_materials(desc.materials),
+    )

@@ -1,0 +1,116 @@
+"""Progressive renderer: accumulation, reset, checkpoint, image IO."""
+
+import os
+
+import numpy as np
+
+from spt_tpu.camera import default_camera
+from spt_tpu.config import RenderConfig
+from spt_tpu.engine.image import read_png, write_png
+from spt_tpu.engine.renderer import Renderer
+from spt_tpu.scene import build_default_scene
+
+CFG = RenderConfig(width=32, height=24, spp=1, max_depth=3)
+
+
+def make_renderer():
+    return Renderer(build_default_scene(), CFG,
+                    camera=default_camera(CFG.width, CFG.height))
+
+
+class TestProgressive:
+    def test_accumulation_counts(self):
+        r = make_renderer()
+        r.render_frame()
+        assert r.accumulated_samples == CFG.spp
+        r.render_frame()
+        assert r.accumulated_samples == 2 * CFG.spp
+
+    def test_progressive_mean_is_mean_of_frames(self):
+        r = make_renderer()
+        r.render_frame()
+        f0 = r.hdr_image().copy()
+        r.render_frame()
+        mean2 = r.hdr_image()
+        # accumulated mean lies between the two frames and equals their mean
+        r2 = make_renderer()
+        r2.render_frame()
+        r2.state = r2.state._replace(
+            accum=np.zeros_like(np.asarray(r2.state.accum)),
+            sample_count=np.zeros_like(np.asarray(r2.state.sample_count)),
+        )
+        # direct check: 2*mean2 - f0 must be a valid single frame (frame 1)
+        f1 = 2 * mean2 - f0
+        assert np.isfinite(f1).all()
+        np.testing.assert_allclose(mean2, (f0 + f1) / 2, atol=1e-5)
+
+    def test_camera_move_resets(self):
+        r = make_renderer()
+        r.render_frame()
+        r.render_frame()
+        assert r.accumulated_samples == 2
+        r.camera.process_keyboard(0, 0.5)
+        r.render_frame()
+        assert r.accumulated_samples == 1  # reset happened
+        # frame_index kept advancing (RNG epoch monotonic)
+        assert int(r.state.frame_index) == 3
+
+    def test_variance_decreases(self):
+        r = make_renderer()
+        imgs = []
+        for _ in range(2):
+            r.render_frame()
+        a = r.hdr_image()
+        for _ in range(14):
+            r.render_frame()
+        b = r.hdr_image()
+        # 16-frame mean closer to 64-frame mean than 2-frame mean is
+        for _ in range(48):
+            r.render_frame()
+        c = r.hdr_image()
+        assert np.mean((b - c) ** 2) < np.mean((a - c) ** 2)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        r = make_renderer()
+        r.render_frame()
+        r.render_frame()
+        path = str(tmp_path / "ckpt.npz")
+        r.save_checkpoint(path)
+        img_before = r.image()
+
+        r2 = make_renderer()
+        r2.load_checkpoint(path)
+        np.testing.assert_array_equal(img_before, r2.image())
+        assert r2.accumulated_samples == 2
+        # resumes seamlessly
+        r2.render_frame(check_camera=False)
+        assert r2.accumulated_samples == 3
+
+
+class TestImageIO:
+    def test_png_roundtrip(self, tmp_path):
+        img = (np.random.default_rng(0).uniform(size=(17, 23, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / "t.png")
+        write_png(p, img)
+        back = read_png(p)
+        np.testing.assert_array_equal(back, img)
+
+    def test_png_from_float(self, tmp_path):
+        img = np.zeros((4, 4, 3), np.float32)
+        img[0, 0] = [1.0, 0.5, 0.0]
+        p = str(tmp_path / "f.png")
+        write_png(p, img)
+        back = read_png(p)
+        assert back[0, 0, 0] == 255
+        assert back[0, 0, 2] == 0
+
+    def test_renderer_save(self, tmp_path):
+        r = make_renderer()
+        r.render_frame()
+        p = str(tmp_path / "frame.png")
+        r.save_png(p)
+        assert os.path.getsize(p) > 100
+        back = read_png(p)
+        assert back.shape == (CFG.height, CFG.width, 3)

@@ -1,0 +1,81 @@
+"""Multi-chip scaling on the 8-device CPU-simulated mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_tpu.camera import default_camera
+from spt_tpu.config import RenderConfig
+from spt_tpu.engine import state as state_mod
+from spt_tpu.env import make_procedural_environment
+from spt_tpu.integrators.wavefront import render_wavefront
+from spt_tpu.lights import default_lights
+from spt_tpu.parallel import make_mesh, shard_pixels, sharded_frame_step
+from spt_tpu.parallel.sharding import replicate
+from spt_tpu.scene import build_default_scene, flatten_scene
+
+CFG = RenderConfig(width=32, height=32, spp=1, max_depth=4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    scene = flatten_scene(build_default_scene())
+    env = make_procedural_environment()
+    lights = default_lights()
+    cam = default_camera(CFG.width, CFG.height).rays()
+    return scene, env, lights, cam
+
+
+class TestShardedRender:
+    def test_matches_single_device(self, setup):
+        scene, env, lights, cam = setup
+        # single-device reference
+        want, want_stats = render_wavefront(CFG, scene, env, lights, cam, 0)
+        want = np.asarray(want)
+
+        mesh = make_mesh(jax.devices()[:8])
+        step = sharded_frame_step(CFG, mesh)
+        rstate = shard_pixels(mesh, state_mod.init_state(CFG.num_pixels))
+        scene_r = replicate(mesh, scene)
+        env_r = replicate(mesh, env)
+        lights_r = replicate(mesh, lights)
+        cam_r = replicate(mesh, cam)
+
+        new_state, stats = step(scene_r, env_r, lights_r, cam_r, rstate)
+        got = np.asarray(new_state.accum).reshape(CFG.height, CFG.width, 3) / CFG.spp
+
+        # identical rays and RNG -> exact ray counts; radiance matches to
+        # float tolerance (different XLA programs schedule fma differently).
+        np.testing.assert_array_equal(
+            np.asarray(stats.rays_per_bounce), np.asarray(want_stats.rays_per_bounce)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-4)
+
+    def test_two_device_mesh(self, setup):
+        scene, env, lights, cam = setup
+        mesh = make_mesh(jax.devices()[:2])
+        step = sharded_frame_step(CFG, mesh)
+        rstate = shard_pixels(mesh, state_mod.init_state(CFG.num_pixels))
+        new_state, stats = step(
+            replicate(mesh, scene), replicate(mesh, env),
+            replicate(mesh, lights), replicate(mesh, cam), rstate,
+        )
+        assert int(new_state.frame_index) == 1
+        assert float(new_state.sample_count) == CFG.spp
+        assert int(np.asarray(stats.rays_per_bounce)[0]) == CFG.num_pixels
+
+    def test_progressive_sharded(self, setup):
+        scene, env, lights, cam = setup
+        mesh = make_mesh(jax.devices()[:4])
+        step = sharded_frame_step(CFG, mesh)
+        rstate = shard_pixels(mesh, state_mod.init_state(CFG.num_pixels))
+        args = (replicate(mesh, scene), replicate(mesh, env),
+                replicate(mesh, lights), replicate(mesh, cam))
+        for i in range(3):
+            rstate, _ = step(*args, rstate)
+        assert float(rstate.sample_count) == 3 * CFG.spp
+        assert int(rstate.frame_index) == 3
+        img = np.asarray(rstate.accum)
+        assert np.isfinite(img).all() and img.max() > 0

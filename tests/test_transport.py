@@ -1,0 +1,152 @@
+"""Transport correctness: integrator parity + the scalar oracle gate.
+
+This is the test layer SURVEY.md §4 prescribes: the reference validates by
+dual-backend A/B at runtime; here (1) megakernel and wavefront must agree
+bitwise (same transport, same RNG — parity by construction), and (2) both
+must match the independent scalar numpy oracle to tight RMSE.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_tpu.camera import Camera, default_camera
+from spt_tpu.config import RenderConfig, GPU_PARITY
+from spt_tpu.env import make_procedural_environment
+from spt_tpu.integrators.megakernel import render_megakernel
+from spt_tpu.integrators.wavefront import render_wavefront
+from spt_tpu.lights import default_lights, LightManager
+from spt_tpu.scene import build_cornell_box_scene, build_default_scene, flatten_scene
+
+import reference_cpu as ref
+
+
+CFG = RenderConfig(width=40, height=30, spp=1, max_depth=5)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = flatten_scene(build_default_scene())
+    env = make_procedural_environment()
+    lights = default_lights()
+    cam = default_camera(CFG.width, CFG.height)
+    return scene, env, lights, cam
+
+
+class TestIntegratorParity:
+    def test_megakernel_equals_wavefront(self, setup):
+        scene, env, lights, cam = setup
+        a = render_megakernel(CFG, scene, env, lights, cam.rays(), frame_index=0)
+        b, stats = render_wavefront(CFG, scene, env, lights, cam.rays(), frame_index=0)
+        # Same transport + same RNG; residual drift is XLA scheduling the
+        # unrolled loop vs the while_loop with different fma/reassociation.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
+
+    def test_wavefront_ray_conservation(self, setup):
+        scene, env, lights, cam = setup
+        _, stats = render_wavefront(CFG, scene, env, lights, cam.rays(), frame_index=0)
+        rays = np.asarray(stats.rays_per_bounce)
+        # bounce 0 traces exactly one ray per pixel (the frame-0 invariant,
+        # OptixBackend.cpp:1690-1695) and live counts never grow.
+        assert rays[0] == CFG.num_pixels
+        assert np.all(np.diff(rays) <= 0)
+        assert int(stats.bounces_run) <= CFG.max_depth
+
+    def test_deterministic(self, setup):
+        scene, env, lights, cam = setup
+        a = render_megakernel(CFG, scene, env, lights, cam.rays(), frame_index=3)
+        b = render_megakernel(CFG, scene, env, lights, cam.rays(), frame_index=3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_frames_differ(self, setup):
+        scene, env, lights, cam = setup
+        a = render_megakernel(CFG, scene, env, lights, cam.rays(), frame_index=0)
+        b = render_megakernel(CFG, scene, env, lights, cam.rays(), frame_index=1)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+class TestVsScalarOracle:
+    def test_default_scene_rmse(self, setup):
+        scene, env, lights, cam = setup
+        img = np.asarray(
+            render_megakernel(CFG, scene, env, lights, cam.rays(), frame_index=0)
+        )
+        nps = ref.NpScene(scene)
+        lref = ref.lights_from_device(lights)
+        want = ref.render_image(CFG, nps, lref, cam, frame=0)
+        # <1% RMSE gate (BASELINE.json target), in linear radiance.
+        err = _rmse(img, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+
+    def test_gpu_parity_preset_rmse(self):
+        cfg = GPU_PARITY.replace(width=32, height=24, max_depth=4)
+        scene = flatten_scene(build_default_scene())
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height)
+        img = np.asarray(
+            render_megakernel(cfg, scene, env, lights, cam.rays(), frame_index=0)
+        )
+        nps = ref.NpScene(scene)
+        lref = ref.lights_from_device(lights)
+        # oracle with the same preset semantics (no normal-vis in oracle: the
+        # preset's depth_term quirk is exercised separately) — disable it here.
+        cfg2 = cfg.replace(depth_term_normal_vis=False)
+        img2 = np.asarray(
+            render_megakernel(cfg2, scene, env, lights, cam.rays(), frame_index=0)
+        )
+        want = ref.render_image(cfg2, nps, lref, cam, frame=0)
+        err = _rmse(img2, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+        # and the quirk actually changes the image
+        assert not np.allclose(img, img2)
+
+    def test_cornell_emission_reaches_film(self):
+        cfg = RenderConfig(width=24, height=24, spp=2, max_depth=4)
+        scene = flatten_scene(build_cornell_box_scene())
+        env = make_procedural_environment()
+        lm = LightManager()  # no analytic lights: emission only
+        cam = Camera(position=(0, 2.75, 9.0), target=(0, 2.75, 0.0),
+                     fov_degrees=50.0, aspect_ratio=1.0)
+        img, _ = render_wavefront(cfg, scene, env, lm.device(), cam.rays(), 0)
+        img = np.asarray(img)
+        assert img.max() > 0.1  # emitter visible directly or via bounce
+        assert np.isfinite(img).all()
+
+
+class TestPointLight:
+    def test_point_light_attenuation_and_shadow(self):
+        # A point light above a ground plane with a blocking sphere.
+        from spt_tpu.scene import SceneDesc, create_ground_plane_mesh
+        from spt_tpu.scene.desc import Material
+
+        sc = SceneDesc()
+        sc.add_material(Material([0.8, 0.8, 0.8], roughness=1.0, ior=1.0))
+        mid = sc.add_mesh(create_ground_plane_mesh(20.0, 0))
+        sc.add_instance(mid)
+        sc.add_sphere([0.0, 1.0, 0.0], 0.5, 0)
+        scene = flatten_scene(sc)
+
+        lm = LightManager()
+        lm.add_point_light([0.0, 3.0, 0.0], [1.0, 1.0, 1.0], 10.0)
+        cfg = RenderConfig(width=32, height=32, spp=1, max_depth=2, jitter=False)
+        cam = Camera(position=(0, 4.0, 6.0), target=(0, 0, 0), fov_degrees=50.0,
+                     aspect_ratio=1.0)
+        img = np.asarray(
+            render_megakernel(cfg, scene, make_procedural_environment(),
+                              lm.device(), cam.rays(), 0)
+        )
+        assert np.isfinite(img).all()
+        # center of the floor is shadowed by the sphere: darker than offset.
+        nps = ref.NpScene(scene)
+        lref = ref.lights_from_device(lm.device())
+        want = ref.render_image(cfg, nps, lref, cam, frame=0)
+        err = _rmse(img, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
