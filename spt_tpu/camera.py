@@ -48,6 +48,21 @@ class CameraRays(NamedTuple):
         )
         return m3.safe_normalize(d)
 
+    def ray_directions_v(self, x: jnp.ndarray, y: jnp.ndarray):
+        """Component-SoA variant: returns a Vec3 of (N,) components
+        (hot path; see spt_tpu.ops.vec3 for the layout rationale)."""
+        from spt_tpu.ops import vec3 as v3
+
+        nx = (x - 0.5) * 2.0
+        ny = -(y - 0.5) * 2.0
+        hw, hh = self.half_width, self.half_height
+        d = v3.Vec3(
+            self.forward[0] + nx * (hw * self.right[0]) + ny * (hh * self.up[0]),
+            self.forward[1] + nx * (hw * self.right[1]) + ny * (hh * self.up[1]),
+            self.forward[2] + nx * (hw * self.right[2]) + ny * (hh * self.up[2]),
+        )
+        return v3.safe_normalize(d)
+
 
 class Camera:
     """Interactive host camera. All mutation happens host-side; `.rays()`

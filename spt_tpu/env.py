@@ -136,3 +136,73 @@ def load_environment(path: Optional[str]) -> Environment:
 
     img = read_hdr(path)
     return make_hdr_environment(img)
+
+
+# --- component-SoA (Vec3) forms ----------------------------------------------
+
+from spt_tpu.ops import vec3 as v3  # noqa: E402
+
+
+def procedural_sky_v(d: "v3.Vec3") -> "v3.Vec3":
+    """getSkyColor (EnvironmentManager.cpp:35-61), Vec3 form."""
+    t = 0.5 * (d.y + 1.0)
+    t = m3.smoothstep(0.0, 1.0, t)
+    horizon = v3.Vec3(jnp.float32(0.7), jnp.float32(0.8), jnp.float32(0.9))
+    zenith = v3.Vec3(jnp.float32(0.2), jnp.float32(0.4), jnp.float32(0.8))
+    sky = v3.Vec3(
+        horizon.x * (1.0 - t) + zenith.x * t,
+        horizon.y * (1.0 - t) + zenith.y * t,
+        horizon.z * (1.0 - t) + zenith.z * t,
+    )
+    sun = SUN_DIRECTION
+    sun_dot = jnp.maximum(
+        d.x * jnp.float32(sun[0]) + d.y * jnp.float32(sun[1]) + d.z * jnp.float32(sun[2]),
+        0.0,
+    )
+    glow = sun_dot ** 64.0 + (sun_dot ** 8.0) * 0.3
+    sky = sky + v3.Vec3(glow * 1.0, glow * 0.9, glow * 0.7)
+    return sky * 0.8
+
+
+def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
+    """Bilinear equirect lookup (device_programs.cu:374-387), Vec3 form.
+    The four texel gathers are unavoidable; everything else is lane math."""
+    h, w = image.shape[0], image.shape[1]
+    theta = jnp.arctan2(d.z, d.x)
+    phi = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    u = (theta + jnp.pi) / (2.0 * jnp.pi)
+    v = phi / jnp.pi
+
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0f = y0.astype(jnp.int32)
+    y0i = jnp.clip(y0f, 0, h - 1)
+    y1i = jnp.clip(y0f + 1, 0, h - 1)
+
+    c00 = image[y0i, x0i]
+    c01 = image[y0i, x1i]
+    c10 = image[y1i, x0i]
+    c11 = image[y1i, x1i]
+    top = c00 * (1.0 - fx)[..., None] + c01 * fx[..., None]
+    bot = c10 * (1.0 - fx)[..., None] + c11 * fx[..., None]
+    out = top * (1.0 - fy)[..., None] + bot * fy[..., None]
+    return v3.Vec3.from_array(out)
+
+
+def environment_color_v(env: Environment, direction: "v3.Vec3") -> "v3.Vec3":
+    """getEnvironmentColor (EnvironmentManager.cpp:9-33), Vec3 form."""
+    d = v3.safe_normalize(direction)
+    sky = procedural_sky_v(d)
+    tex = sample_equirect_v(env.image, d)
+    tex = v3.Vec3(
+        jnp.minimum(tex.x, env.max_clamp) * env.intensity,
+        jnp.minimum(tex.y, env.max_clamp) * env.intensity,
+        jnp.minimum(tex.z, env.max_clamp) * env.intensity,
+    )
+    return v3.where(env.enabled, tex, sky)

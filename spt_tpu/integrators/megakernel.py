@@ -40,7 +40,7 @@ def render_sample(
             cfg, scene, env, lights, ps, hit,
             bounce=bounce, is_last=(bounce == cfg.max_depth - 1),
         )
-    return ps.radiance
+    return ps.radiance.to_array()
 
 
 def render_megakernel(

@@ -1,4 +1,4 @@
-"""The canonical light transport, vectorized over path lanes.
+"""The canonical light transport, vectorized over component-SoA path lanes.
 
 One per-bounce shading function shared by the megakernel and wavefront
 integrators, so backend parity (the reference's dual-backend oracle,
@@ -10,16 +10,17 @@ reference planned but never shipped, each a RenderConfig toggle:
   skipped them, cu:455-457) — ON by default;
 - emission handled (unused on GPU, LaunchParams.h:40) — always on;
 - Russian roulette after bounce 2 (wf_pt_cpu.cpp:233-242) — on by default;
-- direct lighting applies NdotL exactly once. NOTE (conscious fix): the CPU
+- direct lighting applies NdotL exactly once.  NOTE (conscious fix): the CPU
   reference multiplies cos_theta on top of evaluateBRDF's internal NdotL
   (PathTracer.cpp:158-167 + Material.cpp:116), double-counting it; the GPU
-  applies it once (cu:455-496). We follow the GPU.
+  applies it once (cu:455-496).  We follow the GPU.
 - the dielectric branch is the GPU's tagged delta BSDF (throughput unchanged,
   cu:498-543); the CPU's ior-derived transparency weights (SURVEY.md §5
   quirk 7) are not reproduced.
 
-Path state is a SoA pytree — the LaunchParams PathState (LaunchParams.h:16-25)
-with the SoA layout its author intended (wf_types.h:4-5).
+Path state is the SoA the reference's author intended (wf_types.h:4-5) in the
+layout the TPU wants: every 3-vector is a `Vec3` of flat (N,) lane arrays
+(see ops/vec3.py for the measured rationale).
 """
 
 from __future__ import annotations
@@ -30,29 +31,30 @@ import jax.numpy as jnp
 
 from spt_tpu.config import RenderConfig
 from spt_tpu.camera import CameraRays
-from spt_tpu.env import Environment, environment_color
-from spt_tpu.lights import DeviceLights, sample_light
-from spt_tpu.materials import gather
+from spt_tpu.env import Environment, environment_color_v
+from spt_tpu.lights import DeviceLights, sample_light_v
+from spt_tpu.materials import gather_v
 from spt_tpu.ops import intersect as isect
-from spt_tpu.ops import math3d as m3
 from spt_tpu.ops import rng as rng_ops
 from spt_tpu.ops import sampling
+from spt_tpu.ops import vec3 as v3
+from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.scene.flatten import DeviceScene
 
 
 class PathState(NamedTuple):
-    """SoA path state (LaunchParams.h:16-25 as arrays, not structs)."""
+    """SoA path state (LaunchParams.h:16-25 as component lane arrays)."""
 
-    origin: jnp.ndarray      # (N, 3)
-    direction: jnp.ndarray   # (N, 3)
-    throughput: jnp.ndarray  # (N, 3)
-    radiance: jnp.ndarray    # (N, 3)
+    origin: Vec3
+    direction: Vec3
+    throughput: Vec3
+    radiance: Vec3
     rng: jnp.ndarray         # (N,) uint32
     alive: jnp.ndarray       # (N,) bool
 
     @property
     def num_paths(self) -> int:
-        return self.origin.shape[0]
+        return self.rng.shape[0]
 
 
 def gen_primary(
@@ -93,30 +95,26 @@ def gen_primary(
 
     x = (px + ju) / jnp.float32(w)
     y = (py + jv) / jnp.float32(h)
-    direction = camera.ray_directions(x, y)
-    origin = jnp.broadcast_to(camera.position, (n, 3))
+    direction = camera.ray_directions_v(x, y)
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
 
     return PathState(
-        origin=origin,
+        origin=Vec3(camera.position[0] + zeros,
+                    camera.position[1] + zeros,
+                    camera.position[2] + zeros),
         direction=direction,
-        throughput=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
+        throughput=Vec3(ones, ones, ones),
+        radiance=Vec3(zeros, zeros, zeros),
         rng=state,
         alive=jnp.ones((n,), bool),
     )
 
 
-def trace_bounce(scene: DeviceScene, ps: PathState) -> isect.Hit:
-    """Stage 2 — trace (__raygen__trace, cu:279-310). Dead lanes trace a
-    degenerate ray; their results are masked in shade."""
-    return isect.intersect(scene, ps.origin, ps.direction, tmin=0.0)
-
-
-def _select(mask, a, b):
-    """Per-lane select over PathState-shaped leaves ((N,) or (N, 3))."""
-    if a.ndim == 2:
-        mask = mask[:, None]
-    return jnp.where(mask, a, b)
+def trace_bounce(scene: DeviceScene, ps: PathState) -> isect.HitV:
+    """Stage 2 — trace (__raygen__trace, cu:279-310).  Dead lanes trace a
+    stale ray; their results are masked in shade."""
+    return isect.intersect_v(scene, ps.origin, ps.direction, tmin=0.0)
 
 
 def shade(
@@ -125,14 +123,14 @@ def shade(
     env: Environment,
     lights: DeviceLights,
     ps: PathState,
-    hit: isect.Hit,
-    bounce: jnp.ndarray,
-    is_last: jnp.ndarray,
+    hit: isect.HitV,
+    bounce,
+    is_last,
 ) -> PathState:
     """Stage 3 — shade (__raygen__shade, cu:315-690), fully masked.
 
     Every branch of the reference's divergent kernel is computed for every
-    lane and selected — the TPU's lanes are SIMD, so masked math replaces the
+    lane and selected — TPU lanes are SIMD, so masked math replaces the
     SBT/queue divergence machinery at zero extra cost for the small material
     set (SURVEY.md §7 design stance).
     """
@@ -143,42 +141,46 @@ def shade(
     surf = alive & hit.hit_mask
 
     # --- miss: environment contribution, path dies (cu:370-418) -------------
-    env_c = environment_color(env, ps.direction)
-    radiance = ps.radiance + jnp.where(missed[:, None], ps.throughput * env_c, 0.0)
+    env_c = environment_color_v(env, ps.direction)
+    radiance = ps.radiance + v3.where(
+        missed, ps.throughput * env_c, Vec3.full((0, 0, 0), (n_lanes,))
+    )
 
     # --- surface setup --------------------------------------------------------
-    mat = gather(scene.materials, hit.mat_id)
-    ng = m3.normalize_or(hit.normal, jnp.array([0.0, 1.0, 0.0], jnp.float32))
-    n, entering = m3.faceforward(ng, ps.direction)
+    mat = gather_v(scene.materials, hit.mat_id)
+    up = Vec3.full((0.0, 1.0, 0.0), (n_lanes,))
+    ng = v3.normalize_or(hit.normal, up)
+    n, entering = v3.faceforward(ng, ps.direction)
     t_safe = jnp.where(hit.hit_mask, hit.t, 0.0)
-    p = ps.origin + t_safe[:, None] * ps.direction
+    p = ps.origin + ps.direction * t_safe
 
-    diffuse_color = mat.base_color * (1.0 - mat.metallic[:, None])
+    diffuse_color = mat.base_color * (1.0 - mat.metallic)
     is_dielectric = mat.mat_type == 1
     is_metal = (mat.metallic > 0.5) & ~is_dielectric
     is_diffuse = ~is_metal & ~is_dielectric
 
     # --- emission (wf_pt_cpu.cpp:121-124; GPU never shipped it) --------------
-    radiance = radiance + jnp.where(surf[:, None], ps.throughput * mat.emission, 0.0)
+    zero3 = Vec3.full((0, 0, 0), (n_lanes,))
+    radiance = radiance + v3.where(surf, ps.throughput * mat.emission, zero3)
 
     # --- direct lighting (unrolled over the small static light table) --------
     direct_ok = surf if cfg.direct_light_dielectric else (surf & ~is_dielectric)
-    v = m3.safe_normalize(-ps.direction)
+    view = v3.safe_normalize(-ps.direction)
     for li in range(lights.count):
-        li_rad, ldir, ldist, lactive = sample_light(lights, li, p)
-        cos_theta = jnp.maximum(m3.dot(n, ldir), 0.0)
+        li_rad, ldir, ldist, lactive = sample_light_v(lights, li, p)
+        cos_theta = jnp.maximum(v3.dot(n, ldir), 0.0)
         contrib_mask = direct_ok & lactive & (cos_theta > 0.0)
         if cfg.shadow_rays:
-            shadow_o = isect.safe_origin(p, n, jnp.ones((n_lanes,), bool))
-            blocked = isect.occluded(
+            shadow_o = isect.safe_origin_v(p, n, jnp.ones((n_lanes,), bool))
+            blocked = isect.occluded_v(
                 scene, shadow_o, ldir, tmin=cfg.hit_eps, tmax=ldist - cfg.hit_eps
             )
             contrib_mask = contrib_mask & ~blocked
-        brdf_nl = sampling.evaluate_brdf(
-            n, v, ldir, mat.base_color, mat.metallic, mat.roughness, mat.ior
+        brdf_nl = sampling.evaluate_brdf_v(
+            n, view, ldir, mat.base_color, mat.metallic, mat.roughness, mat.ior
         )
-        radiance = radiance + jnp.where(
-            contrib_mask[:, None], ps.throughput * brdf_nl * li_rad, 0.0
+        radiance = radiance + v3.where(
+            contrib_mask, ps.throughput * brdf_nl * li_rad, zero3
         )
 
     # --- scatter: compute all three branches, select ---------------------------
@@ -189,64 +191,61 @@ def shade(
     eta_i = jnp.where(entering, 1.0, mat.ior)
     eta_t = jnp.where(entering, mat.ior, 1.0)
     eta = eta_i / eta_t
-    cos_i = jnp.clip(-m3.dot(ps.direction, n), -1.0, 1.0)
+    cos_i = jnp.clip(-v3.dot(ps.direction, n), -1.0, 1.0)
     fr = sampling.fresnel_schlick_eta(cos_i, eta_i, eta_t)
-    refr_dir, can_refract = m3.refract(ps.direction, n, eta)
-    reflect_dir = m3.safe_normalize(m3.reflect(ps.direction, n))
-    d_dir = jnp.where((~can_refract | (xi_d < fr))[:, None], reflect_dir, refr_dir)
-    d_org = p + cfg.ray_offset_dir * d_dir
+    refr_dir, can_refract = v3.refract(ps.direction, n, eta)
+    reflect_dir = v3.safe_normalize(v3.reflect(ps.direction, n))
+    d_dir = v3.where(~can_refract | (xi_d < fr), reflect_dir, refr_dir)
+    d_org = p + d_dir * cfg.ray_offset_dir
     d_thr = ps.throughput  # delta BSDF, throughput unchanged (cu:537)
 
     # Metal (cu:545-666): GGX NDF half-vector sampling, D cancels in the
     # throughput; degenerate cases fall back to a mirror bounce.
-    cos_nv_raw = m3.dot(n, v)
+    cos_nv_raw = v3.dot(n, view)
     rng_m, u1, u2 = rng_ops.next_float2(rng)
     alpha = sampling.roughness_to_alpha(mat.roughness)
-    h = sampling.ggx_sample_half_vector(u1, u2, alpha, n)
-    cos_nh_raw = m3.dot(n, h)
-    l_dir = m3.normalize_or(m3.reflect(-v, h), n)
-    cos_nl_raw = m3.dot(n, l_dir)
-    mirror_dir = m3.normalize_or(m3.reflect(ps.direction, n), n)
+    h = sampling.ggx_sample_half_vector_v(u1, u2, alpha, n)
+    cos_nh_raw = v3.dot(n, h)
+    l_dir = v3.normalize_or(v3.reflect(-view, h), n)
+    cos_nl_raw = v3.dot(n, l_dir)
+    mirror_dir = v3.normalize_or(v3.reflect(ps.direction, n), n)
 
     ggx_ok = (cos_nv_raw > 0.0) & (cos_nh_raw > 0.0) & (cos_nl_raw > 0.0)
     if cfg.metal_mirror:
         # CPU megakernel quirk 6: perfect mirror, throughput *= albedo*metallic
         # (PathTracer.cpp:170-176).
         m_dir = mirror_dir
-        m_thr = ps.throughput * mat.base_color * mat.metallic[:, None]
+        m_thr = ps.throughput * mat.base_color * mat.metallic
         rng_m_out = rng
     else:
         cos_nv = jnp.maximum(cos_nv_raw, 1e-6)
         cos_nl = jnp.maximum(cos_nl_raw, 1e-6)
         cos_nh = jnp.maximum(cos_nh_raw, 1e-6)
-        cos_vh = jnp.maximum(m3.dot(v, h), 0.0)
-        f = sampling.fresnel_schlick(cos_vh, mat.base_color)  # metal F0 = baseColor
+        cos_vh = jnp.maximum(v3.dot(view, h), 0.0)
+        f = sampling.fresnel_schlick_v(cos_vh, mat.base_color)  # metal F0 = baseColor
         g = sampling.g_smith_gpu(cos_nl, cos_nv, alpha)
         scale = jnp.clip(g * cos_vh / (cos_nv * cos_nh), 0.0, cfg.firefly_clamp)
-        m_dir = jnp.where(ggx_ok[:, None], l_dir, mirror_dir)
-        m_thr = ps.throughput * jnp.where(
-            ggx_ok[:, None], f * scale[:, None], mat.base_color
-        )
+        m_dir = v3.where(ggx_ok, l_dir, mirror_dir)
+        m_thr = ps.throughput * v3.where(ggx_ok, f * scale, mat.base_color)
         # The GPU's cosNV<=0 fallback bails before drawing randoms (cu:554-576).
         rng_m_out = jnp.where(cos_nv_raw > 0.0, rng_m, rng)
-    m_org = p + 1e-3 * n  # offset along the normal (cu:530,608)
+    m_org = p + n * 1e-3  # offset along the normal (cu:530,608)
 
     # Diffuse (cu:668-690 + wf_pt_cpu.cpp:226-247): cosine sample + RR.
     rng_f, du1, du2 = rng_ops.next_float2(rng)
-    f_dir = sampling.cosine_sample(n, du1, du2)
-    f_org = isect.safe_origin(p, n, jnp.ones((n_lanes,), bool))
-    survival = jnp.clip(m3.luminance_max(diffuse_color), 1e-6, 1.0)
+    f_dir = sampling.cosine_sample_v(n, du1, du2)
+    f_org = isect.safe_origin_v(p, n, jnp.ones((n_lanes,), bool))
+    survival = jnp.clip(v3.max_component(diffuse_color), 1e-6, 1.0)
     rng_f, xi_rr = rng_ops.next_float(rng_f)
-    rr_on = bounce > cfg.rr_after
+    rr_on = jnp.asarray(bounce > cfg.rr_after)
     rr_dead = rr_on & (xi_rr >= survival)
     f_thr = ps.throughput * diffuse_color
-    f_thr = jnp.where(rr_on[..., None] if jnp.ndim(rr_on) else rr_on,
-                      f_thr / survival[:, None], f_thr)
+    f_thr = v3.where(rr_on, f_thr * (1.0 / survival), f_thr)
 
     # --- select the branch per lane -------------------------------------------
-    new_dir = _select(is_dielectric, d_dir, _select(is_metal, m_dir, f_dir))
-    new_org = _select(is_dielectric, d_org, _select(is_metal, m_org, f_org))
-    new_thr = _select(is_dielectric, d_thr, _select(is_metal, m_thr, f_thr))
+    new_dir = v3.where(is_dielectric, d_dir, v3.where(is_metal, m_dir, f_dir))
+    new_org = v3.where(is_dielectric, d_org, v3.where(is_metal, m_org, f_org))
+    new_thr = v3.where(is_dielectric, d_thr, v3.where(is_metal, m_thr, f_thr))
     new_rng = jnp.where(is_dielectric, rng_d, jnp.where(is_metal, rng_m_out, rng_f))
 
     scatter_alive = surf & ~is_last & ~(is_diffuse & rr_dead)
@@ -254,14 +253,14 @@ def shade(
     # Quirk 5 (optional): the GPU paints diffuse * normal-vis at max depth
     # (cu:420-440) instead of going black.
     if cfg.depth_term_normal_vis:
-        nvis = (m3.normalize_or(ng, jnp.array([0.0, 1.0, 0.0], jnp.float32)) + 1.0) * 0.5
+        nvis = (v3.normalize_or(ng, up) + 1.0) * 0.5
         term_c = ps.throughput * diffuse_color * nvis
-        radiance = radiance + jnp.where((surf & is_last)[:, None], term_c, 0.0)
+        radiance = radiance + v3.where(surf & is_last, term_c, zero3)
 
     return PathState(
-        origin=_select(scatter_alive, new_org, ps.origin),
-        direction=_select(scatter_alive, new_dir, ps.direction),
-        throughput=_select(scatter_alive, new_thr, ps.throughput),
+        origin=v3.where(scatter_alive, new_org, ps.origin),
+        direction=v3.where(scatter_alive, new_dir, ps.direction),
+        throughput=v3.where(scatter_alive, new_thr, ps.throughput),
         radiance=radiance,
         rng=jnp.where(surf, new_rng, ps.rng),
         alive=scatter_alive,

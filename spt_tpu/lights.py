@@ -124,3 +124,39 @@ def sample_light(lights: DeviceLights, i: int, hit_point: jnp.ndarray):
     )
     active = kind != KIND_NONE
     return li, ldir, dist, active
+
+
+# --- component-SoA (Vec3) form -----------------------------------------------
+
+from spt_tpu.ops import vec3 as v3  # noqa: E402
+
+
+def sample_light_v(lights: DeviceLights, i: int, p: "v3.Vec3"):
+    """Per-lane radiance for static light index `i`, Vec3 form.
+    Returns (Li: Vec3, dir_to_light: Vec3, distance, active)."""
+    kind = lights.kind[i]
+    vx, vy, vz = lights.vec[i, 0], lights.vec[i, 1], lights.vec[i, 2]
+    ci = lights.color[i] * lights.intensity[i]
+    cx, cy, cz = ci[0], ci[1], ci[2]
+    att = lights.attenuation[i]
+
+    is_point = kind == KIND_POINT
+    lvx, lvy, lvz = vx - p.x, vy - p.y, vz - p.z
+    dist_p = jnp.sqrt(lvx * lvx + lvy * lvy + lvz * lvz)
+    inv = 1.0 / jnp.maximum(dist_p, 1e-12)
+    atten = att[0] + att[1] * dist_p + att[2] * dist_p * dist_p
+    inv_at = 1.0 / jnp.maximum(atten, 1e-12)
+
+    ldir = v3.Vec3(
+        jnp.where(is_point, lvx * inv, vx),
+        jnp.where(is_point, lvy * inv, vy),
+        jnp.where(is_point, lvz * inv, vz),
+    )
+    dist = jnp.where(is_point, dist_p, _BIG)
+    li = v3.Vec3(
+        jnp.where(is_point, cx * inv_at, cx),
+        jnp.where(is_point, cy * inv_at, cy),
+        jnp.where(is_point, cz * inv_at, cz),
+    )
+    active = kind != KIND_NONE
+    return li, ldir, dist, active

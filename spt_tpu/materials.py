@@ -128,3 +128,38 @@ def default_materials() -> List[Material]:
     concrete."""
     return [gold(), silver(), copper(), iron(), glass(),
             plastic(), rubber(), wood(), concrete()]
+
+
+# --- component-SoA gather -----------------------------------------------------
+
+from spt_tpu.ops.vec3 import Vec3  # noqa: E402
+from typing import NamedTuple as _NT  # noqa: E402
+
+
+class LaneMaterials(_NT):
+    """Per-lane material parameters in Vec3/lane layout."""
+
+    base_color: Vec3
+    metallic: "jnp.ndarray"
+    roughness: "jnp.ndarray"
+    ior: "jnp.ndarray"
+    mat_type: "jnp.ndarray"
+    emission: Vec3
+    transparency: "jnp.ndarray"
+
+
+def gather_v(table: DeviceMaterials, mat_id) -> LaneMaterials:
+    """Per-lane material fetch, Vec3 layout (clamped ids,
+    device_programs.cu:341-345)."""
+    mid = jnp.clip(mat_id, 0, table.count - 1)
+    bc = table.base_color[mid]
+    em = table.emission[mid]
+    return LaneMaterials(
+        base_color=Vec3(bc[..., 0], bc[..., 1], bc[..., 2]),
+        metallic=table.metallic[mid],
+        roughness=table.roughness[mid],
+        ior=table.ior[mid],
+        mat_type=table.mat_type[mid],
+        emission=Vec3(em[..., 0], em[..., 1], em[..., 2]),
+        transparency=table.transparency[mid],
+    )

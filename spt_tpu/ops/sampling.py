@@ -198,3 +198,102 @@ def ggx_sample_vndf(
     # Back to world.
     h = m3.from_onb(t, b, n, h_local)
     return m3.safe_normalize(h)
+
+
+# --- component-SoA (Vec3) forms — the hot-path variants ----------------------
+# Same math as above, expressed over spt_tpu.ops.vec3.Vec3 lanes (see
+# ops/vec3.py for the layout rationale).
+
+from spt_tpu.ops import vec3 as v3  # noqa: E402  (deliberate tail import)
+
+
+def fresnel_schlick_v(cos_vh: jnp.ndarray, f0: "v3.Vec3") -> "v3.Vec3":
+    """F0-vector Schlick (device_programs.cu:175-181), Vec3 form."""
+    m = 1.0 - jnp.clip(cos_vh, 0.0, 1.0)
+    m5 = (m * m) * (m * m) * m
+    return f0 + (1.0 - f0) * m5
+
+
+def evaluate_brdf_v(
+    n: "v3.Vec3",
+    v: "v3.Vec3",
+    l: "v3.Vec3",
+    base_color: "v3.Vec3",
+    metallic: jnp.ndarray,
+    roughness: jnp.ndarray,
+    ior: jnp.ndarray,
+) -> "v3.Vec3":
+    """Cook-Torrance BRDF * NdotL (Material.cpp:84-117), Vec3 form."""
+    h = v3.safe_normalize(v + l)
+    cos_nv = jnp.maximum(v3.dot(n, v), 0.0)
+    cos_nl = jnp.maximum(v3.dot(n, l), 0.0)
+    cos_hv = jnp.maximum(v3.dot(h, v), 0.0)
+    cos_nh = jnp.maximum(v3.dot(n, h), 0.0)
+
+    alpha = roughness_to_alpha(roughness)
+    d = d_ggx(cos_nh, alpha)
+    g = g_smith_cpu(cos_nv, cos_nl, alpha)
+
+    f0_diel = ((ior - 1.0) / (ior + 1.0)) ** 2
+    f0 = base_color * metallic + f0_diel * (1.0 - metallic)
+    f = fresnel_schlick_v(cos_hv, f0)
+
+    spec_scale = (d * g) / (4.0 * cos_nv * cos_nl + 1e-4)
+    specular = f * spec_scale
+    kd = 1.0 - f
+    diffuse = base_color * ((1.0 - metallic) / PI)
+    return (kd * diffuse + specular) * cos_nl
+
+
+def cosine_sample_v(n: "v3.Vec3", u1: jnp.ndarray, u2: jnp.ndarray) -> "v3.Vec3":
+    """Cosine hemisphere around n (device_programs.cu:668-681), Vec3 form."""
+    r = jnp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    lx = r * jnp.cos(phi)
+    ly = r * jnp.sin(phi)
+    lz = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    t, b = v3.make_onb(n)
+    return v3.safe_normalize(v3.from_onb(t, b, n, lx, ly, lz))
+
+
+def ggx_sample_half_vector_v(
+    u1: jnp.ndarray, u2: jnp.ndarray, alpha: jnp.ndarray, n: "v3.Vec3"
+) -> "v3.Vec3":
+    """GGX NDF half-vector (device_programs.cu:183-211), Vec3 form."""
+    a2 = alpha * alpha
+    phi = 2.0 * PI * u1
+    denom = 1.0 + (a2 - 1.0) * u2
+    cos_t = jnp.sqrt(jnp.maximum(0.0, (1.0 - u2) / denom))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    lx = sin_t * jnp.cos(phi)
+    ly = sin_t * jnp.sin(phi)
+    t, b = v3.make_onb(n)
+    h = v3.from_onb(t, b, n, lx, ly, cos_t)
+    return v3.normalize_or(h, n)
+
+
+def ggx_sample_vndf_v(
+    u1: jnp.ndarray, u2: jnp.ndarray, alpha: jnp.ndarray,
+    n: "v3.Vec3", v: "v3.Vec3",
+) -> "v3.Vec3":
+    """Heitz-2014 VNDF sample (Material.cpp:145-199), Vec3 form."""
+    t, b = v3.make_onb(n)
+    vh = v3.safe_normalize(v3.Vec3(v3.dot(v, t), v3.dot(v, b), v3.dot(v, n)))
+    vs = v3.safe_normalize(v3.Vec3(alpha * vh.x, alpha * vh.y, vh.z))
+    z_axis = v3.Vec3(jnp.zeros_like(vs.x), jnp.zeros_like(vs.x), jnp.ones_like(vs.x))
+    t1 = v3.safe_normalize(v3.cross(z_axis, vs))
+    x_axis = v3.Vec3(jnp.ones_like(vs.x), jnp.zeros_like(vs.x), jnp.zeros_like(vs.x))
+    t1 = v3.where(vs.z < 0.9999, t1, x_axis)
+    t2 = v3.cross(vs, t1)
+    r_disk = jnp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    p1 = r_disk * jnp.cos(phi)
+    p2 = r_disk * jnp.sin(phi)
+    s = 0.5 * (1.0 + vs.z)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nh = t1 * p1 + t2 * p2 + vs * p3
+    h_local = v3.safe_normalize(
+        v3.Vec3(alpha * nh.x, alpha * nh.y, jnp.maximum(0.0, nh.z))
+    )
+    return v3.safe_normalize(v3.from_onb(t, b, n, h_local.x, h_local.y, h_local.z))

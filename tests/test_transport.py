@@ -150,3 +150,18 @@ class TestPointLight:
         err = _rmse(img, want)
         scale = float(np.sqrt(np.mean(want**2))) + 1e-9
         assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+
+
+class TestCompactedWavefront:
+    def test_compacted_equals_masked(self, setup):
+        # Packing only changes which SIMD slot a path occupies; identical
+        # math, but a different XLA program, so float tolerance (exact on
+        # TPU, small fma drift on the CPU test backend).
+        scene, env, lights, cam = setup
+        cfg = CFG.replace(width=160, height=120)  # above the compaction floor
+        a, sa = render_wavefront(cfg, scene, env, lights, cam.rays(), 0, compact=False)
+        b, sb = render_wavefront(cfg, scene, env, lights, cam.rays(), 0, compact=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(sa.rays_per_bounce), np.asarray(sb.rays_per_bounce)
+        )
