@@ -59,15 +59,18 @@ def main():
 
     for _ in range(warmup):
         r.render_frame(check_camera=False)
-    jax.block_until_ready(r.state.accum)
+    # Force real materialization: under some TPU runtimes block_until_ready
+    # on donated outputs returns before lazy kernel compilation/execution.
+    _ = float(np.asarray(r.state.accum[:1]).sum())
 
     t0 = time.perf_counter()
-    total_rays = 0
+    frame_stats = []
     for _ in range(iters):
         r.render_frame(check_camera=False)
-        total_rays += count_rays(r.last_stats, cfg, n_lights=1)
-    jax.block_until_ready(r.state.accum)
+        frame_stats.append(r.last_stats)   # device arrays: no sync here
+    _ = float(np.asarray(r.state.accum[:1]).sum())  # one sync for the chain
     dt = time.perf_counter() - t0
+    total_rays = sum(count_rays(s, cfg, n_lights=1) for s in frame_stats)
 
     mrays = total_rays / dt / 1e6
     result = {

@@ -64,6 +64,7 @@ def gen_primary(
     sample_index: int = 0,
     row0=0,
     rows: int = None,
+    pixel=None,
 ) -> PathState:
     """Stage 1 — primary ray generation (__raygen__gen_primary,
     device_programs.cu:239-274).
@@ -74,13 +75,17 @@ def gen_primary(
 
     `row0`/`rows` select a horizontal band of the image (for pixel-axis
     sharding): lanes carry GLOBAL pixel indices, so RNG streams and ray
-    directions are bitwise identical however the image is banded.
+    directions are bitwise identical however the image is banded.  `pixel`
+    overrides the lane -> pixel mapping entirely (block swizzling for
+    tile-coherent wavefronts); RNG is seeded by PIXEL, so any lane order
+    renders the identical image.
     """
     w, h = cfg.width, cfg.height
     if rows is None:
         rows = h
     n = w * rows
-    pixel = jnp.asarray(row0, jnp.uint32) * jnp.uint32(w) + jnp.arange(n, dtype=jnp.uint32)
+    if pixel is None:
+        pixel = jnp.asarray(row0, jnp.uint32) * jnp.uint32(w) + jnp.arange(n, dtype=jnp.uint32)
     px = (pixel % jnp.uint32(w)).astype(jnp.float32)
     py = (pixel // jnp.uint32(w)).astype(jnp.float32)
 
@@ -129,26 +134,51 @@ def shade(
 ) -> PathState:
     """Stage 3 — shade (__raygen__shade, cu:315-690), fully masked.
 
+    Thin wrapper: shade_core does everything lane-local; the environment
+    lookup (the one true gather, for HDR maps) is applied here so the fused
+    Pallas bounce kernel can run shade_core gather-free and leave env
+    resolution to XLA.
+    """
+    new_ps, missed = shade_core(cfg, scene, lights, ps, hit, bounce, is_last)
+    env_c = environment_color_v(env, ps.direction)
+    radiance = new_ps.radiance + v3.where(
+        missed, ps.throughput * env_c, Vec3.full((0, 0, 0), (ps.num_paths,))
+    )
+    return new_ps._replace(radiance=radiance)
+
+
+def shade_core(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    lights: DeviceLights,
+    ps: PathState,
+    hit: isect.HitV,
+    bounce,
+    is_last,
+    gather_materials=gather_v,
+    occluded_fn=isect.occluded_v,
+):
+    """Everything in shade except the environment color: emission, direct
+    lighting with shadow rays, and the scatter branches.  Returns
+    (new_state, missed_mask) — the caller owes `throughput * env(direction)`
+    to every missed lane (those lanes keep their direction and die here).
+
     Every branch of the reference's divergent kernel is computed for every
     lane and selected — TPU lanes are SIMD, so masked math replaces the
     SBT/queue divergence machinery at zero extra cost for the small material
     set (SURVEY.md §7 design stance).
     """
-    n_lanes = ps.num_paths
+    shape = ps.rng.shape
     is_last = jnp.asarray(is_last, bool)
     alive = ps.alive
     missed = alive & ~hit.hit_mask
     surf = alive & hit.hit_mask
 
-    # --- miss: environment contribution, path dies (cu:370-418) -------------
-    env_c = environment_color_v(env, ps.direction)
-    radiance = ps.radiance + v3.where(
-        missed, ps.throughput * env_c, Vec3.full((0, 0, 0), (n_lanes,))
-    )
+    radiance = ps.radiance
 
     # --- surface setup --------------------------------------------------------
-    mat = gather_v(scene.materials, hit.mat_id)
-    up = Vec3.full((0.0, 1.0, 0.0), (n_lanes,))
+    mat = gather_materials(scene.materials, hit.mat_id)
+    up = Vec3.full((0.0, 1.0, 0.0), shape)
     ng = v3.normalize_or(hit.normal, up)
     n, entering = v3.faceforward(ng, ps.direction)
     t_safe = jnp.where(hit.hit_mask, hit.t, 0.0)
@@ -160,7 +190,7 @@ def shade(
     is_diffuse = ~is_metal & ~is_dielectric
 
     # --- emission (wf_pt_cpu.cpp:121-124; GPU never shipped it) --------------
-    zero3 = Vec3.full((0, 0, 0), (n_lanes,))
+    zero3 = Vec3.full((0, 0, 0), shape)
     radiance = radiance + v3.where(surf, ps.throughput * mat.emission, zero3)
 
     # --- direct lighting (unrolled over the small static light table) --------
@@ -171,8 +201,8 @@ def shade(
         cos_theta = jnp.maximum(v3.dot(n, ldir), 0.0)
         contrib_mask = direct_ok & lactive & (cos_theta > 0.0)
         if cfg.shadow_rays:
-            shadow_o = isect.safe_origin_v(p, n, jnp.ones((n_lanes,), bool))
-            blocked = isect.occluded_v(
+            shadow_o = isect.safe_origin_v(p, n, jnp.ones(shape, bool))
+            blocked = occluded_fn(
                 scene, shadow_o, ldir, tmin=cfg.hit_eps, tmax=ldist - cfg.hit_eps
             )
             contrib_mask = contrib_mask & ~blocked
@@ -234,7 +264,7 @@ def shade(
     # Diffuse (cu:668-690 + wf_pt_cpu.cpp:226-247): cosine sample + RR.
     rng_f, du1, du2 = rng_ops.next_float2(rng)
     f_dir = sampling.cosine_sample_v(n, du1, du2)
-    f_org = isect.safe_origin_v(p, n, jnp.ones((n_lanes,), bool))
+    f_org = isect.safe_origin_v(p, n, jnp.ones(shape, bool))
     survival = jnp.clip(v3.max_component(diffuse_color), 1e-6, 1.0)
     rng_f, xi_rr = rng_ops.next_float(rng_f)
     rr_on = jnp.asarray(bounce > cfg.rr_after)
@@ -264,4 +294,4 @@ def shade(
         radiance=radiance,
         rng=jnp.where(surf, new_rng, ps.rng),
         alive=scatter_alive,
-    )
+    ), missed

@@ -40,8 +40,23 @@ from spt_tpu.camera import CameraRays
 from spt_tpu.env import Environment
 from spt_tpu.lights import DeviceLights
 from spt_tpu.integrators import transport
+from spt_tpu.ops import vec3 as v3
 from spt_tpu.ops.compaction import compact_indices
+from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.scene.flatten import DeviceScene
+
+
+def _pallas_bounce_ok(scene, lights, n_lanes: int) -> bool:
+    """Fused Pallas bounce: TPU backend + small scene + tiling lanes."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    if platform in ("cpu", "gpu"):
+        return False
+    from spt_tpu.ops import pallas_bounce
+
+    return pallas_bounce.supports(scene, lights, n_lanes)
 
 
 class WavefrontStats(NamedTuple):
@@ -60,7 +75,63 @@ def _queue_width(n: int) -> int:
     return ((w + 1023) // 1024) * 1024 if w >= 1024 else w
 
 
-def _bounce(cfg, scene, env, lights, ps, bounce, is_last):
+def _swizzle(cfg, rows: int, n: int):
+    """Block-swizzled lane -> pixel mapping so each fused-kernel tile covers
+    a compact (th x 128)-pixel image rect instead of a thin full-width strip.
+
+    Live paths cluster spatially; compact tiles make the kernel's whole-tile
+    early-out actually fire (row-major strips almost always cross some live
+    object).  Pure index arithmetic + one transpose at frame output — no
+    gathers, and the per-pixel RNG keeps the image bitwise identical.
+
+    Returns (pixel_indices (N,), unswizzle(radiance (N,3)) -> (rows, W, 3))
+    or (None, None) when the shape doesn't tile.
+    """
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return None, None
+    if platform in ("cpu", "gpu"):
+        return None, None
+    from spt_tpu.ops import pallas_bounce
+
+    th = pallas_bounce._tile_rows(n // 128)
+    w = cfg.width
+    if th <= 0 or w % 128 or rows % th:
+        return None, None
+    by, bx = rows // th, w // 128
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    block = lane // jnp.uint32(th * 128)
+    rem = lane % jnp.uint32(th * 128)
+    ly = rem // jnp.uint32(128)
+    lx = rem % jnp.uint32(128)
+    b_y = block // jnp.uint32(bx)
+    b_x = block % jnp.uint32(bx)
+    py = b_y * jnp.uint32(th) + ly
+    px = b_x * jnp.uint32(128) + lx
+
+    def unswizzle(rad):
+        img = rad.reshape(by, bx, th, 128, 3)
+        return jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(rows, w, 3)
+
+    return py * jnp.uint32(w) + px, unswizzle
+
+
+def _bounce(cfg, scene, env, lights, ps, bounce, is_last, fused: bool = False):
+    if fused:
+        from spt_tpu.env import environment_color_v
+        from spt_tpu.ops import pallas_bounce
+
+        new_ps, missed = pallas_bounce.fused_bounce(
+            cfg, scene, lights, ps, bounce, is_last
+        )
+        env_c = environment_color_v(env, ps.direction)
+        zero3 = Vec3.full((0, 0, 0), ps.rng.shape)
+        radiance = new_ps.radiance + v3.where(
+            missed, ps.throughput * env_c, zero3
+        )
+        return new_ps._replace(radiance=radiance)
     hit = transport.trace_bounce(scene, ps)
     return transport.shade(cfg, scene, env, lights, ps, hit, bounce, is_last)
 
@@ -82,12 +153,13 @@ def wavefront_sample(
     n = ps.num_paths
     rays0 = jnp.zeros((cfg.max_depth,), jnp.int32)
 
+    fused = _pallas_bounce_ok(scene, lights, n)
     if not compact or cfg.max_depth == 1 or n < 16384:
-        return _wavefront_masked(cfg, scene, env, lights, ps, rays0)
+        return _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused)
 
     # Primary bounce at full width (everything is live).
     rays0 = rays0.at[0].set(n)
-    ps = _bounce(cfg, scene, env, lights, ps, 0, cfg.max_depth == 1)
+    ps = _bounce(cfg, scene, env, lights, ps, 0, cfg.max_depth == 1, fused)
 
     w = _queue_width(n)
 
@@ -122,8 +194,9 @@ def wavefront_sample(
     return ps.radiance.to_array(), WavefrontStats(rays_per_bounce=rays, bounces_run=bounce)
 
 
-def _wavefront_masked(cfg, scene, env, lights, ps, rays0):
-    """All-lanes-masked depth loop (the no-compaction fallback)."""
+def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
+                      unswizzle=None):
+    """All-lanes-masked depth loop (the default)."""
 
     def cond(carry):
         bounce, ps, _ = carry
@@ -134,11 +207,14 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0):
         live = jnp.sum(ps.alive.astype(jnp.int32))
         rays = rays.at[bounce].set(live)
         ps = _bounce(cfg, scene, env, lights, ps, bounce,
-                     bounce == cfg.max_depth - 1)
+                     bounce == cfg.max_depth - 1, fused)
         return bounce + 1, ps, rays
 
     bounce, ps, rays = jax.lax.while_loop(cond, body, (jnp.int32(0), ps, rays0))
-    return ps.radiance.to_array(), WavefrontStats(rays_per_bounce=rays, bounces_run=bounce)
+    rad = ps.radiance.to_array()
+    if unswizzle is not None:
+        rad = unswizzle(rad).reshape(-1, 3)
+    return rad, WavefrontStats(rays_per_bounce=rays, bounces_run=bounce)
 
 
 def render_wavefront(
@@ -168,3 +244,132 @@ def render_wavefront(
         bounces = jnp.maximum(bounces, stats.bounces_run)
     img = (acc / cfg.spp).reshape(rows, cfg.width, 3)
     return img, WavefrontStats(rays_per_bounce=rays, bounces_run=bounces)
+
+
+# --- path regeneration ---------------------------------------------------------
+
+def _gen_primary_lanes(cfg, camera, frame_index, sample_idx, row0, rows):
+    """gen_primary with a per-lane sample index (for regeneration).
+    Seeding matches gen_primary exactly: per-sample fold only when spp > 1."""
+    from spt_tpu.ops import rng as rng_ops
+    from spt_tpu.ops.vec3 import Vec3
+
+    w, h = cfg.width, cfg.height
+    if rows is None:
+        rows = h
+    n = w * rows
+    pixel = jnp.asarray(row0, jnp.uint32) * jnp.uint32(w) + jnp.arange(n, dtype=jnp.uint32)
+    px = (pixel % jnp.uint32(w)).astype(jnp.float32)
+    py = (pixel // jnp.uint32(w)).astype(jnp.float32)
+
+    state = rng_ops.seed_paths(pixel, frame_index)
+    if cfg.spp > 1:
+        state = rng_ops.seed_samples(state, sample_idx)
+
+    if cfg.jitter:
+        state, ju, jv = rng_ops.next_float2(state)
+    else:
+        ju = jv = jnp.float32(0.5)
+
+    x = (px + ju) / jnp.float32(w)
+    y = (py + jv) / jnp.float32(h)
+    direction = camera.ray_directions_v(x, y)
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    return transport.PathState(
+        origin=Vec3(camera.position[0] + zeros,
+                    camera.position[1] + zeros,
+                    camera.position[2] + zeros),
+        direction=direction,
+        throughput=Vec3(ones, ones, ones),
+        radiance=Vec3(zeros, zeros, zeros),
+        rng=state,
+        alive=jnp.ones((n,), bool),
+    )
+
+
+def render_wavefront_regen(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    env: Environment,
+    lights: DeviceLights,
+    camera: CameraRays,
+    frame_index=0,
+    row0=0,
+    rows: int = None,
+) -> Tuple[jnp.ndarray, WavefrontStats]:
+    """Path-regeneration wavefront: the whole cfg.spp budget in one loop.
+
+    The masked depth loop wastes lanes once paths die (84 % dead after
+    bounce 1 in the default scene), and queue compaction is a measured loss
+    on TPU (gathers serialize — see module docstring).  Regeneration is the
+    lane-local fix: the moment a lane's path terminates, its radiance is
+    retired into a per-lane accumulator and the SAME lane restarts with its
+    own pixel's next sample (pure per-lane math — no cross-lane traffic at
+    all).  Lanes stay near-fully live until the whole sample budget drains,
+    converting the wavefront from O(spp * max_depth) full-width rounds to
+    O(spp * mean_path_length) — the classic GPU path-regeneration idea
+    [Novák et al. 2010], which suits the TPU even better because respawn is
+    free masked math.
+
+    The sample set and its RNG streams are IDENTICAL to render_wavefront's
+    (same per-(pixel, sample) seeds, same per-pixel accumulation order), so
+    results match the masked integrator to float tolerance.
+    """
+    from spt_tpu.ops.vec3 import Vec3
+    import spt_tpu.ops.vec3 as v3
+
+    if rows is None:
+        rows = cfg.height
+    n = cfg.width * rows
+
+    ps = _gen_primary_lanes(cfg, camera, frame_index,
+                            jnp.zeros((n,), jnp.uint32), row0, rows)
+    zeros = jnp.zeros((n,), jnp.float32)
+    accum = Vec3(zeros, zeros, zeros)
+    sample_idx = jnp.zeros((n,), jnp.uint32)
+    bounce = jnp.zeros((n,), jnp.int32)
+    rays = jnp.zeros((cfg.max_depth,), jnp.int32)
+    max_iters = cfg.spp * cfg.max_depth
+
+    def cond(carry):
+        it, ps, *_ = carry
+        return (it < max_iters) & jnp.any(ps.alive)
+
+    def body(carry):
+        it, ps, sample_idx, bounce, accum, rays = carry
+        was_alive = ps.alive
+        # telemetry: live lanes at each lane-local bounce depth
+        one_hot = (bounce[None, :] == jnp.arange(cfg.max_depth)[:, None]) & was_alive[None, :]
+        rays = rays + jnp.sum(one_hot, axis=1, dtype=jnp.int32)
+
+        hit = transport.trace_bounce(scene, ps)
+        ps = transport.shade(cfg, scene, env, lights, ps, hit,
+                             bounce=bounce, is_last=bounce >= cfg.max_depth - 1)
+        bounce = jnp.where(was_alive, bounce + 1, bounce)
+
+        died = was_alive & ~ps.alive
+        accum = accum + v3.where(died, ps.radiance,
+                                 Vec3(zeros, zeros, zeros))
+        sample_next = sample_idx + died.astype(jnp.uint32)
+        respawn = died & (sample_next < cfg.spp)
+
+        fresh = _gen_primary_lanes(cfg, camera, frame_index, sample_next, row0, rows)
+        ps = transport.PathState(
+            origin=v3.where(respawn, fresh.origin, ps.origin),
+            direction=v3.where(respawn, fresh.direction, ps.direction),
+            throughput=v3.where(respawn, fresh.throughput, ps.throughput),
+            radiance=v3.where(respawn, fresh.radiance, ps.radiance),
+            rng=jnp.where(respawn, fresh.rng, ps.rng),
+            alive=ps.alive | respawn,
+        )
+        bounce = jnp.where(respawn, 0, bounce)
+        return it + 1, ps, sample_next, bounce, accum, rays
+
+    it, ps, sample_idx, bounce, accum, rays = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ps, sample_idx, bounce, accum, rays)
+    )
+    img = accum.to_array() / jnp.float32(cfg.spp)
+    return img.reshape(rows, cfg.width, 3), WavefrontStats(
+        rays_per_bounce=rays, bounces_run=it
+    )

@@ -134,17 +134,21 @@ from spt_tpu.ops import vec3 as v3  # noqa: E402
 def sample_light_v(lights: DeviceLights, i: int, p: "v3.Vec3"):
     """Per-lane radiance for static light index `i`, Vec3 form.
     Returns (Li: Vec3, dir_to_light: Vec3, distance, active)."""
+    # Scalar-only reads so this traces inside Pallas kernels over VMEM refs.
     kind = lights.kind[i]
     vx, vy, vz = lights.vec[i, 0], lights.vec[i, 1], lights.vec[i, 2]
-    ci = lights.color[i] * lights.intensity[i]
-    cx, cy, cz = ci[0], ci[1], ci[2]
-    att = lights.attenuation[i]
+    it = lights.intensity[i]
+    cx = lights.color[i, 0] * it
+    cy = lights.color[i, 1] * it
+    cz = lights.color[i, 2] * it
+    a0, a1, a2 = (lights.attenuation[i, 0], lights.attenuation[i, 1],
+                  lights.attenuation[i, 2])
 
     is_point = kind == KIND_POINT
     lvx, lvy, lvz = vx - p.x, vy - p.y, vz - p.z
     dist_p = jnp.sqrt(lvx * lvx + lvy * lvy + lvz * lvz)
     inv = 1.0 / jnp.maximum(dist_p, 1e-12)
-    atten = att[0] + att[1] * dist_p + att[2] * dist_p * dist_p
+    atten = a0 + a1 * dist_p + a2 * dist_p * dist_p
     inv_at = 1.0 / jnp.maximum(atten, 1e-12)
 
     ldir = v3.Vec3(

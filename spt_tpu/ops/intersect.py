@@ -30,11 +30,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.scene.flatten import DeviceScene
 
-INF = jnp.float32(jnp.inf)
+# numpy scalar, not a device array: Pallas kernels trace this module's code
+# and reject captured array constants.
+INF = np.float32(np.inf)
 
 KIND_MISS = 0
 KIND_TRIANGLE = 1
@@ -347,21 +350,50 @@ def _use_unrolled(scene: DeviceScene) -> bool:
     return (scene.num_triangles + scene.num_spheres) <= UNROLL_LIMIT
 
 
+def _scalarize(v):
+    """Python float -> numpy scalar (a weak-typed literal, NOT a device
+    array: Pallas kernels reject captured array constants)."""
+    import numpy as _np
+    if isinstance(v, (int, float)):
+        return _np.float32(v)
+    return v
+
+
+def _pallas_ok(scene: DeviceScene, n_lanes: int) -> bool:
+    """Use the Pallas stream-traversal kernels: TPU backend, an accel built,
+    and a lane count that tiles into (rows, 128)."""
+    if scene.accel is None or n_lanes % 128 != 0:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform not in ("cpu", "gpu")
+
+
 def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> HitV:
     """Closest-hit trace, Vec3-native (the hot path)."""
-    tmin = jnp.asarray(tmin, jnp.float32)
+    tmin = _scalarize(tmin)
+    tmax = _scalarize(tmax)
     if _use_unrolled(scene):
-        tm = tmax if isinstance(tmax, jnp.ndarray) and jnp.ndim(tmax) else jnp.asarray(tmax, jnp.float32)
-        return _intersect_unrolled(scene, o, d, tmin, tm)
+        return _intersect_unrolled(scene, o, d, tmin, tmax)
+    if _pallas_ok(scene, o.x.shape[0] if o.x.ndim else 0):
+        from spt_tpu.ops import pallas_trace
+
+        return pallas_trace.closest_hit(scene.accel, scene, o, d, tmin, tmax)
     return _intersect_chunked(scene, o, d, tmin, tmax)
 
 
 def occluded_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> jnp.ndarray:
     """Any-hit shadow trace, Vec3-native (rtcOccluded1, Light.cpp:16-40)."""
-    tmin = jnp.asarray(tmin, jnp.float32)
+    tmin = _scalarize(tmin)
+    tmax = _scalarize(tmax)
     if _use_unrolled(scene):
-        tm = tmax if isinstance(tmax, jnp.ndarray) and jnp.ndim(tmax) else jnp.asarray(tmax, jnp.float32)
-        return _occluded_unrolled(scene, o, d, tmin, tm)
+        return _occluded_unrolled(scene, o, d, tmin, tmax)
+    if _pallas_ok(scene, o.x.shape[0] if o.x.ndim else 0):
+        from spt_tpu.ops import pallas_trace
+
+        return pallas_trace.any_hit(scene.accel, scene, o, d, tmin, tmax)
     return _occluded_chunked(scene, o, d, tmin, tmax)
 
 

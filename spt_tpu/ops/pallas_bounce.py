@@ -1,0 +1,426 @@
+"""Fused trace+shade bounce as a Pallas TPU kernel.
+
+The XLA wavefront pays one HBM round trip per fusion boundary — measured
+~7.6 KB of HBM traffic per lane-bounce at 1080p, two orders of magnitude more
+than the ~100 B of actual path state.  This kernel fuses the whole bounce —
+primary trace, shadow trace, full shade_core — over VMEM-resident lane tiles:
+each (TILE_ROWS, 128) block of the path state is read once, bounced entirely
+in VMEM/registers, and written once.
+
+It reuses the *same* transport code (`transport.shade_core`,
+`intersect.intersect_v`) traced over Pallas refs — the scene, material, and
+light tables are small enough to sit whole in VMEM, and all their accesses
+are scalar reads, so the shared implementation traces unchanged.  The only
+substitutions the kernel makes:
+
+- material fetch: the per-lane table gather becomes a loop of masked selects
+  over the (small) material table (`_gather_materials_select`) — TPU has no
+  fast lane gather, and M<=16 materials cost ~12 selects each;
+- environment: the HDR texture lookup (a real gather over a big image) stays
+  OUTSIDE the kernel — shade_core returns the missed mask, and the caller
+  adds `throughput * env(direction)` in XLA (transport.shade does the same
+  split).
+
+Dies cleanly into the XLA fallback when the scene is too big for full-VMEM
+residency or the lane count doesn't tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spt_tpu.config import RenderConfig
+from spt_tpu.lights import DeviceLights
+from spt_tpu.materials import DeviceMaterials, LaneMaterials
+from spt_tpu.ops import intersect as isect
+from spt_tpu.ops.vec3 import Vec3
+from spt_tpu.scene.flatten import DeviceScene
+
+LANES = 128
+TILE_ROWS = 64                   # 8192 lanes per grid step
+MAX_PALLAS_PRIMS = 192           # matches intersect.UNROLL_LIMIT
+MAX_PALLAS_MATERIALS = 16
+
+
+class _Col:
+    """Adapter presenting a (T, 1) VMEM ref as a 1-D table.
+
+    Mosaic cannot index the lane (minor) dimension of a 1-D VMEM array
+    dynamically ("cannot statically prove index is a multiple of 128"), so
+    1-D tables ride in as (T, 1) columns and scalar reads go through [i, 0].
+    """
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, i):
+        return self.ref[i, 0]
+
+    @property
+    def shape(self):
+        return (self.ref.shape[0],)
+
+
+def _gather_materials_select(table, mat_id):
+    """Material fetch as masked selects over the whole table — the lane-
+    gather replacement for tiny tables (device_programs.cu:341-357 does the
+    same clamp+load, just per thread)."""
+    m_count = table.metallic.shape[0]
+    z = jnp.zeros_like(mat_id, jnp.float32)
+    bx, by, bz = z, z, z
+    ex, ey, ez = z, z, z
+    metallic, roughness, transparency = z, z, z
+    ior = jnp.ones_like(mat_id, jnp.float32)
+    mat_type = jnp.zeros_like(mat_id)
+    for m in range(m_count):
+        sel = mat_id == m
+        bx = jnp.where(sel, table.base_color[m, 0], bx)
+        by = jnp.where(sel, table.base_color[m, 1], by)
+        bz = jnp.where(sel, table.base_color[m, 2], bz)
+        ex = jnp.where(sel, table.emission[m, 0], ex)
+        ey = jnp.where(sel, table.emission[m, 1], ey)
+        ez = jnp.where(sel, table.emission[m, 2], ez)
+        metallic = jnp.where(sel, table.metallic[m], metallic)
+        roughness = jnp.where(sel, table.roughness[m], roughness)
+        ior = jnp.where(sel, table.ior[m], ior)
+        mat_type = jnp.where(sel, table.mat_type[m], mat_type)
+        transparency = jnp.where(sel, table.transparency[m], transparency)
+    return LaneMaterials(
+        base_color=Vec3(bx, by, bz),
+        metallic=metallic,
+        roughness=roughness,
+        ior=ior,
+        mat_type=mat_type,
+        emission=Vec3(ex, ey, ez),
+        transparency=transparency,
+    )
+
+
+def _tile_rows(rows: int) -> int:
+    """Largest multiple-of-8 divisor of `rows` that is <= TILE_ROWS
+    (Mosaic requires sublane-divisible blocks); falls back to `rows` itself
+    when the whole array is one block."""
+    for cand in range(min(TILE_ROWS, rows) // 8 * 8, 0, -8):
+        if rows % cand == 0:
+            return cand
+    return rows if rows <= TILE_ROWS else 0
+
+
+def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int) -> bool:
+    """Whether the fused kernel can run this workload."""
+    return (
+        scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS
+        and scene.materials.count <= MAX_PALLAS_MATERIALS
+        and n_lanes % LANES == 0
+        and _tile_rows(n_lanes // LANES) > 0
+    )
+
+
+def _rolled_closest(scene, o, d, tmin):
+    """Closest hit with rolled fori_loops over prim tables (dynamic scalar
+    VMEM reads) — tiny program, fast Mosaic compile; same math as the
+    unrolled intersect._intersect_unrolled."""
+    import numpy as _np
+
+    INF = _np.float32(1e30)
+    shape = o.x.shape
+    z = jnp.zeros(shape, jnp.float32)
+    carry0 = (jnp.full(shape, INF), jnp.zeros(shape, jnp.int32),
+              jnp.zeros(shape, jnp.int32), z, z, z, z)
+    n_tris = scene.tri_v0.shape[0]
+    n_sphs = scene.sph_center.shape[0]
+    MT = 1e-9
+
+    def tri_body(i, carry):
+        bt, bm, bk, ax, ay, az, rinv = carry
+        v0x, v0y, v0z = scene.tri_v0[i, 0], scene.tri_v0[i, 1], scene.tri_v0[i, 2]
+        e1x, e1y, e1z = scene.tri_e1[i, 0], scene.tri_e1[i, 1], scene.tri_e1[i, 2]
+        e2x, e2y, e2z = scene.tri_e2[i, 0], scene.tri_e2[i, 1], scene.tri_e2[i, 2]
+        hx = d.y * e2z - d.z * e2y
+        hy = d.z * e2x - d.x * e2z
+        hz = d.x * e2y - d.y * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        inv = 1.0 / jnp.where(jnp.abs(a) > MT, a, 1.0)
+        sx, sy, sz = o.x - v0x, o.y - v0y, o.z - v0z
+        u = inv * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = inv * (d.x * qx + d.y * qy + d.z * qz)
+        t = inv * (e2x * qx + e2y * qy + e2z * qz)
+        ok = ((jnp.abs(a) > MT) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t > tmin) & (t < bt))
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        return (jnp.where(ok, t, bt),
+                jnp.where(ok, scene.tri_mat[i], bm),
+                jnp.where(ok, isect.KIND_TRIANGLE, bk),
+                jnp.where(ok, nx, ax), jnp.where(ok, ny, ay),
+                jnp.where(ok, nz, az), rinv)
+
+    def sph_body(i, carry):
+        bt, bm, bk, ax, ay, az, rinv = carry
+        cx, cy, cz = (scene.sph_center[i, 0], scene.sph_center[i, 1],
+                      scene.sph_center[i, 2])
+        r = scene.sph_radius[i]
+        ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+        b = ocx * d.x + ocy * d.y + ocz * d.z
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > tmin, t0, t1)
+        ok = (disc > 0.0) & (r > 0.0) & (t > tmin) & (t < bt)
+        return (jnp.where(ok, t, bt),
+                jnp.where(ok, scene.sph_mat[i], bm),
+                jnp.where(ok, isect.KIND_SPHERE, bk),
+                jnp.where(ok, cx, ax), jnp.where(ok, cy, ay),
+                jnp.where(ok, cz, az),
+                jnp.where(ok, 1.0 / jnp.maximum(r, 1e-12), rinv))
+
+    carry = jax.lax.fori_loop(0, n_tris, tri_body, carry0)
+    bt, bm, bk, ax, ay, az, rinv = jax.lax.fori_loop(0, n_sphs, sph_body, carry)
+
+    hitm = bk != isect.KIND_MISS
+    t_safe = jnp.where(hitm, bt, 0.0)
+    is_sph = bk == isect.KIND_SPHERE
+    px = o.x + t_safe * d.x
+    py = o.y + t_safe * d.y
+    pz = o.z + t_safe * d.z
+    normal = Vec3(
+        jnp.where(is_sph, (px - ax) * rinv, ax),
+        jnp.where(is_sph, (py - ay) * rinv, ay),
+        jnp.where(is_sph, (pz - az) * rinv, az),
+    )
+    t_out = jnp.where(hitm, bt, jnp.float32(jnp.inf))
+    return isect.HitV(t=t_out, normal=normal, mat_id=bm, kind=bk)
+
+
+def _rolled_occluded(scene, o, d, tmin=1e-4, tmax=None):
+    """Any-hit with rolled fori_loops (the kernel's shadow tracer)."""
+    shape = o.x.shape
+    tmax = jnp.broadcast_to(tmax, shape) if tmax is not None else jnp.full(shape, 1e30)
+    MT = 1e-9
+    n_tris = scene.tri_v0.shape[0]
+    n_sphs = scene.sph_center.shape[0]
+
+    def tri_body(i, blocked):
+        v0x, v0y, v0z = scene.tri_v0[i, 0], scene.tri_v0[i, 1], scene.tri_v0[i, 2]
+        e1x, e1y, e1z = scene.tri_e1[i, 0], scene.tri_e1[i, 1], scene.tri_e1[i, 2]
+        e2x, e2y, e2z = scene.tri_e2[i, 0], scene.tri_e2[i, 1], scene.tri_e2[i, 2]
+        hx = d.y * e2z - d.z * e2y
+        hy = d.z * e2x - d.x * e2z
+        hz = d.x * e2y - d.y * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        inv = 1.0 / jnp.where(jnp.abs(a) > MT, a, 1.0)
+        sx, sy, sz = o.x - v0x, o.y - v0y, o.z - v0z
+        u = inv * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = inv * (d.x * qx + d.y * qy + d.z * qz)
+        t = inv * (e2x * qx + e2y * qy + e2z * qz)
+        ok = ((jnp.abs(a) > MT) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+              & (t > tmin) & (t < tmax))
+        return blocked | ok.astype(jnp.int32)
+
+    def sph_body(i, blocked):
+        cx, cy, cz = (scene.sph_center[i, 0], scene.sph_center[i, 1],
+                      scene.sph_center[i, 2])
+        r = scene.sph_radius[i]
+        ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
+        b = ocx * d.x + ocy * d.y + ocz * d.z
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where((t0 > tmin) & (t0 < tmax), t0, t1)
+        hit = (disc > 0.0) & (r > 0.0) & (t > tmin) & (t < tmax)
+        return blocked | hit.astype(jnp.int32)
+
+    # int32 carry: Mosaic cannot legalize bool (i1) fori_loop carries.
+    blocked = jax.lax.fori_loop(0, n_tris, tri_body, jnp.zeros(shape, jnp.int32))
+    blocked = jax.lax.fori_loop(0, n_sphs, sph_body, blocked)
+    return blocked != 0
+
+
+def _kernel(cfg: RenderConfig, n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
+            # scalar params
+            params_ref,
+            # path state (blocked)
+            ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive,
+            # scene tables (full)
+            tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
+            m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
+            l_kind, l_vec, l_color, l_int, l_att,
+            # outputs
+            o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
+            o_rx, o_ry, o_rz, o_rng, o_alive, o_missed):
+    from spt_tpu.integrators import transport
+
+    bounce = params_ref[0, 0]
+    is_last = params_ref[0, 1] > 0
+
+    def live_tile():
+        ps = transport.PathState(
+            origin=Vec3(ox[:], oy[:], oz[:]),
+            direction=Vec3(dx[:], dy[:], dz[:]),
+            throughput=Vec3(tx[:], ty[:], tz[:]),
+            radiance=Vec3(rx[:], ry[:], rz[:]),
+            rng=rng[:].astype(jnp.uint32),
+            alive=alive[:] != 0,
+        )
+        scene = DeviceScene(
+            tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=_Col(tri_mat),
+            sph_center=sph_c, sph_radius=_Col(sph_r), sph_mat=_Col(sph_m),
+            materials=DeviceMaterials(
+                base_color=m_base, metallic=_Col(m_metal),
+                roughness=_Col(m_rough), ior=_Col(m_ior), mat_type=_Col(m_type),
+                emission=m_emis, transparency=_Col(m_trans),
+            ),
+            accel=None,
+        )
+        lights = DeviceLights(
+            kind=_Col(l_kind), vec=l_vec, color=l_color, intensity=_Col(l_int),
+            attenuation=l_att,
+        )
+
+        hit = _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
+        new_ps, missed = transport.shade_core(
+            cfg, scene, lights, ps, hit, bounce, is_last,
+            gather_materials=_gather_materials_select,
+            occluded_fn=_rolled_occluded,
+        )
+
+        o_ox[:], o_oy[:], o_oz[:] = new_ps.origin
+        o_dx[:], o_dy[:], o_dz[:] = new_ps.direction
+        o_tx[:], o_ty[:], o_tz[:] = new_ps.throughput
+        o_rx[:], o_ry[:], o_rz[:] = new_ps.radiance
+        o_rng[:] = new_ps.rng
+        o_alive[:] = new_ps.alive.astype(jnp.int32)
+        o_missed[:] = missed.astype(jnp.int32)
+
+    def dead_tile():
+        o_ox[:], o_oy[:], o_oz[:] = ox[:], oy[:], oz[:]
+        o_dx[:], o_dy[:], o_dz[:] = dx[:], dy[:], dz[:]
+        o_tx[:], o_ty[:], o_tz[:] = tx[:], ty[:], tz[:]
+        o_rx[:], o_ry[:], o_rz[:] = rx[:], ry[:], rz[:]
+        o_rng[:] = rng[:].astype(jnp.uint32)
+        o_alive[:] = jnp.zeros_like(alive[:])
+        o_missed[:] = jnp.zeros_like(alive[:])
+
+    # Whole-tile early-out: by bounce 3 only a few percent of paths are live
+    # and they cluster spatially (neighboring rays die on sky misses
+    # together), so most tiles are entirely dead — copy state through and
+    # skip all compute.  Recovers what queue compaction promises without
+    # cross-lane traffic (which measures 9x slower on TPU).
+    tile_alive = jnp.any(alive[:] != 0)
+    pl.when(tile_alive)(live_tile)
+    pl.when(jnp.logical_not(tile_alive))(dead_tile)
+
+
+def fused_bounce(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    lights: DeviceLights,
+    ps,  # transport.PathState with (N,) planes
+    bounce,
+    is_last,
+):
+    """One full wavefront bounce in VMEM.  Returns (new_state, missed_mask).
+
+    Equivalent to transport.trace_bounce + transport.shade_core; env must be
+    applied by the caller exactly as transport.shade does.
+    """
+    from spt_tpu.integrators import transport
+
+    n = ps.rng.shape[0]
+    rows = n // LANES
+    shape2 = (rows, LANES)
+
+    def r2(a):
+        return a.reshape(shape2)
+
+    state_in = [
+        r2(ps.origin.x), r2(ps.origin.y), r2(ps.origin.z),
+        r2(ps.direction.x), r2(ps.direction.y), r2(ps.direction.z),
+        r2(ps.throughput.x), r2(ps.throughput.y), r2(ps.throughput.z),
+        r2(ps.radiance.x), r2(ps.radiance.y), r2(ps.radiance.z),
+        r2(ps.rng), r2(ps.alive.astype(jnp.int32)),
+    ]
+    mats = scene.materials
+
+    def col(a):
+        return a.reshape(-1, 1)
+
+    tables = [
+        scene.tri_v0, scene.tri_e1, scene.tri_e2, col(scene.tri_mat),
+        scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
+        mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
+        col(mats.mat_type), mats.emission, col(mats.transparency),
+        col(lights.kind), lights.vec, lights.color, col(lights.intensity),
+        lights.attenuation,
+    ]
+    params = jnp.stack(
+        [jnp.asarray(bounce, jnp.int32),
+         jnp.asarray(is_last, jnp.int32)]
+    ).reshape(1, 2)
+
+    tile_rows = _tile_rows(rows)
+    grid = (rows // tile_rows,)
+    block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def table_spec(a):
+        shp = a.shape
+        return pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+        + [block] * 14
+        + [table_spec(a) for a in tables]
+    )
+    out_specs = [block] * 15
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct(shape2, f32)] * 12
+        + [jax.ShapeDtypeStruct(shape2, jnp.uint32),
+           jax.ShapeDtypeStruct(shape2, jnp.int32),
+           jax.ShapeDtypeStruct(shape2, jnp.int32)]
+    )
+
+    kern = functools.partial(
+        _kernel, cfg, lights.count, scene.num_triangles, scene.num_spheres,
+        mats.count,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(params, *state_in, *tables)
+
+    def r1(a):
+        return a.reshape(n)
+
+    new_ps = transport.PathState(
+        origin=Vec3(r1(outs[0]), r1(outs[1]), r1(outs[2])),
+        direction=Vec3(r1(outs[3]), r1(outs[4]), r1(outs[5])),
+        throughput=Vec3(r1(outs[6]), r1(outs[7]), r1(outs[8])),
+        radiance=Vec3(r1(outs[9]), r1(outs[10]), r1(outs[11])),
+        rng=r1(outs[12]),
+        alive=r1(outs[13]) != 0,
+    )
+    missed = r1(outs[14]) != 0
+    return new_ps, missed

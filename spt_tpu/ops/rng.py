@@ -54,7 +54,10 @@ def next_float(state: jnp.ndarray):
     Matches rng_next01 (device_programs.cu:122-125): 24 low bits / 2^24.
     """
     state = wang_hash(state)
-    u = (state & _U32(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+    # Route the cast through int32: the masked value fits in 24 bits, and
+    # Mosaic (Pallas TPU) has no direct uint32 -> float32 conversion.
+    bits = (state & _U32(0x00FFFFFF)).astype(jnp.int32)
+    u = bits.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
     return state, u
 
 

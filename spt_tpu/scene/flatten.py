@@ -15,13 +15,18 @@ then mesh material, then 0.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from spt_tpu.materials import DeviceMaterials, build_device_materials
 from spt_tpu.scene.desc import NO_MATERIAL, SceneDesc
+
+# Above this many primitives a mesh acceleration structure is built
+# (matches ops.intersect.UNROLL_LIMIT, where the streaming intersector
+# stops unrolling).
+ACCEL_THRESHOLD = 192
 
 
 class DeviceScene(NamedTuple):
@@ -37,6 +42,9 @@ class DeviceScene(NamedTuple):
     sph_radius: jnp.ndarray   # (S,) float32 (0 for padding)
     sph_mat: jnp.ndarray      # (S,) int32
     materials: DeviceMaterials
+    # Morton-cluster acceleration for large meshes (ops/bvh.py); None for
+    # scenes small enough to stream-unroll.
+    accel: Optional["MeshAccel"] = None
 
     @property
     def num_triangles(self) -> int:
@@ -62,8 +70,11 @@ def _pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def flatten_scene(desc: SceneDesc, pad_multiple: int = 8) -> DeviceScene:
-    """Bake instance transforms and build the padded SoA arrays."""
+def flatten_scene(desc: SceneDesc, pad_multiple: int = 8,
+                  cluster_size: int = 64) -> DeviceScene:
+    """Bake instance transforms and build the padded SoA arrays (plus the
+    cluster accel for large meshes — the rtcCommitScene/optixAccelBuild
+    analog, EmbreeBackend.cpp:181 / OptixBackend.cpp:916-1180)."""
     v0s, v1s, v2s, tri_mats = [], [], [], []
     for inst in desc.instances:
         if inst.mesh_id >= len(desc.meshes):
@@ -120,6 +131,13 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 8) -> DeviceScene:
         radii = np.concatenate([radii, np.zeros(pad_n, np.float32)])
         sph_mat = np.concatenate([sph_mat, np.zeros(pad_n, np.int32)])
 
+    accel = None
+    if v0.shape[0] > ACCEL_THRESHOLD:
+        from spt_tpu.ops.bvh import build_mesh_accel
+
+        accel = build_mesh_accel(v0, v1 - v0, v2 - v0, tri_mat,
+                                 cluster_size=cluster_size)
+
     return DeviceScene(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(v1 - v0),
@@ -129,4 +147,5 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 8) -> DeviceScene:
         sph_radius=jnp.asarray(radii),
         sph_mat=jnp.asarray(sph_mat),
         materials=build_device_materials(desc.materials),
+        accel=accel,
     )

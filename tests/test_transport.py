@@ -165,3 +165,42 @@ class TestCompactedWavefront:
         np.testing.assert_array_equal(
             np.asarray(sa.rays_per_bounce), np.asarray(sb.rays_per_bounce)
         )
+
+
+class TestSwizzle:
+    def test_swizzle_roundtrip(self, monkeypatch):
+        # Force the TPU code path on CPU: the mapping is pure index math.
+        import jax
+        from spt_tpu.integrators import wavefront as wf
+
+        monkeypatch.setattr(
+            wf, "_pallas_bounce_ok", lambda *a, **k: True, raising=True
+        )
+
+        class FakeDev:
+            platform = "tpu"
+
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+        from spt_tpu.ops import pallas_bounce
+
+        cfg = RenderConfig(width=256, height=128)
+        n = cfg.num_pixels
+        pixel, unswizzle = wf._swizzle(cfg, cfg.height, n)
+        if pixel is None:
+            pytest.skip("shape does not tile")
+        pix = np.asarray(pixel)
+        # bijection over all pixels
+        assert len(np.unique(pix)) == n
+        # unswizzle restores pixel-major order: encode the pixel id into
+        # the radiance and check image[y, x] == y*W + x.
+        rad = jnp.asarray(pix.astype(np.float32))[:, None] * jnp.ones((1, 3))
+        img = np.asarray(unswizzle(rad))
+        want = np.arange(n, dtype=np.float32).reshape(cfg.height, cfg.width)
+        np.testing.assert_array_equal(img[..., 0], want)
+        # each Pallas tile covers a compact rect: lanes of tile 0 span
+        # at most (tile_rows x 128) pixels
+        th = pallas_bounce._tile_rows(n // 128)
+        tile0 = pix[: th * 128]
+        ys, xs = tile0 // cfg.width, tile0 % cfg.width
+        assert ys.max() - ys.min() + 1 == th
+        assert xs.max() - xs.min() + 1 == 128
