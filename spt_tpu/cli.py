@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interactive terminal viewer (WASD + mouse-less look)")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame ray telemetry")
+    p.add_argument("--debug-mode", choices=["geomtype", "hitmiss", "normal",
+                                            "depth", "matid"],
+                   help="render a single-bounce debug visualization instead "
+                        "of path tracing (the reference's debug_mode, "
+                        "LaunchParams.h:76-78)")
     return p
 
 
@@ -100,6 +105,17 @@ def make_renderer(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     r = make_renderer(args)
+
+    if args.debug_mode:
+        import numpy as _np
+        from spt_tpu.integrators.debug import render_debug
+        from spt_tpu.engine.image import write_png
+
+        img = _np.asarray(render_debug(r.cfg, r.scene, r.camera.rays(),
+                                       args.debug_mode))
+        write_png(args.output, img)
+        print(f"Wrote {args.output} ({args.debug_mode} debug view)")
+        return 0
 
     if args.resume:
         r.load_checkpoint(args.resume)

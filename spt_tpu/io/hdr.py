@@ -61,6 +61,14 @@ def read_hdr(path: str) -> np.ndarray:
         raise ValueError(f"{path}: unsupported resolution line {res!r}")
     h, w = int(res[1]), int(res[3])
 
+    # Native decode path (spt_native.cpp): the scanline RLE loop is serial
+    # byte-chasing, ~100x faster in C++ than the Python fallback below.
+    from spt_tpu.io import native
+
+    decoded = native.rgbe_decode(data[pos:], w, h)
+    if decoded is not None:
+        return decoded
+
     buf = np.frombuffer(data, np.uint8, offset=pos)
     img = np.zeros((h, w, 4), np.uint8)
     bp = 0

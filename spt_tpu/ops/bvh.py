@@ -73,50 +73,57 @@ def build_mesh_accel(
     mat: np.ndarray,
     cluster_size: int = 64,
 ) -> MeshAccel:
-    """Sort triangles along the Morton curve and cut into clusters."""
+    """Sort triangles along the Morton curve and cut into clusters.
+
+    Prefers the native builder (native/spt_native.cpp, the rtcCommitScene
+    role) and falls back to the vectorized numpy build.  Both operate on the
+    cluster-size-padded soup and produce identical cluster AABBs (padding is
+    degenerate and sorts last either way).
+    """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
     mat = np.asarray(mat, np.int32)
     t = v0.shape[0]
 
-    v1 = v0 + e1
-    v2 = v0 + e2
-    lo = np.minimum(np.minimum(v0, v1), v2)
-    hi = np.maximum(np.maximum(v0, v1), v2)
-    centroid = 0.5 * (lo + hi)
-
-    # Degenerate padding triangles (zero area at origin) sort last so they
-    # share clusters instead of polluting real ones.
-    degenerate = (np.abs(e1).sum(1) == 0) & (np.abs(e2).sum(1) == 0)
-
-    scene_lo = centroid[~degenerate].min(0) if (~degenerate).any() else np.zeros(3)
-    scene_hi = centroid[~degenerate].max(0) if (~degenerate).any() else np.ones(3)
-    extent = np.maximum(scene_hi - scene_lo, 1e-12)
-    norm = (centroid - scene_lo) / extent
-    codes = _morton3(norm)
-    codes[degenerate] = np.uint64(0xFFFFFFFFFFFF)  # push padding to the end
-    order = np.argsort(codes, kind="stable")
-
-    v0s, e1s, e2s, mats = v0[order], e1[order], e2[order], mat[order]
-    los, his = lo[order], hi[order]
-
     pad = (-t) % cluster_size
     if pad:
         z = np.zeros((pad, 3), np.float32)
-        v0s = np.concatenate([v0s, z])
-        e1s = np.concatenate([e1s, z])
-        e2s = np.concatenate([e2s, z])
-        mats = np.concatenate([mats, np.zeros(pad, np.int32)])
-        los = np.concatenate([los, np.full((pad, 3), np.inf, np.float32)])
-        his = np.concatenate([his, np.full((pad, 3), -np.inf, np.float32)])
+        v0 = np.concatenate([v0, z])
+        e1 = np.concatenate([e1, z])
+        e2 = np.concatenate([e2, z])
+        mat = np.concatenate([mat, np.zeros(pad, np.int32)])
 
-    c = v0s.shape[0] // cluster_size
-    cl_lo = los.reshape(c, cluster_size, 3).min(1)
-    cl_hi = his.reshape(c, cluster_size, 3).max(1)
-    # Clusters made only of padding get inverted boxes that no slab test hits.
-    cl_lo = np.where(np.isfinite(cl_lo), cl_lo, 1e30)
-    cl_hi = np.where(np.isfinite(cl_hi), cl_hi, -1e30)
+    from spt_tpu.io import native
+
+    built = native.cluster_build(v0, e1, e2, cluster_size)
+    if built is not None:
+        order, cl_lo, cl_hi = built
+    else:
+        v1 = v0 + e1
+        v2 = v0 + e2
+        lo = np.minimum(np.minimum(v0, v1), v2)
+        hi = np.maximum(np.maximum(v0, v1), v2)
+        centroid = 0.5 * (lo + hi)
+        degenerate = (np.abs(e1).sum(1) == 0) & (np.abs(e2).sum(1) == 0)
+        scene_lo = centroid[~degenerate].min(0) if (~degenerate).any() else np.zeros(3)
+        scene_hi = centroid[~degenerate].max(0) if (~degenerate).any() else np.ones(3)
+        extent = np.maximum(scene_hi - scene_lo, 1e-12)
+        norm = (centroid - scene_lo) / extent
+        codes = _morton3(norm)
+        codes[degenerate] = np.uint64(0xFFFFFFFFFFFF)  # padding sorts last
+        order = np.argsort(codes, kind="stable")
+        los, his = lo[order], hi[order]
+        degs = degenerate[order]
+        los = np.where(degs[:, None], np.inf, los)
+        his = np.where(degs[:, None], -np.inf, his)
+        c = v0.shape[0] // cluster_size
+        cl_lo = los.reshape(c, cluster_size, 3).min(1)
+        cl_hi = his.reshape(c, cluster_size, 3).max(1)
+        cl_lo = np.where(np.isfinite(cl_lo), cl_lo, 1e30).astype(np.float32)
+        cl_hi = np.where(np.isfinite(cl_hi), cl_hi, -1e30).astype(np.float32)
+
+    v0s, e1s, e2s, mats = v0[order], e1[order], e2[order], mat[order]
 
     return MeshAccel(
         cluster_lo=jnp.asarray(cl_lo.astype(np.float32)),
