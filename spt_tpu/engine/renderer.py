@@ -71,6 +71,7 @@ class Renderer:
         env: Optional[Environment] = None,
         lights: Optional[DeviceLights] = None,
         camera: Optional[Camera] = None,
+        multi_device: Optional[bool] = None,
     ):
         self.cfg = cfg or RenderConfig()
         self.scene = flatten_scene(desc)
@@ -80,9 +81,26 @@ class Renderer:
         self.state = state_mod.init_state(self.cfg.num_pixels)
         self.last_stats = None
 
-        self._step = jax.jit(
-            functools.partial(_frame_step, self.cfg), donate_argnums=(4,)
-        )
+        # Multi-chip: shard the pixel axis over all devices when there are
+        # several and the image height tiles (SURVEY.md §2 parallelism).
+        n_dev = jax.device_count()
+        if multi_device is None:
+            multi_device = n_dev > 1 and self.cfg.height % n_dev == 0
+        self.mesh = None
+        if multi_device:
+            from spt_tpu.parallel import make_mesh, shard_pixels, sharded_frame_step
+            from spt_tpu.parallel.sharding import replicate
+
+            self.mesh = make_mesh()
+            self._step = sharded_frame_step(self.cfg, self.mesh)
+            self.state = shard_pixels(self.mesh, self.state)
+            self.scene = replicate(self.mesh, self.scene)
+            self.env = replicate(self.mesh, self.env)
+            self.lights = replicate(self.mesh, self.lights)
+        else:
+            self._step = jax.jit(
+                functools.partial(_frame_step, self.cfg), donate_argnums=(4,)
+            )
         self._resolve = jax.jit(functools.partial(_resolve_image, self.cfg))
 
     # --- frame loop -----------------------------------------------------------

@@ -32,15 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class MeshAccel(NamedTuple):
-    """Cluster-sorted triangle soup + per-cluster AABBs (a pytree)."""
+# Superclusters group this many Morton-adjacent clusters under one AABB —
+# the second tree level for tile culling (12 super tests replace 96 cluster
+# tests on the 6k-triangle chair before any cluster is opened).
+SUPER_FACTOR = 8
 
+
+class MeshAccel(NamedTuple):
+    """Cluster-sorted triangle soup + two AABB levels (a pytree)."""
+
+    super_lo: jnp.ndarray     # (C/SUPER_FACTOR, 3) float32
+    super_hi: jnp.ndarray
     cluster_lo: jnp.ndarray   # (C, 3) float32
     cluster_hi: jnp.ndarray   # (C, 3) float32
     tri_v0: jnp.ndarray       # (C*K, 3) sorted, padded with degenerates
     tri_e1: jnp.ndarray
     tri_e2: jnp.ndarray
     tri_mat: jnp.ndarray      # (C*K,) int32
+
+    @property
+    def num_supers(self) -> int:
+        return self.super_lo.shape[0]
 
     @property
     def num_clusters(self) -> int:
@@ -125,7 +137,25 @@ def build_mesh_accel(
 
     v0s, e1s, e2s, mats = v0[order], e1[order], e2[order], mat[order]
 
+    # Supercluster level: pad the cluster count to SUPER_FACTOR with inert
+    # inverted boxes, then fold.
+    c = cl_lo.shape[0]
+    cpad = (-c) % SUPER_FACTOR
+    if cpad:
+        cl_lo = np.concatenate([cl_lo, np.full((cpad, 3), 1e30, np.float32)])
+        cl_hi = np.concatenate([cl_hi, np.full((cpad, 3), -1e30, np.float32)])
+        zt = np.zeros((cpad * cluster_size, 3), np.float32)
+        v0s = np.concatenate([v0s, zt])
+        e1s = np.concatenate([e1s, zt])
+        e2s = np.concatenate([e2s, zt])
+        mats = np.concatenate([mats, np.zeros(cpad * cluster_size, np.int32)])
+    ns = cl_lo.shape[0] // SUPER_FACTOR
+    sup_lo = cl_lo.reshape(ns, SUPER_FACTOR, 3).min(1)
+    sup_hi = cl_hi.reshape(ns, SUPER_FACTOR, 3).max(1)
+
     return MeshAccel(
+        super_lo=jnp.asarray(sup_lo.astype(np.float32)),
+        super_hi=jnp.asarray(sup_hi.astype(np.float32)),
         cluster_lo=jnp.asarray(cl_lo.astype(np.float32)),
         cluster_hi=jnp.asarray(cl_hi.astype(np.float32)),
         tri_v0=jnp.asarray(v0s),

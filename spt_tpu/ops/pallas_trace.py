@@ -83,7 +83,7 @@ def _tri_test(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, o, d, tmin, tmax, bes
 
 def _closest_kernel(n_clusters, k, n_sph, tmin,
                     ox, oy, oz, dx, dy, dz, tmaxr,
-                    cl_lo, cl_hi, tv0, te1, te2, tmat,
+                    sup_lo, sup_hi, cl_lo, cl_hi, tv0, te1, te2, tmat,
                     sph_c, sph_r, sph_m,
                     out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
                     best_t, best_mat, best_kind, ax, ay, az, rinv):
@@ -100,38 +100,57 @@ def _closest_kernel(n_clusters, k, n_sph, tmin,
     az[:] = jnp.zeros(o.x.shape, jnp.float32)
     rinv[:] = jnp.zeros(o.x.shape, jnp.float32)
 
-    def cluster_body(c, _):
-        box_hit = _slab(
-            cl_lo[c, 0], cl_lo[c, 1], cl_lo[c, 2],
-            cl_hi[c, 0], cl_hi[c, 1], cl_hi[c, 2],
+    n_supers = sup_lo.shape[0]
+    super_factor = n_clusters // n_supers
+
+    def super_body(sc, _):
+        sup_hit = _slab(
+            sup_lo[sc, 0], sup_lo[sc, 1], sup_lo[sc, 2],
+            sup_hi[sc, 0], sup_hi[sc, 1], sup_hi[sc, 2],
             o, ix, iy, iz, tmin, jnp.minimum(tmax, best_t[:]),
         )
 
-        @pl.when(jnp.any(box_hit))
+        @pl.when(jnp.any(sup_hit))
         def _():
-            def tri_body(j, _):
-                idx = c * k + j
-                v0x, v0y, v0z = tv0[idx, 0], tv0[idx, 1], tv0[idx, 2]
-                e1x, e1y, e1z = te1[idx, 0], te1[idx, 1], te1[idx, 2]
-                e2x, e2y, e2z = te2[idx, 0], te2[idx, 1], te2[idx, 2]
-                ok, t = _tri_test(v0x, v0y, v0z, e1x, e1y, e1z,
-                                  e2x, e2y, e2z, o, d, tmin, tmax, best_t[:])
-                best_t[:] = jnp.where(ok, t, best_t[:])
-                best_mat[:] = jnp.where(ok, tmat[idx, 0], best_mat[:])
-                best_kind[:] = jnp.where(ok, isect.KIND_TRIANGLE, best_kind[:])
-                nx = e1y * e2z - e1z * e2y
-                ny = e1z * e2x - e1x * e2z
-                nz = e1x * e2y - e1y * e2x
-                ax[:] = jnp.where(ok, nx, ax[:])
-                ay[:] = jnp.where(ok, ny, ay[:])
-                az[:] = jnp.where(ok, nz, az[:])
+            def cluster_body(ci, _):
+                c = sc * super_factor + ci
+                box_hit = _slab(
+                    cl_lo[c, 0], cl_lo[c, 1], cl_lo[c, 2],
+                    cl_hi[c, 0], cl_hi[c, 1], cl_hi[c, 2],
+                    o, ix, iy, iz, tmin, jnp.minimum(tmax, best_t[:]),
+                )
+
+                @pl.when(jnp.any(box_hit))
+                def _():
+                    def tri_body(j, _):
+                        idx = c * k + j
+                        v0x, v0y, v0z = tv0[idx, 0], tv0[idx, 1], tv0[idx, 2]
+                        e1x, e1y, e1z = te1[idx, 0], te1[idx, 1], te1[idx, 2]
+                        e2x, e2y, e2z = te2[idx, 0], te2[idx, 1], te2[idx, 2]
+                        ok, t = _tri_test(v0x, v0y, v0z, e1x, e1y, e1z,
+                                          e2x, e2y, e2z, o, d, tmin, tmax,
+                                          best_t[:])
+                        best_t[:] = jnp.where(ok, t, best_t[:])
+                        best_mat[:] = jnp.where(ok, tmat[idx, 0], best_mat[:])
+                        best_kind[:] = jnp.where(ok, isect.KIND_TRIANGLE,
+                                                 best_kind[:])
+                        nx = e1y * e2z - e1z * e2y
+                        ny = e1z * e2x - e1x * e2z
+                        nz = e1x * e2y - e1y * e2x
+                        ax[:] = jnp.where(ok, nx, ax[:])
+                        ay[:] = jnp.where(ok, ny, ay[:])
+                        az[:] = jnp.where(ok, nz, az[:])
+                        return 0
+
+                    jax.lax.fori_loop(0, k, tri_body, 0)
+
                 return 0
 
-            jax.lax.fori_loop(0, k, tri_body, 0)
+            jax.lax.fori_loop(0, super_factor, cluster_body, 0)
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+    jax.lax.fori_loop(0, n_supers, super_body, 0)
 
     for i in range(n_sph):
         cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
@@ -171,7 +190,7 @@ def _closest_kernel(n_clusters, k, n_sph, tmin,
 
 def _any_kernel(n_clusters, k, n_sph, tmin,
                 ox, oy, oz, dx, dy, dz, tmaxr,
-                cl_lo, cl_hi, tv0, te1, te2, tmat,
+                sup_lo, sup_hi, cl_lo, cl_hi, tv0, te1, te2, tmat,
                 sph_c, sph_r, sph_m,
                 out_blocked):
     o = Vec3(ox[:], oy[:], oz[:])
@@ -198,11 +217,31 @@ def _any_kernel(n_clusters, k, n_sph, tmin,
         blocked0 = blocked0 | hit.astype(jnp.int32)
 
     def cond(carry):
-        c, blocked = carry
-        return (c < n_clusters) & ~jnp.all(blocked != 0)
+        sc, blocked = carry
+        return (sc < sup_lo.shape[0]) & ~jnp.all(blocked != 0)
+
+    n_supers = sup_lo.shape[0]
+    super_factor = n_clusters // n_supers
 
     def body(carry):
-        c, blocked = carry
+        sc, blocked = carry
+        sup_hit = _slab(
+            sup_lo[sc, 0], sup_lo[sc, 1], sup_lo[sc, 2],
+            sup_hi[sc, 0], sup_hi[sc, 1], sup_hi[sc, 2],
+            o, ix, iy, iz, tmin, tmax,
+        ) & (blocked == 0)
+
+        def run_clusters(blocked):
+            def cluster_body(ci, blocked):
+                c = sc * super_factor + ci
+                return _any_cluster(c, blocked)
+            return jax.lax.fori_loop(0, super_factor, cluster_body, blocked)
+
+        blocked = jax.lax.cond(jnp.any(sup_hit), run_clusters,
+                               lambda b: b, blocked)
+        return sc + 1, blocked
+
+    def _any_cluster(c, blocked):
         box_hit = _slab(
             cl_lo[c, 0], cl_lo[c, 1], cl_lo[c, 2],
             cl_hi[c, 0], cl_hi[c, 1], cl_hi[c, 2],
@@ -222,11 +261,10 @@ def _any_kernel(n_clusters, k, n_sph, tmin,
 
             return jax.lax.fori_loop(0, k, tri_body, blocked)
 
-        blocked = jax.lax.cond(jnp.any(box_hit), run_tris, lambda b: b, blocked)
-        return c + 1, blocked
+        return jax.lax.cond(jnp.any(box_hit), run_tris, lambda b: b, blocked)
 
     _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), blocked0))
-    out_blocked[:] = blocked.astype(jnp.int32)
+    out_blocked[:] = blocked
 
 
 def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
@@ -241,7 +279,8 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
 
     tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     state = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z), r2(tmax_arr)]
-    tables = [accel.cluster_lo, accel.cluster_hi, accel.tri_v0, accel.tri_e1,
+    tables = [accel.super_lo, accel.super_hi,
+              accel.cluster_lo, accel.cluster_hi, accel.tri_v0, accel.tri_e1,
               accel.tri_e2, accel.tri_mat.reshape(-1, 1),
               scene.sph_center, scene.sph_radius.reshape(-1, 1),
               scene.sph_mat.reshape(-1, 1)]

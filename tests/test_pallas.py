@@ -1,0 +1,143 @@
+"""Pallas kernels vs the XLA reference paths (interpreter mode on CPU).
+
+These run the exact kernel programs through the Pallas interpreter, so the
+kernel logic is covered in CI without TPU hardware; TPU-specific lowering
+(Mosaic) is exercised by the driver's compile checks and bench runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import jax.experimental.pallas as pl
+
+from spt_tpu.camera import default_camera, Camera
+from spt_tpu.config import RenderConfig
+from spt_tpu.lights import default_lights
+from spt_tpu.scene import build_default_scene, flatten_scene
+from spt_tpu.integrators import transport
+from spt_tpu.ops import intersect as isect
+from spt_tpu.ops.vec3 import Vec3
+
+import spt_tpu.ops.pallas_bounce as pb
+import spt_tpu.ops.pallas_trace as pt
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+    monkeypatch.setattr(pt.pl, "pallas_call", patched)
+
+
+class TestFusedBounce:
+    def test_matches_shade_core(self):
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=6)
+        scene = flatten_scene(build_default_scene())
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height).rays()
+        ps = transport.gen_primary(cfg, cam, 0)
+        # kill a block of lanes to exercise the dead-tile fast path
+        alive = ps.alive & (jnp.arange(ps.num_paths) < 2000)
+        ps = ps._replace(alive=alive)
+
+        hit = transport.trace_bounce(scene, ps)
+        a, ma = transport.shade_core(cfg, scene, lights, ps, hit, 1, False)
+        b, mb = pb.fused_bounce(cfg, scene, lights, ps, 1, False)
+
+        ra = np.asarray(a.radiance.to_array())
+        rb = np.asarray(b.radiance.to_array())
+        assert (np.abs(ra - rb).max(-1) > 0.01).sum() == 0
+        np.testing.assert_array_equal(np.asarray(a.rng), np.asarray(b.rng))
+        np.testing.assert_array_equal(np.asarray(a.alive), np.asarray(b.alive))
+        np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+
+    def test_supports_gating(self):
+        scene = flatten_scene(build_default_scene())
+        lights = default_lights()
+        assert pb.supports(scene, lights, 128 * 128)
+        assert not pb.supports(scene, lights, 100)  # doesn't tile
+
+
+class TestClusterTrace:
+    @pytest.fixture(scope="class")
+    def mesh_scene(self):
+        # force an accel on a moderate random soup
+        from spt_tpu.scene import SceneDesc
+        from spt_tpu.scene.desc import Material, MeshData
+
+        rng = np.random.default_rng(3)
+        nv = 300
+        pos = rng.uniform(-2, 2, (nv, 3)).astype(np.float32)
+        idx = rng.integers(0, nv, (400, 3)).astype(np.uint32)
+        sc = SceneDesc()
+        sc.add_material(Material())
+        mid = sc.add_mesh(MeshData(positions=pos, indices=idx))
+        sc.add_instance(mid)
+        sc.add_sphere([0.0, 0.0, -4.0], 1.0, 0)
+        dev = flatten_scene(sc)
+        assert dev.accel is not None
+        return dev
+
+    def test_closest_matches_chunked(self, mesh_scene, rng):
+        n = 512
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ov, dv = Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d))
+
+        ref = isect._intersect_chunked(mesh_scene, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pt.closest_hit(mesh_scene.accel, mesh_scene, ov, dv, tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        both_inf = np.isinf(t_ref) & np.isinf(t_pal)
+        close = np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 1e-4
+        assert (both_inf | close).all()
+        hitm = np.isfinite(t_ref)
+        assert hitm.sum() > 50, "fixture should produce plenty of hits"
+        np.testing.assert_array_equal(
+            np.asarray(ref.kind)[hitm], np.asarray(pal.kind)[hitm]
+        )
+
+    def test_anyhit_matches_chunked(self, mesh_scene, rng):
+        n = 512
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ov, dv = Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d))
+        tmax = np.float32(4.0)
+        ref = isect._occluded_chunked(mesh_scene, ov, dv, np.float32(1e-4), tmax)
+        pal = pt.any_hit(mesh_scene.accel, mesh_scene, ov, dv,
+                         tmin=1e-4, tmax=tmax)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+    @pytest.mark.skipif(
+        not __import__("os").path.exists(
+            "/root/reference/assets/models/rattan_dining_chair/scene.gltf"),
+        reason="no chair asset")
+    def test_chair_hits(self):
+        from spt_tpu.io.gltf import load_gltf
+
+        scene = flatten_scene(load_gltf(
+            "/root/reference/assets/models/rattan_dining_chair/scene.gltf"))
+        rng = np.random.default_rng(7)
+        n = 512
+        o = np.tile(np.array([[0.0, 0.5, 1.5]], np.float32), (n, 1))
+        target = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+        target[:, 1] += 0.4
+        d = target - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ov, dv = Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d))
+        ref = isect._intersect_chunked(scene, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pt.closest_hit(scene.accel, scene, ov, dv, tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        both_inf = np.isinf(t_ref) & np.isinf(t_pal)
+        close = np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 1e-4
+        assert (both_inf | close).all()
+        assert np.isfinite(t_ref).sum() > 200

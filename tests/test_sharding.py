@@ -79,3 +79,37 @@ class TestShardedRender:
         assert int(rstate.frame_index) == 3
         img = np.asarray(rstate.accum)
         assert np.isfinite(img).all() and img.max() > 0
+
+
+class TestShardedRenderer:
+    def test_renderer_uses_mesh_automatically(self):
+        from spt_tpu.camera import default_camera
+        from spt_tpu.engine.renderer import Renderer
+        from spt_tpu.scene import build_default_scene
+
+        cfg = CFG.replace(width=32, height=32)  # 32 rows / 8 devices = 4
+        r = Renderer(build_default_scene(), cfg,
+                     camera=default_camera(cfg.width, cfg.height))
+        assert r.mesh is not None and r.mesh.devices.size == jax.device_count()
+        r.render_frame(check_camera=False)
+        r.render_frame(check_camera=False)
+        assert r.accumulated_samples == 2 * cfg.spp
+        img = r.image()
+        assert np.isfinite(img).all() and img.max() > 0
+
+        # matches the single-device renderer
+        r1 = Renderer(build_default_scene(), cfg, multi_device=False,
+                      camera=default_camera(cfg.width, cfg.height))
+        r1.render_frame(check_camera=False)
+        r1.render_frame(check_camera=False)
+        np.testing.assert_allclose(img, r1.image(), rtol=1e-3, atol=2e-3)
+
+    def test_renderer_odd_height_falls_back(self):
+        from spt_tpu.engine.renderer import Renderer
+        from spt_tpu.scene import build_default_scene
+
+        cfg = CFG.replace(width=16, height=15)  # 15 rows don't shard over 8
+        r = Renderer(build_default_scene(), cfg)
+        assert r.mesh is None
+        r.render_frame(check_camera=False)
+        assert np.isfinite(r.image()).all()
