@@ -71,6 +71,13 @@ class RenderConfig:
     # Trace shadow rays for direct lighting (CPU semantics, Light.cpp:16-40).
     shadow_rays: bool = True
 
+    # Next-event estimation toward emissive triangles (area lights): the
+    # shadow-ray wavefront the reference planned (wf_types.h:51-63) extended
+    # to emitters.  Active only when the scene has an emitter table; paths
+    # then count hit emission only on camera/dielectric continuations to
+    # avoid double counting.
+    nee: bool = True
+
     # Intersection epsilons. Scale-aware offset eps * max(1, |p|_inf)
     # (PathTracer.cpp:101-111); dielectric continuation offsets along the new
     # direction by ray_offset_dir (device_programs.cu:530 "1e-3f").

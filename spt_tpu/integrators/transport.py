@@ -51,6 +51,10 @@ class PathState(NamedTuple):
     radiance: Vec3
     rng: jnp.ndarray         # (N,) uint32
     alive: jnp.ndarray       # (N,) bool
+    # True while hit emission should be counted: camera rays and dielectric
+    # continuations.  Diffuse/metal scatters clear it when NEE is active
+    # (their emitter contribution arrives via the shadow ray instead).
+    emission_ok: jnp.ndarray # (N,) bool
 
     @property
     def num_paths(self) -> int:
@@ -113,6 +117,7 @@ def gen_primary(
         radiance=Vec3(zeros, zeros, zeros),
         rng=state,
         alive=jnp.ones((n,), bool),
+        emission_ok=jnp.ones((n,), bool),
     )
 
 
@@ -190,8 +195,10 @@ def shade_core(
     is_diffuse = ~is_metal & ~is_dielectric
 
     # --- emission (wf_pt_cpu.cpp:121-124; GPU never shipped it) --------------
+    nee_on = cfg.nee and scene.emitters is not None
     zero3 = Vec3.full((0, 0, 0), shape)
-    radiance = radiance + v3.where(surf, ps.throughput * mat.emission, zero3)
+    emit_mask = (surf & ps.emission_ok) if nee_on else surf
+    radiance = radiance + v3.where(emit_mask, ps.throughput * mat.emission, zero3)
 
     # --- direct lighting (unrolled over the small static light table) --------
     direct_ok = surf if cfg.direct_light_dielectric else (surf & ~is_dielectric)
@@ -213,8 +220,64 @@ def shade_core(
             contrib_mask, ps.throughput * brdf_nl * li_rad, zero3
         )
 
-    # --- scatter: compute all three branches, select ---------------------------
+    # --- NEE toward emissive triangles (area lights) --------------------------
     rng = ps.rng
+    if nee_on:
+        emitters = scene.emitters
+        e_count = emitters.count
+        rng, xe = rng_ops.next_float(rng)
+        rng, xu1 = rng_ops.next_float(rng)
+        rng, xu2 = rng_ops.next_float(rng)
+        # uniform emitter pick: loop-select (tiny table; lane gathers are slow)
+        pick = jnp.clip((xe * e_count).astype(jnp.int32), 0, e_count - 1)
+        zl = jnp.zeros(shape, jnp.float32)
+        ev0 = Vec3(zl, zl, zl)
+        ee1 = Vec3(zl, zl, zl)
+        ee2 = Vec3(zl, zl, zl)
+        ele = Vec3(zl, zl, zl)
+        earea = zl
+        for ei in range(e_count):
+            selm = pick == ei
+            ev0 = v3.where(selm, Vec3(emitters.v0[ei, 0] + zl,
+                                      emitters.v0[ei, 1] + zl,
+                                      emitters.v0[ei, 2] + zl), ev0)
+            ee1 = v3.where(selm, Vec3(emitters.e1[ei, 0] + zl,
+                                      emitters.e1[ei, 1] + zl,
+                                      emitters.e1[ei, 2] + zl), ee1)
+            ee2 = v3.where(selm, Vec3(emitters.e2[ei, 0] + zl,
+                                      emitters.e2[ei, 1] + zl,
+                                      emitters.e2[ei, 2] + zl), ee2)
+            ele = v3.where(selm, Vec3(emitters.le[ei, 0] + zl,
+                                      emitters.le[ei, 1] + zl,
+                                      emitters.le[ei, 2] + zl), ele)
+            earea = jnp.where(selm, emitters.area[ei], earea)
+        # uniform point on the triangle
+        su = jnp.sqrt(jnp.maximum(xu1, 0.0))
+        b1 = 1.0 - su
+        b2 = xu2 * su
+        pe = ev0 + ee1 * b1 + ee2 * b2
+        to_e = pe - p
+        dist = jnp.maximum(v3.length(to_e), 1e-6)
+        wi = to_e * (1.0 / dist)
+        n_e = v3.safe_normalize(v3.cross(ee1, ee2))
+        cos_e = jnp.abs(v3.dot(n_e, wi))          # two-sided emitters
+        cos_s = v3.dot(n, wi)
+        nee_mask = surf & ~is_dielectric & (cos_s > 0.0) & (cos_e > 1e-6)
+        if cfg.shadow_rays:
+            so = isect.safe_origin_v(p, n, jnp.ones(shape, bool))
+            tmax_e = dist * (1.0 - 1e-3)
+            blocked = occluded_fn(scene, so, wi, tmin=cfg.hit_eps, tmax=tmax_e)
+            nee_mask = nee_mask & ~blocked
+        brdf_nl = sampling.evaluate_brdf_v(
+            n, view, wi, mat.base_color, mat.metallic, mat.roughness, mat.ior
+        )
+        # pdf = 1 / (E * area); geometric term cos_e / dist^2
+        weight = (cos_e / (dist * dist)) * (earea * jnp.float32(e_count))
+        radiance = radiance + v3.where(
+            nee_mask, ps.throughput * brdf_nl * ele * weight, zero3
+        )
+
+    # --- scatter: compute all three branches, select ---------------------------
 
     # Dielectric (cu:498-543): Fresnel-probabilistic reflect/refract, delta BSDF.
     rng_d, xi_d = rng_ops.next_float(rng)
@@ -287,6 +350,16 @@ def shade_core(
         term_c = ps.throughput * diffuse_color * nvis
         radiance = radiance + v3.where(surf & is_last, term_c, zero3)
 
+    if nee_on:
+        # dielectric continuations keep counting emission; NEE'd scatters
+        # (diffuse/metal) must not double count it on the next hit.  Logical
+        # ops, not jnp.where — Mosaic cannot lower bool selects (i8->i1).
+        new_emission_ok = (scatter_alive & is_dielectric) | (
+            ~scatter_alive & ps.emission_ok
+        )
+    else:
+        new_emission_ok = ps.emission_ok
+
     return PathState(
         origin=v3.where(scatter_alive, new_org, ps.origin),
         direction=v3.where(scatter_alive, new_dir, ps.direction),
@@ -294,4 +367,5 @@ def shade_core(
         radiance=radiance,
         rng=jnp.where(surf, new_rng, ps.rng),
         alive=scatter_alive,
+        emission_ok=new_emission_ok,
     ), missed

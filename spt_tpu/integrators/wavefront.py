@@ -309,6 +309,7 @@ def _gen_primary_lanes(cfg, camera, frame_index, sample_idx, row0, rows):
         radiance=Vec3(zeros, zeros, zeros),
         rng=state,
         alive=jnp.ones((n,), bool),
+        emission_ok=jnp.ones((n,), bool),
     )
 
 
@@ -386,6 +387,7 @@ def render_wavefront_regen(
             radiance=v3.where(respawn, fresh.radiance, ps.radiance),
             rng=jnp.where(respawn, fresh.rng, ps.rng),
             alive=ps.alive | respawn,
+            emission_ok=jnp.where(respawn, True, ps.emission_ok),
         )
         bounce = jnp.where(respawn, 0, bounce)
         return it + 1, ps, sample_next, bounce, accum, rays

@@ -112,11 +112,15 @@ def _tile_rows(rows: int) -> int:
     return rows if rows <= TILE_ROWS else 0
 
 
+MAX_PALLAS_EMITTERS = 16
+
+
 def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int) -> bool:
     """Whether the fused kernel can run this workload."""
     return (
         scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS
         and scene.materials.count <= MAX_PALLAS_MATERIALS
+        and (scene.emitters is None or scene.emitters.count <= MAX_PALLAS_EMITTERS)
         and n_lanes % LANES == 0
         and _tile_rows(n_lanes // LANES) > 0
     )
@@ -253,19 +257,22 @@ def _rolled_occluded(scene, o, d, tmin=1e-4, tmax=None):
     return blocked != 0
 
 
-def _kernel(cfg: RenderConfig, n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
+def _kernel(cfg: RenderConfig, has_emitters: bool,
+            n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
             # scalar params
             params_ref,
             # path state (blocked)
-            ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive,
+            ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
             # scene tables (full)
             tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
             m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
             l_kind, l_vec, l_color, l_int, l_att,
+            e_v0, e_e1, e_e2, e_le, e_area,
             # outputs
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-            o_rx, o_ry, o_rz, o_rng, o_alive, o_missed):
+            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed):
     from spt_tpu.integrators import transport
+    from spt_tpu.scene.flatten import EmitterTable
 
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
@@ -278,7 +285,11 @@ def _kernel(cfg: RenderConfig, n_lights: int, n_tris: int, n_sphs: int, n_mats: 
             radiance=Vec3(rx[:], ry[:], rz[:]),
             rng=rng[:].astype(jnp.uint32),
             alive=alive[:] != 0,
+            emission_ok=emok[:] != 0,
         )
+        emitters = EmitterTable(
+            v0=e_v0, e1=e_e1, e2=e_e2, le=e_le, area=_Col(e_area)
+        ) if has_emitters else None
         scene = DeviceScene(
             tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=_Col(tri_mat),
             sph_center=sph_c, sph_radius=_Col(sph_r), sph_mat=_Col(sph_m),
@@ -288,6 +299,7 @@ def _kernel(cfg: RenderConfig, n_lights: int, n_tris: int, n_sphs: int, n_mats: 
                 emission=m_emis, transparency=_Col(m_trans),
             ),
             accel=None,
+            emitters=emitters,
         )
         lights = DeviceLights(
             kind=_Col(l_kind), vec=l_vec, color=l_color, intensity=_Col(l_int),
@@ -307,6 +319,7 @@ def _kernel(cfg: RenderConfig, n_lights: int, n_tris: int, n_sphs: int, n_mats: 
         o_rx[:], o_ry[:], o_rz[:] = new_ps.radiance
         o_rng[:] = new_ps.rng
         o_alive[:] = new_ps.alive.astype(jnp.int32)
+        o_emok[:] = new_ps.emission_ok.astype(jnp.int32)
         o_missed[:] = missed.astype(jnp.int32)
 
     def dead_tile():
@@ -316,6 +329,7 @@ def _kernel(cfg: RenderConfig, n_lights: int, n_tris: int, n_sphs: int, n_mats: 
         o_rx[:], o_ry[:], o_rz[:] = rx[:], ry[:], rz[:]
         o_rng[:] = rng[:].astype(jnp.uint32)
         o_alive[:] = jnp.zeros_like(alive[:])
+        o_emok[:] = emok[:]
         o_missed[:] = jnp.zeros_like(alive[:])
 
     # Whole-tile early-out: by bounce 3 only a few percent of paths are live
@@ -356,12 +370,20 @@ def fused_bounce(
         r2(ps.throughput.x), r2(ps.throughput.y), r2(ps.throughput.z),
         r2(ps.radiance.x), r2(ps.radiance.y), r2(ps.radiance.z),
         r2(ps.rng), r2(ps.alive.astype(jnp.int32)),
+        r2(ps.emission_ok.astype(jnp.int32)),
     ]
     mats = scene.materials
 
     def col(a):
         return a.reshape(-1, 1)
 
+    has_emitters = scene.emitters is not None and cfg.nee
+    if has_emitters:
+        em = scene.emitters
+        emitter_tables = [em.v0, em.e1, em.e2, em.le, col(em.area)]
+    else:
+        z13 = jnp.zeros((1, 3), jnp.float32)
+        emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
     tables = [
         scene.tri_v0, scene.tri_e1, scene.tri_e2, col(scene.tri_mat),
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
@@ -369,7 +391,7 @@ def fused_bounce(
         col(mats.mat_type), mats.emission, col(mats.transparency),
         col(lights.kind), lights.vec, lights.color, col(lights.intensity),
         lights.attenuation,
-    ]
+    ] + emitter_tables
     params = jnp.stack(
         [jnp.asarray(bounce, jnp.int32),
          jnp.asarray(is_last, jnp.int32)]
@@ -387,21 +409,22 @@ def fused_bounce(
 
     in_specs = (
         [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-        + [block] * 14
+        + [block] * 15
         + [table_spec(a) for a in tables]
     )
-    out_specs = [block] * 15
+    out_specs = [block] * 16
     f32 = jnp.float32
     out_shape = (
         [jax.ShapeDtypeStruct(shape2, f32)] * 12
         + [jax.ShapeDtypeStruct(shape2, jnp.uint32),
            jax.ShapeDtypeStruct(shape2, jnp.int32),
+           jax.ShapeDtypeStruct(shape2, jnp.int32),
            jax.ShapeDtypeStruct(shape2, jnp.int32)]
     )
 
     kern = functools.partial(
-        _kernel, cfg, lights.count, scene.num_triangles, scene.num_spheres,
-        mats.count,
+        _kernel, cfg, has_emitters, lights.count, scene.num_triangles,
+        scene.num_spheres, mats.count,
     )
     outs = pl.pallas_call(
         kern,
@@ -421,6 +444,7 @@ def fused_bounce(
         radiance=Vec3(r1(outs[9]), r1(outs[10]), r1(outs[11])),
         rng=r1(outs[12]),
         alive=r1(outs[13]) != 0,
+        emission_ok=r1(outs[14]) != 0,
     )
-    missed = r1(outs[14]) != 0
+    missed = r1(outs[15]) != 0
     return new_ps, missed

@@ -5,10 +5,13 @@ geometry into world space (positions by worldFromObject, normals by
 inverse-transpose; EmbreeBackend.cpp:60-79) and registers analytic spheres as
 user geometry (:139-178), maintaining a geomID->materialId map (:129-174).
 
-Here the flattening produces dense SoA arrays padded to a lane multiple so
-every downstream kernel sees static shapes: padded triangles are degenerate
-(zero area -> Möller-Trumbore determinant 0, never hit) and padded spheres
-have radius 0 (discriminant < 0 for any ray not through the center).
+Here the flattening produces dense SoA arrays with static shapes.  Padding
+is OFF by default — the unrolled/streamed intersectors iterate exact prim
+counts, and each padded prim would be a 100%-wasted full-width test (25% of
+the default scene!).  When padding is requested (pad_multiple > 1, or the
+cluster accel's internal padding), padded triangles are degenerate (zero
+area -> Möller-Trumbore determinant 0, never hit) and padded spheres have
+radius 0 (discriminant < 0 for any ray not through the center).
 Material resolution order matches EmbreeBackend.cpp:51-57: instance override,
 then mesh material, then 0.
 """
@@ -29,6 +32,26 @@ from spt_tpu.scene.desc import NO_MATERIAL, SceneDesc
 ACCEL_THRESHOLD = 192
 
 
+class EmitterTable(NamedTuple):
+    """Emissive-triangle table for next-event estimation (area lights).
+
+    The reference supports emissive materials but never samples them — its
+    planned shadow-ray wavefront (wf_types.h:51-63 ShadowTask) only covered
+    analytic lights.  Sampling emitters directly is the standard fix for
+    emissive-scene variance (the Cornell-box benchmark, BASELINE.md #2).
+    """
+
+    v0: jnp.ndarray    # (E, 3)
+    e1: jnp.ndarray    # (E, 3)
+    e2: jnp.ndarray    # (E, 3)
+    le: jnp.ndarray    # (E, 3) emitted radiance
+    area: jnp.ndarray  # (E,)
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+
 class DeviceScene(NamedTuple):
     """World-space scene as SoA device arrays. A pytree — passes straight
     through jit/shard_map; replicate per chip for image-space DP
@@ -45,6 +68,8 @@ class DeviceScene(NamedTuple):
     # Morton-cluster acceleration for large meshes (ops/bvh.py); None for
     # scenes small enough to stream-unroll.
     accel: Optional["MeshAccel"] = None
+    # Emissive triangles for NEE; None when the scene has no emitters.
+    emitters: Optional[EmitterTable] = None
 
     @property
     def num_triangles(self) -> int:
@@ -70,7 +95,7 @@ def _pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def flatten_scene(desc: SceneDesc, pad_multiple: int = 8,
+def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
                   cluster_size: int = 64) -> DeviceScene:
     """Bake instance transforms and build the padded SoA arrays (plus the
     cluster accel for large meshes — the rtcCommitScene/optixAccelBuild
@@ -131,6 +156,26 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 8,
         radii = np.concatenate([radii, np.zeros(pad_n, np.float32)])
         sph_mat = np.concatenate([sph_mat, np.zeros(pad_n, np.int32)])
 
+    # Emitter table: triangles whose material emits.
+    emitters = None
+    if len(desc.materials) and v0.shape[0]:
+        em = np.stack([m.emission for m in desc.materials]).astype(np.float32)
+        emissive_mat = (em.max(axis=1) > 0.0)
+        sel = emissive_mat[np.clip(tri_mat, 0, len(desc.materials) - 1)]
+        # padded tris have mat 0; exclude degenerates
+        degen = (np.abs(v1 - v0).sum(1) == 0) & (np.abs(v2 - v0).sum(1) == 0)
+        sel = sel & ~degen
+        if sel.any():
+            ev0, ee1, ee2 = v0[sel], (v1 - v0)[sel], (v2 - v0)[sel]
+            area = 0.5 * np.linalg.norm(np.cross(ee1, ee2), axis=1)
+            emitters = EmitterTable(
+                v0=jnp.asarray(ev0),
+                e1=jnp.asarray(ee1),
+                e2=jnp.asarray(ee2),
+                le=jnp.asarray(em[tri_mat[sel]]),
+                area=jnp.asarray(area.astype(np.float32)),
+            )
+
     accel = None
     if v0.shape[0] > ACCEL_THRESHOLD:
         from spt_tpu.ops.bvh import build_mesh_accel
@@ -148,4 +193,5 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 8,
         sph_mat=jnp.asarray(sph_mat),
         materials=build_device_materials(desc.materials),
         accel=accel,
+        emitters=emitters,
     )

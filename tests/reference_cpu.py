@@ -101,6 +101,15 @@ class NpScene:
         self.ior = np.asarray(m.ior, F32)
         self.mat_type = np.asarray(m.mat_type)
         self.emission = np.asarray(m.emission, F32)
+        if dev_scene.emitters is not None:
+            e = dev_scene.emitters
+            self.em_v0 = np.asarray(e.v0, F32)
+            self.em_e1 = np.asarray(e.e1, F32)
+            self.em_e2 = np.asarray(e.e2, F32)
+            self.em_le = np.asarray(e.le, F32)
+            self.em_area = np.asarray(e.area, F32)
+        else:
+            self.em_v0 = None
 
 
 def intersect(sc: NpScene, o, d, tmin=0.0, tmax=np.inf):
@@ -263,6 +272,8 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
 
     throughput = np.ones(3, F32)
     radiance = np.zeros(3, F32)
+    emission_ok = True
+    nee_on = cfg.nee and sc.em_v0 is not None
 
     for bounce in range(cfg.max_depth):
         t, ng, mid, kind = intersect(sc, o, d, tmin=0.0)
@@ -282,7 +293,8 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
         mtype = int(sc.mat_type[mid])
         diffuse_color = base * (1.0 - metallic)
 
-        radiance += throughput * sc.emission[mid]
+        if emission_ok or not nee_on:
+            radiance += throughput * sc.emission[mid]
 
         is_dielectric = mtype == 1
         is_metal = (metallic > 0.5) and not is_dielectric
@@ -309,6 +321,36 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
                 brdf_nl = evaluate_brdf(n, vdir, ldir, base, metallic, roughness, ior)
                 radiance += throughput * brdf_nl * li
 
+        # NEE toward emissive triangles (transport.shade_core order: after
+        # analytic direct light, before scatter draws)
+        if nee_on:
+            state, xe = rand01(state)
+            state, xu1 = rand01(state)
+            state, xu2 = rand01(state)
+            e_count = sc.em_v0.shape[0]
+            pick = min(int(xe * e_count), e_count - 1)
+            ev0, ee1, ee2 = sc.em_v0[pick], sc.em_e1[pick], sc.em_e2[pick]
+            su = np.sqrt(max(xu1, 0.0))
+            b1, b2 = 1.0 - su, xu2 * su
+            pe = (ev0 + b1 * ee1 + b2 * ee2).astype(F32)
+            to_e = pe - p
+            dist = max(float(np.linalg.norm(to_e)), 1e-6)
+            wi = (to_e / dist).astype(F32)
+            n_e = normalize(np.cross(ee1, ee2).astype(F32))
+            cos_e = abs(dot(n_e, wi))
+            cos_s = dot(n, wi)
+            if (not is_dielectric) and cos_s > 0 and cos_e > 1e-6:
+                blocked = False
+                if cfg.shadow_rays:
+                    so = safe_origin(p, n, True)
+                    blocked = occluded(sc, so, wi, cfg.hit_eps, dist * (1.0 - 1e-3))
+                if not blocked:
+                    vdir = normalize(-d)
+                    brdf_nl = evaluate_brdf(n, vdir, wi, base, metallic,
+                                            roughness, ior)
+                    w = (cos_e / (dist * dist)) * sc.em_area[pick] * e_count
+                    radiance += throughput * brdf_nl * sc.em_le[pick] * F32(w)
+
         if bounce == cfg.max_depth - 1:
             break
 
@@ -326,6 +368,7 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
                 nd = refr
             o = (p + F32(cfg.ray_offset_dir) * nd).astype(F32)
             d = nd
+            emission_ok = True
             continue
 
         if is_metal:
@@ -356,6 +399,8 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
                 throughput = throughput * base
                 d = mirror
             o = (p + F32(1e-3) * n).astype(F32)
+            if nee_on:
+                emission_ok = False
             continue
 
         # diffuse
@@ -372,6 +417,8 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
         if rr_on:
             throughput = throughput / F32(survival)
         o, d = no, nd
+        if nee_on:
+            emission_ok = False
 
     return radiance
 

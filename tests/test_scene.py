@@ -87,6 +87,12 @@ class TestFlatten:
         assert np.all(pad_e1 == 0.0)
         assert np.all(np.asarray(dev.sph_radius[1:]) == 0.0)
 
+    def test_no_padding_by_default(self):
+        sc = build_test_triangle_scene()
+        dev = flatten_scene(sc)
+        assert dev.num_triangles == 2   # exactly the two instances
+        assert dev.num_spheres == 1
+
     def test_material_resolution_order(self):
         # instance override > mesh material > 0 (EmbreeBackend.cpp:51-57)
         sc = SceneDesc()

@@ -6,6 +6,7 @@ bitwise (same transport, same RNG — parity by construction), and (2) both
 must match the independent scalar numpy oracle to tight RMSE.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -204,3 +205,67 @@ class TestSwizzle:
         ys, xs = tile0 // cfg.width, tile0 % cfg.width
         assert ys.max() - ys.min() + 1 == th
         assert xs.max() - xs.min() + 1 == 128
+
+
+class TestEmissiveNEE:
+    def _setup(self):
+        from spt_tpu.scene import build_cornell_box_scene
+
+        scene = flatten_scene(build_cornell_box_scene())
+        assert scene.emitters is not None and scene.emitters.count == 2
+        env = make_procedural_environment()
+        lm = LightManager()
+        cam = Camera(position=(0, 2.75, 9.0), target=(0, 2.75, 0.0),
+                     fov_degrees=50.0, aspect_ratio=1.0)
+        return scene, env, lm.device(), cam
+
+    def test_nee_matches_oracle(self):
+        scene, env, lights, cam = self._setup()
+        cfg = RenderConfig(width=20, height=20, spp=1, max_depth=4)
+        img = np.asarray(
+            render_megakernel(cfg, scene, env, lights, cam.rays(), 0)
+        )
+        nps = ref.NpScene(scene)
+        want = ref.render_image(cfg, nps, [], cam, frame=0)
+        err = _rmse(img, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+
+    def test_nee_reduces_variance(self):
+        scene, env, lights, cam = self._setup()
+        base = RenderConfig(width=24, height=24, spp=4, max_depth=4)
+
+        def render_pair(cfg, frames=2):
+            imgs = []
+            for f in range(frames):
+                img, _ = render_wavefront(cfg, scene, env, lights, cam.rays(), f)
+                imgs.append(np.asarray(img))
+            return imgs
+
+        on = render_pair(base)
+        off = render_pair(base.replace(nee=False))
+        # frame-to-frame variance proxy: NEE should be dramatically steadier
+        var_on = np.mean((on[0] - on[1]) ** 2)
+        var_off = np.mean((off[0] - off[1]) ** 2)
+        assert var_on < var_off * 0.5, (var_on, var_off)
+
+    def test_nee_unbiased_vs_brute(self):
+        # many-frame means with/without NEE agree (both estimate the same
+        # integral); tolerance loose because brute force is noisy.
+        scene, env, lights, cam = self._setup()
+        cfg = RenderConfig(width=10, height=10, spp=4, max_depth=4)
+        n_frames = 16
+        acc_on = np.zeros((10, 10, 3), np.float32)
+        acc_off = np.zeros((10, 10, 3), np.float32)
+        on = jax.jit(lambda f: render_wavefront(cfg, scene, env, lights,
+                                                cam.rays(), f)[0])
+        off_cfg = cfg.replace(nee=False)
+        off = jax.jit(lambda f: render_wavefront(off_cfg, scene, env, lights,
+                                                 cam.rays(), f)[0])
+        for f in range(n_frames):
+            acc_on += np.asarray(on(f))
+            acc_off += np.asarray(off(f))
+        mean_on = acc_on.mean() / n_frames
+        mean_off = acc_off.mean() / n_frames
+        assert abs(mean_on - mean_off) / max(mean_off, 1e-6) < 0.2, (
+            mean_on, mean_off)
