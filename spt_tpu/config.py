@@ -65,6 +65,11 @@ class RenderConfig:
     # Quirk toggles (see module docstring)
     depth_term_normal_vis: bool = False
     metal_mirror: bool = False
+    # Indirect metal sampler: True = Heitz VNDF (Material::evaluateSample,
+    # Material.cpp:119-234 — implemented by the reference but never called;
+    # SURVEY.md §5 quirk 6 prescribes adopting it).  False = the GPU's plain
+    # NDF half-vector sampling (device_programs.cu:545-666).
+    metal_vndf: bool = True
     # GPU shade skips direct light on tagged dielectrics
     # (device_programs.cu:462 "matType != MATERIAL_TYPE_DIELECTRIC")
     direct_light_dielectric: bool = False
@@ -110,4 +115,5 @@ GPU_PARITY = RenderConfig(
     rr_after=10**6,
     shadow_rays=False,
     depth_term_normal_vis=True,
+    metal_vndf=False,
 )

@@ -297,7 +297,10 @@ def shade_core(
     cos_nv_raw = v3.dot(n, view)
     rng_m, u1, u2 = rng_ops.next_float2(rng)
     alpha = sampling.roughness_to_alpha(mat.roughness)
-    h = sampling.ggx_sample_half_vector_v(u1, u2, alpha, n)
+    if cfg.metal_vndf and not cfg.metal_mirror:
+        h = sampling.ggx_sample_vndf_v(u1, u2, alpha, n, view)
+    else:
+        h = sampling.ggx_sample_half_vector_v(u1, u2, alpha, n)
     cos_nh_raw = v3.dot(n, h)
     l_dir = v3.normalize_or(v3.reflect(-view, h), n)
     cos_nl_raw = v3.dot(n, l_dir)
@@ -310,6 +313,21 @@ def shade_core(
         m_dir = mirror_dir
         m_thr = ps.throughput * mat.base_color * mat.metallic
         rng_m_out = rng
+    elif cfg.metal_vndf:
+        # Heitz VNDF estimator with Material::evaluateSample's weights
+        # (Material.cpp:201-227): weight = f * NdotL / pdf where
+        # f = D G F / (4 NV NL), pdf = D G1(k~0) NH / (4 VH NV) -> weight
+        # reduces to F * G * VH / (G1 NH) with G1(k->0) = 1.
+        cos_nv = jnp.maximum(cos_nv_raw, 1e-6)
+        cos_nl = jnp.maximum(cos_nl_raw, 1e-6)
+        cos_nh = jnp.maximum(cos_nh_raw, 1e-6)
+        cos_vh = jnp.maximum(v3.dot(view, h), 1e-6)
+        f = sampling.fresnel_schlick_v(cos_vh, mat.base_color)
+        g = sampling.g_smith_cpu(cos_nv, cos_nl, alpha)  # k from r (CPU conv.)
+        scale = jnp.clip(g * cos_vh / cos_nh, 0.0, cfg.firefly_clamp)
+        m_dir = v3.where(ggx_ok, l_dir, mirror_dir)
+        m_thr = ps.throughput * v3.where(ggx_ok, f * scale, mat.base_color)
+        rng_m_out = jnp.where(cos_nv_raw > 0.0, rng_m, rng)
     else:
         cos_nv = jnp.maximum(cos_nv_raw, 1e-6)
         cos_nl = jnp.maximum(cos_nl_raw, 1e-6)

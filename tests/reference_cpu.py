@@ -234,6 +234,29 @@ def ggx_sample_half(u1, u2, alpha, n):
     return normalize_or(h, n)
 
 
+def ggx_sample_vndf(u1, u2, alpha, n, v):
+    """Heitz VNDF half-vector sample (Material.cpp:145-199), scalar."""
+    t, b = make_onb(n)
+    vh = normalize(v3(dot(v, t), dot(v, b), dot(v, n)))
+    vs = normalize(v3(alpha * vh[0], alpha * vh[1], vh[2]))
+    if vs[2] < 0.9999:
+        t1 = normalize(np.cross(v3(0, 0, 1), vs))
+    else:
+        t1 = v3(1, 0, 0)
+    t2 = np.cross(vs, t1).astype(F32)
+    r_disk = np.sqrt(u1)
+    phi = 2.0 * PI * u2
+    p1 = r_disk * np.cos(phi)
+    p2 = r_disk * np.sin(phi)
+    sfac = 0.5 * (1.0 + vs[2])
+    p2 = (1.0 - sfac) * np.sqrt(max(0.0, 1.0 - p1 * p1)) + sfac * p2
+    p3 = np.sqrt(max(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nh = (p1 * t1 + p2 * t2 + p3 * vs).astype(F32)
+    h_local = normalize(v3(alpha * nh[0], alpha * nh[1], max(0.0, nh[2])))
+    h = t * h_local[0] + b * h_local[1] + n * h_local[2]
+    return normalize(h)
+
+
 def cosine_sample(n, u1, u2):
     r = np.sqrt(u1)
     phi = 2.0 * PI * u2
@@ -377,7 +400,10 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
             s2, u1 = rand01(state)
             s2, u2 = rand01(s2)
             alpha = np.clip(roughness, 0.02, 1.0) ** 2
-            hh = ggx_sample_half(u1, u2, alpha, n)
+            if cfg.metal_vndf:
+                hh = ggx_sample_vndf(u1, u2, alpha, n, vdir)
+            else:
+                hh = ggx_sample_half(u1, u2, alpha, n)
             ldir = normalize_or(reflect(-vdir, hh), n)
             mirror = normalize_or(reflect(d, n), n)
             ggx_ok = cos_nv_raw > 0 and dot(n, hh) > 0 and dot(n, ldir) > 0
@@ -387,12 +413,22 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
                 cos_nv = max(cos_nv_raw, 1e-6)
                 cos_nl = max(dot(n, ldir), 1e-6)
                 cos_nh = max(dot(n, hh), 1e-6)
-                cos_vh = max(dot(vdir, hh), 0.0)
-                m5 = (1.0 - np.clip(cos_vh, 0.0, 1.0)) ** 5
-                f = base + (1.0 - base) * m5
-                ak = (alpha + 1.0) ** 2 * 0.125
-                g = (cos_nl / (cos_nl * (1 - ak) + ak)) * (cos_nv / (cos_nv * (1 - ak) + ak))
-                sc_ = np.clip(g * cos_vh / (cos_nv * cos_nh), 0.0, cfg.firefly_clamp)
+                if cfg.metal_vndf:
+                    cos_vh = max(dot(vdir, hh), 1e-6)
+                    m5 = (1.0 - np.clip(cos_vh, 0.0, 1.0)) ** 5
+                    f = base + (1.0 - base) * m5
+                    rr_ = np.clip(np.sqrt(alpha), 0.02, 1.0)
+                    ak = (rr_ + 1.0) ** 2 / 8.0
+                    g = (max(cos_nv, 0.0) / (cos_nv * (1 - ak) + ak)) * (
+                        max(cos_nl, 0.0) / (cos_nl * (1 - ak) + ak))
+                    sc_ = np.clip(g * cos_vh / cos_nh, 0.0, cfg.firefly_clamp)
+                else:
+                    cos_vh = max(dot(vdir, hh), 0.0)
+                    m5 = (1.0 - np.clip(cos_vh, 0.0, 1.0)) ** 5
+                    f = base + (1.0 - base) * m5
+                    ak = (alpha + 1.0) ** 2 * 0.125
+                    g = (cos_nl / (cos_nl * (1 - ak) + ak)) * (cos_nv / (cos_nv * (1 - ak) + ak))
+                    sc_ = np.clip(g * cos_vh / (cos_nv * cos_nh), 0.0, cfg.firefly_clamp)
                 throughput = throughput * f * sc_
                 d = ldir
             else:

@@ -269,3 +269,56 @@ class TestEmissiveNEE:
         mean_off = acc_off.mean() / n_frames
         assert abs(mean_on - mean_off) / max(mean_off, 1e-6) < 0.2, (
             mean_on, mean_off)
+
+
+class TestQuirkToggles:
+    def test_metal_vndf_vs_ndf_differ(self, setup):
+        scene, env, lights, cam = setup
+        a = render_megakernel(CFG, scene, env, lights, cam.rays(), 0)
+        b = render_megakernel(CFG.replace(metal_vndf=False), scene, env,
+                              lights, cam.rays(), 0)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(b)).all()
+
+    def test_metal_mirror_quirk(self, setup):
+        # PathTracer.cpp:170-176: perfect mirror * albedo * metallic
+        scene, env, lights, cam = setup
+        cfg = CFG.replace(metal_mirror=True)
+        img = np.asarray(render_megakernel(cfg, scene, env, lights, cam.rays(), 0))
+        assert np.isfinite(img).all() and img.max() > 0
+        want = ref.render_image(cfg.replace(metal_vndf=False), ref.NpScene(scene),
+                                ref.lights_from_device(lights), cam, frame=0)
+        # oracle has no mirror mode; just check determinism + difference
+        base = np.asarray(render_megakernel(CFG, scene, env, lights, cam.rays(), 0))
+        assert not np.allclose(img, base)
+
+    def test_direct_light_dielectric_toggle(self, setup):
+        scene, env, lights, cam = setup
+        a = render_megakernel(CFG, scene, env, lights, cam.rays(), 0)
+        b = render_megakernel(CFG.replace(direct_light_dielectric=True),
+                              scene, env, lights, cam.rays(), 0)
+        # glass cube pixels get direct light -> images differ
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_no_shadow_rays_brighter(self):
+        # ground plane + blocking sphere: the floor under the sphere is
+        # shadowed, so disabling occlusion must brighten it.
+        from spt_tpu.scene import SceneDesc, create_ground_plane_mesh
+        from spt_tpu.scene.desc import Material
+
+        sc = SceneDesc()
+        sc.add_material(Material([0.8, 0.8, 0.8], roughness=1.0, ior=1.0))
+        mid = sc.add_mesh(create_ground_plane_mesh(20.0, 0))
+        sc.add_instance(mid)
+        sc.add_sphere([0.0, 1.0, 0.0], 0.8, 0)
+        scene = flatten_scene(sc)
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = Camera(position=(0, 4.0, 6.0), target=(0, 0, 0),
+                     fov_degrees=50.0, aspect_ratio=4 / 3)
+        cfg = RenderConfig(width=40, height=30, spp=1, max_depth=2, jitter=False)
+        a = np.asarray(render_megakernel(cfg, scene, env, lights, cam.rays(), 0))
+        b = np.asarray(render_megakernel(cfg.replace(shadow_rays=False),
+                                         scene, env, lights, cam.rays(), 0))
+        assert b.sum() > a.sum()
+        assert not np.allclose(a, b)
