@@ -212,8 +212,28 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
     miss direction and throughput frozen, so one env evaluation after the
     loop (tracked by `missed_ever`) replaces one per bounce — for HDR maps
     that is 6x fewer texture gathers per frame.
+
+    When the fused Pallas path is available the ENTIRE depth loop runs as a
+    single kernel launch (pallas_bounce.fused_frame): path state lives in
+    VMEM for the whole sample and each tile exits after its own last live
+    bounce.
     """
     from spt_tpu.env import environment_color_v
+
+    if fused:
+        from spt_tpu.ops import pallas_bounce
+
+        radiance, direction, throughput, missed_ever, rays = (
+            pallas_bounce.fused_frame(cfg, scene, lights, ps)
+        )
+        env_c = environment_color_v(env, direction)
+        zero3 = Vec3.full((0, 0, 0), ps.rng.shape)
+        radiance = radiance + v3.where(missed_ever, throughput * env_c, zero3)
+        rad = radiance.to_array()
+        if unswizzle is not None:
+            rad = unswizzle(rad).reshape(-1, 3)
+        bounces = jnp.sum((rays > 0).astype(jnp.int32))
+        return rad, WavefrontStats(rays_per_bounce=rays, bounces_run=bounces)
 
     missed0 = jnp.zeros(ps.rng.shape, bool)
 

@@ -448,3 +448,198 @@ def fused_bounce(
     )
     missed = r1(outs[15]) != 0
     return new_ps, missed
+
+
+# --- whole-frame kernel: the depth loop in VMEM ---------------------------------
+
+def _frame_kernel(cfg: RenderConfig, has_emitters: bool,
+                  params_ref,
+                  ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
+                  tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
+                  m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
+                  l_kind, l_vec, l_color, l_int, l_att,
+                  e_v0, e_e1, e_e2, e_le, e_area,
+                  o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
+                  o_rx, o_ry, o_rz, o_missed, o_bounces):
+    """The whole wavefront depth loop for one lane tile, entirely in VMEM.
+
+    The per-bounce kernel still pays one HBM read+write of the full path
+    state per bounce (6x per frame) plus a grid launch each.  Here each tile
+    loads its state once, runs `while (bounce < max_depth) and any(alive)` —
+    note: per-TILE adaptivity, a dead tile's loop exits after its own last
+    live bounce, not the global one — and stores once.  Only what the caller
+    needs comes back: final direction/throughput (for the deferred env term),
+    radiance, the missed-ever mask, and per-bounce live-ray telemetry.
+    """
+    from spt_tpu.integrators import transport
+    from spt_tpu.scene.flatten import EmitterTable
+
+    del params_ref  # reserved (frame knobs are static via cfg)
+
+    emitters = EmitterTable(
+        v0=e_v0, e1=e_e1, e2=e_e2, le=e_le, area=_Col(e_area)
+    ) if has_emitters else None
+    scene = DeviceScene(
+        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=_Col(tri_mat),
+        sph_center=sph_c, sph_radius=_Col(sph_r), sph_mat=_Col(sph_m),
+        materials=DeviceMaterials(
+            base_color=m_base, metallic=_Col(m_metal),
+            roughness=_Col(m_rough), ior=_Col(m_ior), mat_type=_Col(m_type),
+            emission=m_emis, transparency=_Col(m_trans),
+        ),
+        accel=None,
+        emitters=emitters,
+    )
+    lights = DeviceLights(
+        kind=_Col(l_kind), vec=l_vec, color=l_color, intensity=_Col(l_int),
+        attenuation=l_att,
+    )
+
+    def cond(carry):
+        bounce, *_ = carry
+        alive_i = carry[13]
+        return (bounce < cfg.max_depth) & jnp.any(alive_i != 0)
+
+    def body(carry):
+        (bounce, cox, coy, coz, cdx, cdy, cdz, ctx, cty, ctz,
+         crx, cry, crz, calive, cemok, crng, cmissed, cbounces) = carry
+        ps = transport.PathState(
+            origin=Vec3(cox, coy, coz),
+            direction=Vec3(cdx, cdy, cdz),
+            throughput=Vec3(ctx, cty, ctz),
+            radiance=Vec3(crx, cry, crz),
+            rng=crng.astype(jnp.uint32),
+            alive=calive != 0,
+            emission_ok=cemok != 0,
+        )
+        hit = _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
+        new_ps, missed = transport.shade_core(
+            cfg, scene, lights, ps, hit, bounce,
+            bounce == cfg.max_depth - 1,
+            gather_materials=_gather_materials_select,
+            occluded_fn=_rolled_occluded,
+        )
+        return (bounce + 1,
+                new_ps.origin.x, new_ps.origin.y, new_ps.origin.z,
+                new_ps.direction.x, new_ps.direction.y, new_ps.direction.z,
+                new_ps.throughput.x, new_ps.throughput.y, new_ps.throughput.z,
+                new_ps.radiance.x, new_ps.radiance.y, new_ps.radiance.z,
+                new_ps.alive.astype(jnp.int32),
+                new_ps.emission_ok.astype(jnp.int32),
+                new_ps.rng,
+                cmissed | missed.astype(jnp.int32),
+                cbounces + calive)
+
+    zero_i = jnp.zeros_like(alive[:])
+    carry = (jnp.int32(0),
+             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+             tx[:], ty[:], tz[:], rx[:], ry[:], rz[:],
+             alive[:], emok[:], rng[:].astype(jnp.uint32), zero_i, zero_i)
+    out = jax.lax.while_loop(cond, body, carry)
+    (_, _, _, _, fdx, fdy, fdz, ftx, fty, ftz,
+     frx, fry, frz, _, _, _, fmissed, fbounces) = out
+
+    o_dx[:], o_dy[:], o_dz[:] = fdx, fdy, fdz
+    o_tx[:], o_ty[:], o_tz[:] = ftx, fty, ftz
+    o_rx[:], o_ry[:], o_rz[:] = frx, fry, frz
+    o_missed[:] = fmissed
+    o_bounces[:] = fbounces
+
+
+def fused_frame(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    lights: DeviceLights,
+    ps,  # transport.PathState with (N,) planes (freshly generated)
+):
+    """All max_depth bounces of one sample in a single Pallas launch.
+
+    Returns (radiance Vec3, final_direction Vec3, final_throughput Vec3,
+    missed_ever (N,) bool, rays_per_bounce (max_depth,) int32).  The caller
+    owes `throughput * env(direction)` to missed lanes (deferred-env
+    contract, transport.shade / wavefront._wavefront_masked).
+    """
+    n = ps.rng.shape[0]
+    rows = n // LANES
+    shape2 = (rows, LANES)
+    tile_rows = _tile_rows(rows)
+
+    def r2(a):
+        return a.reshape(shape2)
+
+    state_in = [
+        r2(ps.origin.x), r2(ps.origin.y), r2(ps.origin.z),
+        r2(ps.direction.x), r2(ps.direction.y), r2(ps.direction.z),
+        r2(ps.throughput.x), r2(ps.throughput.y), r2(ps.throughput.z),
+        r2(ps.radiance.x), r2(ps.radiance.y), r2(ps.radiance.z),
+        r2(ps.rng), r2(ps.alive.astype(jnp.int32)),
+        r2(ps.emission_ok.astype(jnp.int32)),
+    ]
+    mats = scene.materials
+
+    def col(a):
+        return a.reshape(-1, 1)
+
+    has_emitters = scene.emitters is not None and cfg.nee
+    if has_emitters:
+        em = scene.emitters
+        emitter_tables = [em.v0, em.e1, em.e2, em.le, col(em.area)]
+    else:
+        z13 = jnp.zeros((1, 3), jnp.float32)
+        emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
+    tables = [
+        scene.tri_v0, scene.tri_e1, scene.tri_e2, col(scene.tri_mat),
+        scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
+        mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
+        col(mats.mat_type), mats.emission, col(mats.transparency),
+        col(lights.kind), lights.vec, lights.color, col(lights.intensity),
+        lights.attenuation,
+    ] + emitter_tables
+    params = jnp.zeros((1, 2), jnp.int32)
+
+    grid = (rows // tile_rows,)
+    block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def table_spec(a):
+        shp = a.shape
+        return pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+        + [block] * 15
+        + [table_spec(a) for a in tables]
+    )
+    out_specs = [block] * 11
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct(shape2, f32)] * 9
+        + [jax.ShapeDtypeStruct(shape2, jnp.int32),
+           jax.ShapeDtypeStruct(shape2, jnp.int32)]
+    )
+
+    kern = functools.partial(_frame_kernel, cfg, has_emitters)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(params, *state_in, *tables)
+
+    def r1(a):
+        return a.reshape(n)
+
+    direction = Vec3(r1(outs[0]), r1(outs[1]), r1(outs[2]))
+    throughput = Vec3(r1(outs[3]), r1(outs[4]), r1(outs[5]))
+    radiance = Vec3(r1(outs[6]), r1(outs[7]), r1(outs[8]))
+    missed = r1(outs[9]) != 0
+    # per-bounce live counts from per-lane bounce totals: a lane alive at
+    # bounce b contributes iff it ran more than b bounces.
+    bounces_done = r1(outs[10])
+    rays = jnp.stack(
+        [jnp.sum((bounces_done > b).astype(jnp.int32))
+         for b in range(cfg.max_depth)]
+    )
+    return radiance, direction, throughput, missed, rays

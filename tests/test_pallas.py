@@ -141,3 +141,50 @@ class TestClusterTrace:
         close = np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 1e-4
         assert (both_inf | close).all()
         assert np.isfinite(t_ref).sum() > 200
+
+
+class TestFusedFrame:
+    def test_whole_frame_matches_masked_loop(self):
+        import jax.numpy as jnp
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=6)
+        scene = flatten_scene(build_default_scene())
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height).rays()
+
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, scene, env, lights, ps, jnp.zeros((6,), jnp.int32), fused=False)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg, scene, env, lights, ps2, jnp.zeros((6,), jnp.int32), fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
+
+    def test_cornell_nee_through_kernel(self):
+        import jax.numpy as jnp
+        from spt_tpu.camera import Camera
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+        from spt_tpu.lights import LightManager
+        from spt_tpu.scene import build_cornell_box_scene
+
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=4)
+        scene = flatten_scene(build_cornell_box_scene())
+        env = make_procedural_environment()
+        lights = LightManager().device()
+        cam = Camera(position=(0, 2.75, 9.0), target=(0, 2.75, 0.0),
+                     fov_degrees=50.0, aspect_ratio=1.0).rays()
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, _ = wf._wavefront_masked(
+            cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32), fused=False)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        got, _ = wf._wavefront_masked(
+            cfg, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32), fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
