@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume accumulation from a checkpoint")
     p.add_argument("--interactive", action="store_true",
                    help="interactive terminal viewer (WASD + mouse-less look)")
+    p.add_argument("--tonemap", choices=["reinhard", "aces", "none"],
+                   default="reinhard",
+                   help="display transform at resolve (reference GPU default:"
+                        " reinhard; EnvironmentManager also ships ACES)")
+    p.add_argument("--exposure", type=float, default=2.2)
     p.add_argument("--stats", action="store_true",
                    help="print per-frame ray telemetry")
     p.add_argument("--debug-mode", choices=["geomtype", "hitmiss", "normal",
@@ -68,7 +73,8 @@ def make_renderer(args):
     )
 
     cfg = RenderConfig(width=args.width, height=args.height,
-                       spp=args.spp, max_depth=args.depth)
+                       spp=args.spp, max_depth=args.depth,
+                       tonemap=args.tonemap, exposure=args.exposure)
 
     camera = default_camera(cfg.width, cfg.height)
     if args.gltf:

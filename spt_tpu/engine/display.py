@@ -19,16 +19,21 @@ import numpy as np
 
 
 def _read_key(timeout: float = 0.0):
-    """Non-blocking single-key read (with arrow-key escape sequences)."""
-    r, _, _ = select.select([sys.stdin], [], [], timeout)
+    """Non-blocking single-key read (with arrow-key escape sequences).
+
+    Reads the raw fd with os.read: a buffered sys.stdin.read would swallow
+    read-ahead bytes that select() can then never see (keys would appear to
+    vanish)."""
+    fd = sys.stdin.fileno()
+    r, _, _ = select.select([fd], [], [], timeout)
     if not r:
         return None
-    ch = sys.stdin.read(1)
+    ch = os.read(fd, 1).decode("utf-8", "replace")
     if ch == "\x1b":
-        r, _, _ = select.select([sys.stdin], [], [], 0.01)
+        r, _, _ = select.select([fd], [], [], 0.01)
         if not r:
             return "ESC"
-        seq = sys.stdin.read(2)
+        seq = os.read(fd, 2).decode("utf-8", "replace")
         return {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT"}.get(seq, None)
     return ch
 
@@ -60,10 +65,12 @@ def run_viewer(renderer, max_fps: float = 30.0) -> None:
 
     try:
         size = os.get_terminal_size()
-        cols, rows = min(size.columns, 160), min(size.lines - 2, 50)
     except OSError:
         print("No TTY available; use headless mode instead.")
         return
+    # ptys can report 0x0; clamp to a usable window either way.
+    cols = min(max(size.columns, 40), 160)
+    rows = min(max(size.lines - 2, 12), 50)
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)

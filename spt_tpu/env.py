@@ -129,12 +129,18 @@ def make_hdr_environment(
 def load_environment(path: Optional[str]) -> Environment:
     """Load a Radiance .hdr file (the `--s` CLI path, main.cpp:30-46) or fall
     back to the procedural sky, mirroring the missing-asset fallback
-    (PathTracer.cpp:24-26)."""
+    (PathTracer.cpp:24-26).  Layout is auto-detected like Cubemap::loadFromFile
+    (Cubemap.cpp:18-46): 2:1 equirect used directly, 4:3 horizontal cross
+    resampled to equirect once at load."""
     if not path:
         return make_procedural_environment()
-    from spt_tpu.io.hdr import read_hdr
+    from spt_tpu.io.hdr import detect_layout, read_hdr
 
     img = read_hdr(path)
+    if detect_layout(img.shape[1], img.shape[0]) == "cross":
+        from spt_tpu.io.cubemap_cross import cross_to_equirect
+
+        img = cross_to_equirect(img)
     return make_hdr_environment(img)
 
 

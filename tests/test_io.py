@@ -179,3 +179,39 @@ class TestGltf:
         sd = load_gltf(str(p))
         assert len(sd.meshes) == 1
         assert sd.meshes[0].triangle_count == 1
+
+
+class TestEnvLayoutAutodetect:
+    def test_cross_hdr_converted(self, tmp_path):
+        from spt_tpu.env import load_environment
+        import jax.numpy as jnp
+        from spt_tpu.env import environment_color_v
+        from spt_tpu.ops.vec3 import Vec3
+
+        s = 16
+        img = np.zeros((3 * s, 4 * s, 3), np.float32)
+        offsets = {"+x": (2, 1), "-x": (0, 1), "+y": (1, 0),
+                   "-y": (1, 2), "+z": (1, 1), "-z": (3, 1)}
+        colors = {"+x": [1, 0, 0], "-x": [0, 1, 0], "+y": [0, 0, 1],
+                  "-y": [1, 1, 0], "+z": [1, 0, 1], "-z": [0, 1, 1]}
+        for name, (gx, gy) in offsets.items():
+            img[gy * s:(gy + 1) * s, gx * s:(gx + 1) * s] = colors[name]
+        p = str(tmp_path / "cross.hdr")
+        write_hdr(p, img)
+
+        env = load_environment(p)
+        assert bool(env.enabled)
+        # +y direction must sample the +y face color (blue)
+        up = Vec3(jnp.array([0.0]), jnp.array([1.0]), jnp.array([0.0]))
+        c = np.array(environment_color_v(env, up).to_array())[0]
+        # intensity 0.8 scaling applies
+        np.testing.assert_allclose(c, np.array([0, 0, 1.0]) * 0.8, atol=0.02)
+
+    def test_equirect_hdr_used_directly(self, tmp_path, rng):
+        from spt_tpu.env import load_environment
+
+        img = rng.uniform(0, 2, (32, 64, 3)).astype(np.float32)
+        p = str(tmp_path / "eq.hdr")
+        write_hdr(p, img)
+        env = load_environment(p)
+        assert env.image.shape == (32, 64, 3)
