@@ -46,15 +46,50 @@ def count_rays(stats, cfg, n_lights: int) -> int:
     return primary_and_bounce + shadow
 
 
+def build_workload(scene_name: str, width: int, height: int):
+    """The BASELINE.md benchmark configs (#1 default, #2 cornell, #3 gltf)."""
+    from spt_tpu.camera import Camera
+
+    if scene_name == "cornell":
+        from spt_tpu.scene import build_cornell_box_scene
+        from spt_tpu.lights import LightManager
+
+        cfg = RenderConfig(width=width, height=height, spp=1, max_depth=8)
+        cam = Camera(position=(0, 2.75, 9.0), target=(0, 2.75, 0.0),
+                     fov_degrees=50.0, aspect_ratio=width / height)
+        return Renderer(build_cornell_box_scene(), cfg,
+                        lights=LightManager().device(), camera=cam)
+    if scene_name == "gltf":
+        from spt_tpu.io.gltf import bounding_box, load_gltf
+
+        path = "/root/reference/assets/models/rattan_dining_chair/scene.gltf"
+        desc = load_gltf(path)
+        lo, hi = bounding_box(desc)
+        center = (lo + hi) / 2
+        extent = float(np.linalg.norm(hi - lo))
+        cfg = RenderConfig(width=width, height=height, spp=1, max_depth=4)
+        cam = Camera(position=center + np.array([0.0, 0.35, 1.1]) * extent,
+                     target=center, fov_degrees=60.0,
+                     aspect_ratio=width / height)
+        return Renderer(desc, cfg, camera=cam)
+    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6)
+    return Renderer(build_default_scene(), cfg,
+                    camera=default_camera(width, height))
+
+
 def main():
     width, height = 1920, 1080
     warmup, iters = 2, 8
+    scene_name = "default"
     if "--quick" in sys.argv:
         width, height, iters = 640, 480, 4
+    if "--scene" in sys.argv:
+        scene_name = sys.argv[sys.argv.index("--scene") + 1]
+        if scene_name == "gltf":
+            width, height = 512, 384
 
-    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6)
-    r = Renderer(build_default_scene(), cfg,
-                 camera=default_camera(width, height))
+    r = build_workload(scene_name, width, height)
+    cfg = r.cfg
     r.camera.reset_movement_tracking()
 
     for _ in range(warmup):
@@ -74,7 +109,7 @@ def main():
 
     mrays = total_rays / dt / 1e6
     result = {
-        "metric": f"wavefront_mrays_per_sec_default_scene_{width}x{height}",
+        "metric": f"wavefront_mrays_per_sec_{scene_name}_scene_{width}x{height}",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 3),
