@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exposure", type=float, default=2.2)
     p.add_argument("--stats", action="store_true",
                    help="print per-frame ray telemetry")
+    p.add_argument("--orbit", type=float, default=0.0, metavar="DEG",
+                   help="rotate the camera DEG degrees around the target "
+                        "each frame (animated-camera benchmark; progressive "
+                        "accumulation resets on motion, GLRenderer.cpp:145-161)")
     p.add_argument("--debug-mode", choices=["geomtype", "hitmiss", "normal",
                                             "depth", "matid"],
                    help="render a single-bounce debug visualization instead "
@@ -110,7 +114,14 @@ def make_renderer(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    r = make_renderer(args)
+    try:
+        r = make_renderer(args)
+    except FileNotFoundError as e:
+        print(f"error: {e.filename or e}: no such file", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     if args.debug_mode:
         import numpy as _np
@@ -124,7 +135,15 @@ def main(argv=None) -> int:
         return 0
 
     if args.resume:
-        r.load_checkpoint(args.resume)
+        try:
+            r.load_checkpoint(args.resume)
+        except FileNotFoundError:
+            print(f"error: checkpoint {args.resume}: no such file", file=sys.stderr)
+            return 2
+        except AssertionError as e:
+            print(f"error: {e} (checkpoint was saved at a different "
+                  f"resolution than --width/--height)", file=sys.stderr)
+            return 2
         print(f"Resumed from {args.resume} at {r.accumulated_samples:.0f} samples")
 
     if args.interactive:
@@ -137,7 +156,9 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     last_log = t0
     for f in range(args.frames):
-        r.render_frame(check_camera=False)
+        if args.orbit and f:
+            r.camera.process_mouse(args.orbit / r.camera.mouse_sensitivity, 0.0)
+        r.render_frame(check_camera=bool(args.orbit))
         now = time.perf_counter()
         if args.stats and r.last_stats is not None:
             rays = np.asarray(r.last_stats.rays_per_bounce)

@@ -80,3 +80,26 @@ class TestTelemetry:
         assert rt.total_rays == 200
         assert rt.mrays_per_sec > 0
         assert "200" in rt.report() or "0.00" in rt.report()
+
+
+class TestAnsiViewer:
+    def test_to_ansi_frame(self):
+        from spt_tpu.engine.display import _to_ansi
+
+        img = np.zeros((20, 30, 3), np.float32)
+        img[:10] = [1.0, 0.0, 0.0]   # top half red
+        img[10:] = [0.0, 0.0, 1.0]   # bottom half blue
+        frame = _to_ansi(img, cols=15, rows=5)
+        lines = frame.split("\n")
+        assert len(lines) == 5
+        assert "▀" in frame
+        assert "\x1b[38;2;255;0;0m" in frame   # red foreground somewhere
+        assert "\x1b[48;2;0;0;255m" in frame   # blue background somewhere
+        assert frame.endswith("\x1b[0m")
+
+    def test_to_ansi_tiny_terminal(self):
+        from spt_tpu.engine.display import _to_ansi
+
+        img = np.ones((4, 4, 3), np.float32) * 0.5
+        frame = _to_ansi(img, cols=2, rows=1)
+        assert frame.count("▀") == 2
