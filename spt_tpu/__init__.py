@@ -22,16 +22,52 @@ Architecture (vs. the reference):
   over a device mesh (:mod:`spt_tpu.parallel`).
 """
 
-from spt_tpu.config import RenderConfig
-from spt_tpu.camera import Camera
-from spt_tpu.scene import SceneDesc, build_default_scene, build_test_triangle_scene
+from spt_tpu.config import RenderConfig, GPU_PARITY
+from spt_tpu.camera import Camera, default_camera
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Lazy re-exports: keep `import spt_tpu` light (no jax-heavy modules)
+    # while offering the full user-facing API at the package root.
+    lazy = {
+        "SceneDesc": ("spt_tpu.scene", "SceneDesc"),
+        "Material": ("spt_tpu.scene", "Material"),
+        "build_default_scene": ("spt_tpu.scene", "build_default_scene"),
+        "build_test_triangle_scene": ("spt_tpu.scene", "build_test_triangle_scene"),
+        "build_cornell_box_scene": ("spt_tpu.scene", "build_cornell_box_scene"),
+        "flatten_scene": ("spt_tpu.scene", "flatten_scene"),
+        "Renderer": ("spt_tpu.engine", "Renderer"),
+        "LightManager": ("spt_tpu.lights", "LightManager"),
+        "load_environment": ("spt_tpu.env", "load_environment"),
+        "load_gltf": ("spt_tpu.io.gltf", "load_gltf"),
+        "render_wavefront": ("spt_tpu.integrators", "render_wavefront"),
+        "render_megakernel": ("spt_tpu.integrators", "render_megakernel"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'spt_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "RenderConfig",
+    "GPU_PARITY",
     "Camera",
+    "default_camera",
     "SceneDesc",
+    "Material",
     "build_default_scene",
     "build_test_triangle_scene",
+    "build_cornell_box_scene",
+    "flatten_scene",
+    "Renderer",
+    "LightManager",
+    "load_environment",
+    "load_gltf",
+    "render_wavefront",
+    "render_megakernel",
 ]

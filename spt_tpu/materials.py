@@ -19,7 +19,11 @@ from typing import List, NamedTuple, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from spt_tpu.scene.desc import Material, MATERIAL_TYPE_DIELECTRIC, MATERIAL_TYPE_PBR
+# NOTE: scene.desc is imported lazily inside functions — importing it here
+# re-enters spt_tpu.scene.__init__ -> scene.flatten -> this module (a cycle
+# that trips when spt_tpu.engine is imported before spt_tpu.scene).
+MATERIAL_TYPE_PBR = 0
+MATERIAL_TYPE_DIELECTRIC = 1
 
 
 class DeviceMaterials(NamedTuple):
@@ -40,7 +44,7 @@ class DeviceMaterials(NamedTuple):
         return self.base_color.shape[0]
 
 
-def build_device_materials(materials: Sequence[Material]) -> DeviceMaterials:
+def build_device_materials(materials: Sequence["Material"]) -> DeviceMaterials:
     """Material list -> SoA table (MaterialManager::buildDeviceMaterials,
     MaterialManager.cpp:13-19, with derived transparency baked in)."""
     if len(materials) == 0:
@@ -75,54 +79,60 @@ def gather(table: DeviceMaterials, mat_id: jnp.ndarray) -> DeviceMaterials:
 
 # --- Preset library (Material.h:99-148) ---------------------------------------
 
-def gold() -> Material:
-    return Material([1.0, 0.71, 0.29], metallic=1.0, roughness=0.05)
+def _material_cls():
+    from spt_tpu.scene.desc import Material
+
+    return Material
 
 
-def silver() -> Material:
-    return Material([0.95, 0.93, 0.88], metallic=1.0, roughness=0.02)
+def gold() -> "Material":
+    return _material_cls()([1.0, 0.71, 0.29], metallic=1.0, roughness=0.05)
 
 
-def copper() -> Material:
-    return Material([0.95, 0.64, 0.54], metallic=1.0, roughness=0.08)
+def silver() -> "Material":
+    return _material_cls()([0.95, 0.93, 0.88], metallic=1.0, roughness=0.02)
 
 
-def iron() -> Material:
-    return Material([0.56, 0.57, 0.58], metallic=1.0, roughness=0.3)
+def copper() -> "Material":
+    return _material_cls()([0.95, 0.64, 0.54], metallic=1.0, roughness=0.08)
 
 
-def plastic() -> Material:
-    return Material([0.8, 0.2, 0.2], metallic=0.0, roughness=0.4, ior=1.2)
+def iron() -> "Material":
+    return _material_cls()([0.56, 0.57, 0.58], metallic=1.0, roughness=0.3)
 
 
-def rubber() -> Material:
-    return Material([0.3, 0.3, 0.3], metallic=0.0, roughness=0.8, ior=1.1)
+def plastic() -> "Material":
+    return _material_cls()([0.8, 0.2, 0.2], metallic=0.0, roughness=0.4, ior=1.2)
 
 
-def glass() -> Material:
-    return Material([1.0, 1.0, 1.0], metallic=0.0, roughness=0.0, ior=1.5,
-                    mat_type=MATERIAL_TYPE_DIELECTRIC)
+def rubber() -> "Material":
+    return _material_cls()([0.3, 0.3, 0.3], metallic=0.0, roughness=0.8, ior=1.1)
 
 
-def clear_glass() -> Material:
-    return Material([0.95, 0.98, 1.0], metallic=0.0, roughness=0.02, ior=1.5,
-                    mat_type=MATERIAL_TYPE_DIELECTRIC)
+def glass() -> "Material":
+    return _material_cls()([1.0, 1.0, 1.0], metallic=0.0, roughness=0.0, ior=1.5,
+                           mat_type=MATERIAL_TYPE_DIELECTRIC)
 
 
-def wood() -> Material:
-    return Material([0.4, 0.25, 0.1], metallic=0.0, roughness=0.7, ior=1.0)
+def clear_glass() -> "Material":
+    return _material_cls()([0.95, 0.98, 1.0], metallic=0.0, roughness=0.02,
+                           ior=1.5, mat_type=MATERIAL_TYPE_DIELECTRIC)
 
 
-def concrete() -> Material:
-    return Material([0.6, 0.6, 0.6], metallic=0.0, roughness=0.9, ior=1.0)
+def wood() -> "Material":
+    return _material_cls()([0.4, 0.25, 0.1], metallic=0.0, roughness=0.7, ior=1.0)
 
 
-def light(color=(1.0, 1.0, 1.0), intensity: float = 5.0) -> Material:
-    return Material([0.0, 0.0, 0.0], metallic=0.0, roughness=1.0,
-                    emission=np.asarray(color, np.float32) * intensity)
+def concrete() -> "Material":
+    return _material_cls()([0.6, 0.6, 0.6], metallic=0.0, roughness=0.9, ior=1.0)
 
 
-def default_materials() -> List[Material]:
+def light(color=(1.0, 1.0, 1.0), intensity: float = 5.0) -> "Material":
+    return _material_cls()([0.0, 0.0, 0.0], metallic=0.0, roughness=1.0,
+                           emission=np.asarray(color, np.float32) * intensity)
+
+
+def default_materials() -> List["Material"]:
     """The 9-entry default table (MaterialManager.cpp:21-52):
     gold, silver, copper, iron, glass(DIELECTRIC), plastic, rubber, wood,
     concrete."""
