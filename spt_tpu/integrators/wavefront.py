@@ -56,7 +56,7 @@ def _pallas_bounce_ok(scene, lights, n_lanes: int) -> bool:
         return False
     from spt_tpu.ops import pallas_bounce
 
-    return pallas_bounce.supports(scene, lights, n_lanes)
+    return pallas_bounce.supports(scene, lights, n_lanes, pad_ok=True)
 
 
 class WavefrontStats(NamedTuple):
@@ -223,11 +223,28 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
     if fused:
         from spt_tpu.ops import pallas_bounce
 
+        # Pad to a tileable lane count with dead lanes (whole dead tiles are
+        # skipped by the kernel's early-out) so arbitrary resolutions — e.g.
+        # the reference's 800x600 — still take the fused path.
+        n = ps.rng.shape[0]
+        n_pad = -n % (64 * 128)
+        if n_pad:
+            def pad(a):
+                widths = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, widths)
+
+            ps = jax.tree.map(pad, ps)
+            ps = ps._replace(alive=ps.alive.at[n:].set(False))
         radiance, direction, throughput, missed_ever, rays = (
             pallas_bounce.fused_frame(cfg, scene, lights, ps)
         )
+        if n_pad:
+            radiance, direction, throughput, missed_ever = jax.tree.map(
+                lambda a: a[:n],
+                (radiance, direction, throughput, missed_ever),
+            )
         env_c = environment_color_v(env, direction)
-        zero3 = Vec3.full((0, 0, 0), ps.rng.shape)
+        zero3 = Vec3.full((0, 0, 0), missed_ever.shape)
         radiance = radiance + v3.where(missed_ever, throughput * env_c, zero3)
         rad = radiance.to_array()
         if unswizzle is not None:

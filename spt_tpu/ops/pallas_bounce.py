@@ -115,15 +115,22 @@ def _tile_rows(rows: int) -> int:
 MAX_PALLAS_EMITTERS = 16
 
 
-def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int) -> bool:
-    """Whether the fused kernel can run this workload."""
-    return (
+def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
+             pad_ok: bool = False) -> bool:
+    """Whether the fused kernels can run this workload.
+
+    `pad_ok=True` is for fused_frame callers that pad dead lanes up to a
+    64x128 multiple themselves (wavefront masked path); fused_bounce callers
+    need the lane count to tile as-is."""
+    if not (
         scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS
         and scene.materials.count <= MAX_PALLAS_MATERIALS
         and (scene.emitters is None or scene.emitters.count <= MAX_PALLAS_EMITTERS)
-        and n_lanes % LANES == 0
-        and _tile_rows(n_lanes // LANES) > 0
-    )
+    ):
+        return False
+    if pad_ok:
+        return True
+    return n_lanes % LANES == 0 and _tile_rows(n_lanes // LANES) > 0
 
 
 def _rolled_closest(scene, o, d, tmin):
