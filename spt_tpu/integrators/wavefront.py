@@ -225,9 +225,14 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
 
         # Pad to a tileable lane count with dead lanes (whole dead tiles are
         # skipped by the kernel's early-out) so arbitrary resolutions — e.g.
-        # the reference's 800x600 — still take the fused path.
+        # the reference's 800x600 — still take the fused path.  Natively
+        # tileable counts (1080p: 40-row tiles) are left alone so the kernel
+        # tiles stay aligned with the swizzle blocks.
         n = ps.rng.shape[0]
-        n_pad = -n % (64 * 128)
+        natively_tileable = (
+            n % 128 == 0 and pallas_bounce._tile_rows(n // 128) > 0
+        )
+        n_pad = 0 if natively_tileable else (-n % (64 * 128))
         if n_pad:
             def pad(a):
                 widths = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
