@@ -322,3 +322,54 @@ class TestQuirkToggles:
                                          scene, env, lights, cam.rays(), 0))
         assert b.sum() > a.sum()
         assert not np.allclose(a, b)
+
+
+class TestGltfSceneOracle:
+    def test_gltf_loaded_scene_rmse(self, tmp_path):
+        """BASELINE config #3: a glTF-ingested mesh scene gated vs the oracle."""
+        import json
+
+        positions = np.array(
+            [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2],   # ground quad
+             [-0.5, 0, 0], [0.5, 0, 0], [0, 1.2, 0]],          # standing tri
+            np.float32)
+        indices = np.array([0, 1, 2, 0, 2, 3, 4, 5, 6], np.uint16)
+        bin_data = positions.tobytes() + indices.tobytes() + b"\x00\x00"
+        doc = {
+            "asset": {"version": "2.0"}, "scene": 0,
+            "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [
+                {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+            "materials": [{"pbrMetallicRoughness": {
+                "baseColorFactor": [0.7, 0.6, 0.3, 1.0],
+                "metallicFactor": 0.0, "roughnessFactor": 0.8}}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 7, "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5123, "count": 9, "type": "SCALAR"},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 84},
+                {"buffer": 0, "byteOffset": 84, "byteLength": 18},
+            ],
+            "buffers": [{"uri": "d.bin", "byteLength": len(bin_data)}],
+        }
+        (tmp_path / "d.bin").write_bytes(bin_data)
+        (tmp_path / "s.gltf").write_text(json.dumps(doc))
+
+        from spt_tpu.io.gltf import load_gltf
+
+        scene = flatten_scene(load_gltf(str(tmp_path / "s.gltf")))
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = Camera(position=(0, 1.5, 4.5), target=(0, 0.5, 0),
+                     fov_degrees=50.0, aspect_ratio=4 / 3)
+        cfg = RenderConfig(width=32, height=24, spp=1, max_depth=4)
+        img = np.asarray(
+            render_megakernel(cfg, scene, env, lights, cam.rays(), 0))
+        want = ref.render_image(cfg, ref.NpScene(scene),
+                                ref.lights_from_device(lights), cam, frame=0)
+        err = _rmse(img, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+        # the mesh is actually visible (hits happen)
+        assert not np.allclose(img, img[0, 0])
