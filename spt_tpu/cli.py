@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate the camera DEG degrees around the target "
                         "each frame (animated-camera benchmark; progressive "
                         "accumulation resets on motion, GLRenderer.cpp:145-161)")
+    p.add_argument("--integrator", choices=["masked", "compact", "regen"],
+                   default="masked",
+                   help="wavefront lane scheduling: masked lanes (default, "
+                        "fastest on TPU), compacted queues, or per-lane path "
+                        "regeneration")
+    p.add_argument("--swizzle", action="store_true",
+                   help="block-swizzle lanes so fused-kernel tiles are "
+                        "compact image rects (improves whole-tile early-out)")
     p.add_argument("--debug-mode", choices=["geomtype", "hitmiss", "normal",
                                             "depth", "matid"],
                    help="render a single-bounce debug visualization instead "
@@ -78,7 +86,8 @@ def make_renderer(args):
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        spp=args.spp, max_depth=args.depth,
-                       tonemap=args.tonemap, exposure=args.exposure)
+                       tonemap=args.tonemap, exposure=args.exposure,
+                       integrator=args.integrator, swizzle=args.swizzle)
 
     camera = default_camera(cfg.width, cfg.height)
     if args.gltf:
@@ -105,9 +114,18 @@ def make_renderer(args):
     else:
         desc = build_default_scene()
 
-    env = load_environment(args.skybox)
-    if args.skybox:
-        print(f"Loaded skybox {args.skybox}")
+    # Quirk 8 parity: a bad skybox warns and falls back to the procedural
+    # sky instead of aborting (main.cpp:196-202 "Failed to load skybox...
+    # Continuing with default environment").
+    try:
+        env = load_environment(args.skybox)
+    except (FileNotFoundError, ValueError, OSError) as e:
+        print(f"warning: failed to load skybox {args.skybox}: {e}; "
+              f"continuing with the procedural sky", file=sys.stderr)
+        env = load_environment(None)
+    else:
+        if args.skybox:
+            print(f"Loaded skybox {args.skybox}")
 
     return Renderer(desc, cfg, env=env, camera=camera)
 

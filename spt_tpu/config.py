@@ -93,6 +93,24 @@ class RenderConfig:
     # (device_programs.cu:648 "fminf(scale, 50.0f)")
     firefly_clamp: float = 50.0
 
+    # Wavefront lane scheduling (see integrators/wavefront.py for the
+    # measured trade-offs on TPU):
+    #   "masked"  — all lanes every bounce, dead lanes masked (the default;
+    #               fastest on TPU, where lanes are free and gathers are not).
+    #   "compact" — cumsum-compacted queues (the GPU-folklore strategy; kept
+    #               as a measured negative result, 9x slower at 1080p).
+    #   "regen"   — per-lane path regeneration [Novák et al. 2010]: a lane
+    #               restarts with its pixel's next sample the moment its path
+    #               dies, folding the whole spp budget into one depth loop.
+    integrator: str = "masked"
+
+    # Block-swizzle the lane -> pixel mapping so each fused-kernel tile is a
+    # compact (tile_rows x 128) image rect instead of a full-width strip:
+    # live paths cluster spatially, so compact tiles let the kernel's
+    # whole-tile early-out actually fire.  Only affects the fused TPU path
+    # (pure index arithmetic; the image is bitwise identical).
+    swizzle: bool = False
+
     # Compute dtype for shading math. Intersection always runs fp32.
     dtype: str = "float32"
 

@@ -57,12 +57,15 @@ def accumulate(state: RenderState, radiance: jnp.ndarray, spp: float) -> RenderS
 
 
 def save_checkpoint(path: str, state: RenderState) -> None:
-    np.savez(
-        path,
-        accum=np.asarray(state.accum),
-        sample_count=np.asarray(state.sample_count),
-        frame_index=np.asarray(state.frame_index),
-    )
+    # Write through an open handle: np.savez appends ".npz" when given a bare
+    # path, which would break the save->load round trip for other extensions.
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            accum=np.asarray(state.accum),
+            sample_count=np.asarray(state.sample_count),
+            frame_index=np.asarray(state.frame_index),
+        )
 
 
 def load_checkpoint(path: str) -> RenderState:

@@ -41,6 +41,11 @@ from spt_tpu.ops import vec3 as v3
 from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.scene.flatten import DeviceScene
 
+# Emitter tables up to this size unroll NEE selection as masked selects;
+# larger tables switch to per-lane gathers (slower per lane, but O(1) program
+# size — required once emissive meshes arrive via glTF).
+NEE_SELECT_UNROLL = 32
+
 
 class PathState(NamedTuple):
     """SoA path state (LaunchParams.h:16-25 as component lane arrays)."""
@@ -228,29 +233,40 @@ def shade_core(
         rng, xe = rng_ops.next_float(rng)
         rng, xu1 = rng_ops.next_float(rng)
         rng, xu2 = rng_ops.next_float(rng)
-        # uniform emitter pick: loop-select (tiny table; lane gathers are slow)
+        # uniform emitter pick.  Small tables unroll as masked selects (lane
+        # gathers are slow on TPU); past NEE_SELECT_UNROLL the unroll would
+        # bloat the XLA program linearly in emitter count (a glTF scene can
+        # carry hundreds of emissive triangles), so large tables gather.
         pick = jnp.clip((xe * e_count).astype(jnp.int32), 0, e_count - 1)
         zl = jnp.zeros(shape, jnp.float32)
-        ev0 = Vec3(zl, zl, zl)
-        ee1 = Vec3(zl, zl, zl)
-        ee2 = Vec3(zl, zl, zl)
-        ele = Vec3(zl, zl, zl)
-        earea = zl
-        for ei in range(e_count):
-            selm = pick == ei
-            ev0 = v3.where(selm, Vec3(emitters.v0[ei, 0] + zl,
-                                      emitters.v0[ei, 1] + zl,
-                                      emitters.v0[ei, 2] + zl), ev0)
-            ee1 = v3.where(selm, Vec3(emitters.e1[ei, 0] + zl,
-                                      emitters.e1[ei, 1] + zl,
-                                      emitters.e1[ei, 2] + zl), ee1)
-            ee2 = v3.where(selm, Vec3(emitters.e2[ei, 0] + zl,
-                                      emitters.e2[ei, 1] + zl,
-                                      emitters.e2[ei, 2] + zl), ee2)
-            ele = v3.where(selm, Vec3(emitters.le[ei, 0] + zl,
-                                      emitters.le[ei, 1] + zl,
-                                      emitters.le[ei, 2] + zl), ele)
-            earea = jnp.where(selm, emitters.area[ei], earea)
+        if e_count <= NEE_SELECT_UNROLL:
+            ev0 = Vec3(zl, zl, zl)
+            ee1 = Vec3(zl, zl, zl)
+            ee2 = Vec3(zl, zl, zl)
+            ele = Vec3(zl, zl, zl)
+            earea = zl
+            for ei in range(e_count):
+                selm = pick == ei
+                ev0 = v3.where(selm, Vec3(emitters.v0[ei, 0] + zl,
+                                          emitters.v0[ei, 1] + zl,
+                                          emitters.v0[ei, 2] + zl), ev0)
+                ee1 = v3.where(selm, Vec3(emitters.e1[ei, 0] + zl,
+                                          emitters.e1[ei, 1] + zl,
+                                          emitters.e1[ei, 2] + zl), ee1)
+                ee2 = v3.where(selm, Vec3(emitters.e2[ei, 0] + zl,
+                                          emitters.e2[ei, 1] + zl,
+                                          emitters.e2[ei, 2] + zl), ee2)
+                ele = v3.where(selm, Vec3(emitters.le[ei, 0] + zl,
+                                          emitters.le[ei, 1] + zl,
+                                          emitters.le[ei, 2] + zl), ele)
+                earea = jnp.where(selm, emitters.area[ei], earea)
+        else:
+            def g3(tab):
+                return Vec3(tab[pick, 0], tab[pick, 1], tab[pick, 2])
+
+            ev0, ee1, ee2, ele = (g3(emitters.v0), g3(emitters.e1),
+                                  g3(emitters.e2), g3(emitters.le))
+            earea = emitters.area[pick]
         # uniform point on the triangle
         su = jnp.sqrt(jnp.maximum(xu1, 0.0))
         b1 = 1.0 - su

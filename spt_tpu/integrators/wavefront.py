@@ -75,7 +75,7 @@ def _queue_width(n: int) -> int:
     return ((w + 1023) // 1024) * 1024 if w >= 1024 else w
 
 
-def _swizzle(cfg, rows: int, n: int):
+def _swizzle(cfg, rows: int, n: int, row0=0):
     """Block-swizzled lane -> pixel mapping so each fused-kernel tile covers
     a compact (th x 128)-pixel image rect instead of a thin full-width strip.
 
@@ -84,15 +84,13 @@ def _swizzle(cfg, rows: int, n: int):
     object).  Pure index arithmetic + one transpose at frame output — no
     gathers, and the per-pixel RNG keeps the image bitwise identical.
 
+    `row0` offsets the mapping to a horizontal band (pixel-axis sharding);
+    pixel indices are global, like gen_primary's own row-major mapping.
+
     Returns (pixel_indices (N,), unswizzle(radiance (N,3)) -> (rows, W, 3))
-    or (None, None) when the shape doesn't tile.
+    or (None, None) when the shape doesn't tile.  Pure index math — works on
+    any backend (callers gate on the fused path where it pays).
     """
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        return None, None
-    if platform in ("cpu", "gpu"):
-        return None, None
     from spt_tpu.ops import pallas_bounce
 
     th = pallas_bounce._tile_rows(n // 128)
@@ -108,7 +106,7 @@ def _swizzle(cfg, rows: int, n: int):
     lx = rem % jnp.uint32(128)
     b_y = block // jnp.uint32(bx)
     b_x = block % jnp.uint32(bx)
-    py = b_y * jnp.uint32(th) + ly
+    py = b_y * jnp.uint32(th) + ly + jnp.asarray(row0, jnp.uint32)
     px = b_x * jnp.uint32(128) + lx
 
     def unswizzle(rad):
@@ -159,19 +157,35 @@ def wavefront_sample(
     compact: bool = False,
 ) -> Tuple[jnp.ndarray, WavefrontStats]:
     """One sample per pixel -> ((N, 3) radiance, stats)."""
-    ps = transport.gen_primary(cfg, camera, frame_index, sample_index, row0, rows)
-    n = ps.num_paths
+    n = cfg.width * (rows if rows is not None else cfg.height)
     rays0 = jnp.zeros((cfg.max_depth,), jnp.int32)
 
     fused = _pallas_bounce_ok(scene, lights, n)
+    pixel = unswizzle = None
+    if fused and cfg.swizzle and not compact:
+        pixel, unswizzle = _swizzle(cfg, rows if rows is not None else cfg.height,
+                                    n, row0)
+    ps = transport.gen_primary(cfg, camera, frame_index, sample_index, row0, rows,
+                               pixel=pixel)
     if not compact or cfg.max_depth == 1 or n < 16384:
-        return _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused)
+        return _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused,
+                                 unswizzle=unswizzle)
 
-    # Primary bounce at full width (everything is live).
+    # Primary bounce at full width (everything is live).  fused_bounce cannot
+    # pad lanes, so it needs the lane count to tile as-is (pad_ok=False) —
+    # `fused` above is the pad_ok=True gate used by the masked path.
+    if fused:
+        from spt_tpu.ops import pallas_bounce
+
+        fused = pallas_bounce.supports(scene, lights, n, pad_ok=False)
     rays0 = rays0.at[0].set(n)
     ps = _bounce(cfg, scene, env, lights, ps, 0, cfg.max_depth == 1, fused)
 
     w = _queue_width(n)
+    # Pad the queue so fixed-width chunk slices never clamp: an unpadded
+    # dynamic_slice whose last chunk starts past n - w would slide backwards
+    # and re-bounce earlier queue entries (double RNG advance + radiance).
+    q_pad = (n + w - 1) // w * w - n
 
     def cond(carry):
         bounce, ps, _ = carry
@@ -180,6 +194,12 @@ def wavefront_sample(
     def body(carry):
         bounce, ps, rays = carry
         queue, count = compact_indices(ps.alive)
+        if q_pad:
+            # Padding entries point at lane n: the gather clamps them to a
+            # masked-invalid lane and the scatter-home drops them.
+            queue = jnp.concatenate(
+                [queue, jnp.full((q_pad,), n, jnp.int32)]
+            )
         rays = rays.at[bounce].set(count)
         is_last = bounce == cfg.max_depth - 1
 
@@ -294,9 +314,18 @@ def render_wavefront(
     rows: int = None,
     compact: bool = False,
 ) -> Tuple[jnp.ndarray, WavefrontStats]:
-    """cfg.spp samples -> ((rows, W, 3) linear radiance, summed stats)."""
+    """cfg.spp samples -> ((rows, W, 3) linear radiance, summed stats).
+
+    Lane scheduling comes from cfg.integrator ("masked" | "compact" |
+    "regen"); the `compact` argument is an explicit override kept for
+    benchmarks and A/B tests.
+    """
     if rows is None:
         rows = cfg.height
+    if cfg.integrator == "regen":
+        return render_wavefront_regen(cfg, scene, env, lights, camera,
+                                      frame_index, row0, rows)
+    compact = compact or cfg.integrator == "compact"
     acc = jnp.zeros((cfg.width * rows, 3), jnp.float32)
     rays = jnp.zeros((cfg.max_depth,), jnp.int32)
     bounces = jnp.int32(0)

@@ -161,7 +161,8 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
     if len(desc.materials) and v0.shape[0]:
         em = np.stack([m.emission for m in desc.materials]).astype(np.float32)
         emissive_mat = (em.max(axis=1) > 0.0)
-        sel = emissive_mat[np.clip(tri_mat, 0, len(desc.materials) - 1)]
+        tm_clip = np.clip(tri_mat, 0, len(desc.materials) - 1)
+        sel = emissive_mat[tm_clip]
         # padded tris have mat 0; exclude degenerates
         degen = (np.abs(v1 - v0).sum(1) == 0) & (np.abs(v2 - v0).sum(1) == 0)
         sel = sel & ~degen
@@ -172,7 +173,7 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
                 v0=jnp.asarray(ev0),
                 e1=jnp.asarray(ee1),
                 e2=jnp.asarray(ee2),
-                le=jnp.asarray(em[tri_mat[sel]]),
+                le=jnp.asarray(em[tm_clip[sel]]),
                 area=jnp.asarray(area.astype(np.float32)),
             )
 

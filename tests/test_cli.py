@@ -29,7 +29,25 @@ class TestReferenceFlagParity:
     def test_extended_flags(self):
         a = build_parser().parse_args(
             ["--scene", "cornell", "--tonemap", "aces", "--orbit", "3",
-             "--debug-mode", "normal", "--checkpoint", "c.npz"]
+             "--debug-mode", "normal", "--checkpoint", "c.npz",
+             "--integrator", "regen", "--swizzle"]
         )
         assert a.scene == "cornell" and a.tonemap == "aces"
         assert a.orbit == 3.0 and a.debug_mode == "normal"
+        assert a.integrator == "regen" and a.swizzle is True
+
+
+class TestSkyboxFallback:
+    def test_bad_skybox_warns_and_continues(self, capsys, tmp_path):
+        # Quirk 8 parity (main.cpp:196-202): a missing/corrupt skybox must
+        # not abort — warn and render with the procedural sky.
+        from spt_tpu.cli import make_renderer
+
+        args = build_parser().parse_args(
+            ["--s", str(tmp_path / "nope.hdr"), "--width", "16",
+             "--height", "16", "--spp", "1"]
+        )
+        r = make_renderer(args)  # must not raise
+        assert r.env is not None
+        err = capsys.readouterr().err
+        assert "warning" in err and "procedural sky" in err

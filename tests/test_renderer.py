@@ -88,6 +88,17 @@ class TestCheckpoint:
         r2.render_frame(check_camera=False)
         assert r2.accumulated_samples == 3
 
+    def test_roundtrip_without_npz_extension(self, tmp_path):
+        # np.savez appends ".npz" to bare paths; save must write the exact
+        # path given so `--checkpoint r.ckpt` + `--resume r.ckpt` round-trips.
+        r = make_renderer()
+        r.render_frame()
+        path = str(tmp_path / "ckpt.dat")
+        r.save_checkpoint(path)
+        r2 = make_renderer()
+        r2.load_checkpoint(path)
+        np.testing.assert_array_equal(r.image(), r2.image())
+
 
 class TestImageIO:
     def test_png_roundtrip(self, tmp_path):

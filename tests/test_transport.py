@@ -167,6 +167,26 @@ class TestCompactedWavefront:
             np.asarray(sa.rays_per_bounce), np.asarray(sb.rays_per_bounce)
         )
 
+    def test_multi_chunk_bounce(self):
+        # Regression: an enclosed scene keeps every lane live past bounce 0,
+        # so secondary bounces need multiple queue chunks (count > chunk
+        # width).  Unpadded, the last chunk's dynamic_slice clamped backwards
+        # and re-bounced earlier queue entries (double RNG advance/radiance).
+        scene = flatten_scene(build_cornell_box_scene())
+        env = make_procedural_environment()
+        lights = LightManager().device()
+        cfg = RenderConfig(width=200, height=100, spp=1, max_depth=3)
+        # camera inside the box so nearly every lane survives bounce 0
+        cam = Camera(position=(0, 2.75, 2.5), target=(0, 2.75, 0.0),
+                     fov_degrees=70.0, aspect_ratio=cfg.width / cfg.height)
+        a, sa = render_wavefront(cfg, scene, env, lights, cam.rays(), 0, compact=False)
+        b, sb = render_wavefront(cfg, scene, env, lights, cam.rays(), 0, compact=True)
+        assert int(sa.rays_per_bounce[1]) > 8192  # really multi-chunk
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(sa.rays_per_bounce), np.asarray(sb.rays_per_bounce)
+        )
+
 
 class TestSwizzle:
     def test_swizzle_roundtrip(self, monkeypatch):
@@ -206,6 +226,45 @@ class TestSwizzle:
         assert ys.max() - ys.min() + 1 == th
         assert xs.max() - xs.min() + 1 == 128
 
+    def test_swizzled_transport_equals_row_major(self, setup):
+        # End-to-end through gen_primary + the masked depth loop: RNG is
+        # seeded by PIXEL, so any lane order renders the identical image.
+        from spt_tpu.integrators import transport, wavefront as wf
+
+        scene, env, lights, cam = setup
+        cfg = RenderConfig(width=256, height=128, spp=1, max_depth=3)
+        cam = default_camera(cfg.width, cfg.height)
+        rays = cam.rays()
+        n = cfg.num_pixels
+        pixel, unswizzle = wf._swizzle(cfg, cfg.height, n)
+        assert pixel is not None
+        rays0 = jnp.zeros((cfg.max_depth,), jnp.int32)
+        a, _ = wf._wavefront_masked(
+            cfg, scene, env, lights,
+            transport.gen_primary(cfg, rays, 0), rays0)
+        b, _ = wf._wavefront_masked(
+            cfg, scene, env, lights,
+            transport.gen_primary(cfg, rays, 0, pixel=pixel), rays0,
+            unswizzle=unswizzle)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRegeneration:
+    def test_regen_equals_masked(self, setup):
+        # Same per-(pixel, sample) seeds and per-pixel accumulation order;
+        # only lane scheduling differs, so images match to float tolerance.
+        scene, env, lights, cam = setup
+        cfg = CFG.replace(spp=3)
+        a, sa = render_wavefront(cfg, scene, env, lights, cam.rays(), 0)
+        b, sb = render_wavefront(cfg.replace(integrator="regen"),
+                                 scene, env, lights, cam.rays(), 0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+        # both schedule the same rays in total, attributed per depth
+        np.testing.assert_array_equal(
+            np.asarray(sa.rays_per_bounce), np.asarray(sb.rays_per_bounce)
+        )
+
 
 class TestEmissiveNEE:
     def _setup(self):
@@ -230,6 +289,18 @@ class TestEmissiveNEE:
         err = _rmse(img, want)
         scale = float(np.sqrt(np.mean(want**2))) + 1e-9
         assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+
+    def test_nee_gather_matches_unrolled(self, monkeypatch):
+        # Large emitter tables take the gather path instead of the masked
+        # select unroll; both read the same table values, so results match.
+        from spt_tpu.integrators import transport
+
+        scene, env, lights, cam = self._setup()
+        cfg = RenderConfig(width=20, height=20, spp=1, max_depth=4)
+        a = np.asarray(render_megakernel(cfg, scene, env, lights, cam.rays(), 0))
+        monkeypatch.setattr(transport, "NEE_SELECT_UNROLL", 0)
+        b = np.asarray(render_megakernel(cfg, scene, env, lights, cam.rays(), 0))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
     def test_nee_reduces_variance(self):
         scene, env, lights, cam = self._setup()
