@@ -47,9 +47,23 @@ def count_rays(stats, cfg, n_lights: int) -> int:
 
 
 def build_workload(scene_name: str, width: int, height: int):
-    """The BASELINE.md benchmark configs (#1 default, #2 cornell, #3 gltf)."""
+    """The BASELINE.md benchmark configs (#1 default, #2 cornell, #3 gltf,
+    #4 hdr, #5 anim)."""
     from spt_tpu.camera import Camera
 
+    if scene_name == "hdr":
+        from spt_tpu.env import make_hdr_environment, synthetic_equirect
+        from spt_tpu.lights import LightManager
+        from spt_tpu.scene import build_hdr_glass_scene
+
+        lm = LightManager()
+        lm.add_directional_light((0.4, -1.0, -0.3), (1.0, 0.95, 0.9), 1.0)
+        cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6)
+        cam = Camera(position=(0, 2.0, 6.0), target=(0, 1.0, 0.0),
+                     fov_degrees=50.0, aspect_ratio=width / height)
+        return Renderer(build_hdr_glass_scene(), cfg,
+                        env=make_hdr_environment(synthetic_equirect(64)),
+                        lights=lm.device(), camera=cam)
     if scene_name == "cornell":
         from spt_tpu.scene import build_cornell_box_scene
         from spt_tpu.lights import LightManager
@@ -88,12 +102,29 @@ def main():
         if scene_name == "gltf":
             width, height = 512, 384
 
-    r = build_workload(scene_name, width, height)
+    # Config #5: the 1920x1080 progressive wavefront with an animated camera —
+    # the camera orbits each frame, so every frame resets accumulation
+    # (GLRenderer.cpp:145-161) and re-renders at spp 4 like the reference's
+    # interactive default (main.cpp:108-109).  Uses the default scene.
+    animate = scene_name == "anim"
+    if animate:
+        cfg = RenderConfig(width=width, height=height, spp=4, max_depth=6)
+        r = Renderer(build_default_scene(), cfg,
+                     camera=default_camera(width, height))
+    else:
+        r = build_workload(scene_name, width, height)
     cfg = r.cfg
+
+    def advance_camera():
+        if animate:
+            # 2 degrees of orbit per frame (the --orbit CLI flag's math)
+            r.camera.process_mouse(2.0 / r.camera.mouse_sensitivity, 0.0)
+
     r.camera.reset_movement_tracking()
 
     for _ in range(warmup):
-        r.render_frame(check_camera=False)
+        advance_camera()
+        r.render_frame(check_camera=animate)
     # Force real materialization: under some TPU runtimes block_until_ready
     # on donated outputs returns before lazy kernel compilation/execution.
     _ = float(np.asarray(r.state.accum[:1]).sum())

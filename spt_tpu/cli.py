@@ -62,9 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wavefront lane scheduling: masked lanes (default, "
                         "fastest on TPU), compacted queues, or per-lane path "
                         "regeneration")
-    p.add_argument("--swizzle", action="store_true",
-                   help="block-swizzle lanes so fused-kernel tiles are "
-                        "compact image rects (improves whole-tile early-out)")
+    p.add_argument("--swizzle", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="block-swizzle lanes so kernel tiles are compact "
+                        "image rects (improves whole-tile early-out and "
+                        "mesh cluster culling); --no-swizzle for row-major")
     p.add_argument("--debug-mode", choices=["geomtype", "hitmiss", "normal",
                                             "depth", "matid"],
                    help="render a single-bounce debug visualization instead "

@@ -104,12 +104,14 @@ class RenderConfig:
     #               dies, folding the whole spp budget into one depth loop.
     integrator: str = "masked"
 
-    # Block-swizzle the lane -> pixel mapping so each fused-kernel tile is a
-    # compact (tile_rows x 128) image rect instead of a full-width strip:
-    # live paths cluster spatially, so compact tiles let the kernel's
-    # whole-tile early-out actually fire.  Only affects the fused TPU path
-    # (pure index arithmetic; the image is bitwise identical).
-    swizzle: bool = False
+    # Block-swizzle the lane -> pixel mapping so each kernel tile is a
+    # compact image rect instead of a full-width strip: live paths and ray
+    # targets cluster spatially, so compact tiles let the fused kernel's
+    # whole-tile early-out and the mesh tracer's per-subtile cluster culling
+    # actually fire (a 512x384 subtile goes from a 512x2 strip crossing the
+    # whole image to a 128x8 rect).  Pure index arithmetic; the image is
+    # bitwise identical.  On when the lane count tiles.
+    swizzle: bool = True
 
     # Compute dtype for shading math. Intersection always runs fp32.
     dtype: str = "float32"

@@ -126,6 +126,32 @@ def make_hdr_environment(
     )
 
 
+def synthetic_equirect(height: int = 64, sun_radiance: float = 40.0) -> np.ndarray:
+    """Deterministic synthetic equirect HDR (H, 2H, 3): a sky gradient plus a
+    bright sun disk whose radiance exceeds the 5.0 clamp — a stand-in for the
+    reference's default skybox asset, which its repo does not ship
+    (PathTracer.cpp:24 points at a missing assets/Cubemap/*.hdr).  Used by the
+    HDR benchmark config and the oracle RMSE gate."""
+    h, w = height, 2 * height
+    v = (np.arange(h, dtype=np.float32) + 0.5) / h          # 0 top .. 1 bottom
+    u = (np.arange(w, dtype=np.float32) + 0.5) / w
+    vv, uu = np.meshgrid(v, u, indexing="ij")
+    # gradient: warm horizon, blue zenith, dim ground
+    zen = np.stack([0.18 + 0 * vv, 0.30 + 0 * vv, 0.65 + 0 * vv], -1)
+    hor = np.stack([0.9 + 0 * vv, 0.75 + 0 * vv, 0.55 + 0 * vv], -1)
+    t = np.clip(np.abs(vv - 0.5) * 2.0, 0.0, 1.0)[..., None]
+    img = hor * (1 - t) + (zen * (vv < 0.5)[..., None] +
+                           0.15 * hor * (vv >= 0.5)[..., None]) * t
+    # sun disk at (u=0.3, v=0.25)
+    du = np.minimum(np.abs(uu - 0.3), 1.0 - np.abs(uu - 0.3)) * 2.0
+    dv = vv - 0.25
+    r2 = du * du + dv * dv
+    sun = np.exp(-r2 / 0.002)[..., None] * np.array(
+        [sun_radiance, sun_radiance * 0.9, sun_radiance * 0.7], np.float32
+    )
+    return (img + sun).astype(np.float32)
+
+
 def load_environment(path: Optional[str]) -> Environment:
     """Load a Radiance .hdr file (the `--s` CLI path, main.cpp:30-46) or fall
     back to the procedural sky, mirroring the missing-asset fallback

@@ -127,9 +127,14 @@ def gen_primary(
 
 
 def trace_bounce(scene: DeviceScene, ps: PathState) -> isect.HitV:
-    """Stage 2 — trace (__raygen__trace, cu:279-310).  Dead lanes trace a
-    stale ray; their results are masked in shade."""
-    return isect.intersect_v(scene, ps.origin, ps.direction, tmin=0.0)
+    """Stage 2 — trace (__raygen__trace, cu:279-310).  Dead lanes trace with
+    tmax = 0: every box/primitive test fails immediately, so a subtile of
+    dead lanes culls to nothing in the mesh tracer (the trace-side analog of
+    the fused kernel's whole-tile early-out).  Their results were always
+    masked in shade; this just stops paying for them."""
+    tmax = jnp.where(ps.alive, jnp.float32(1e30), jnp.float32(0.0))
+    return isect.intersect_v(scene, ps.origin, ps.direction, tmin=0.0,
+                             tmax=tmax)
 
 
 def shade(
@@ -214,8 +219,12 @@ def shade_core(
         contrib_mask = direct_ok & lactive & (cos_theta > 0.0)
         if cfg.shadow_rays:
             shadow_o = isect.safe_origin_v(p, n, jnp.ones(shape, bool))
+            # tmax = 0 for lanes that can't contribute: their occlusion
+            # result is ignored, and zeroing the range lets the mesh tracer
+            # cull whole subtiles of them (see trace_bounce).
             blocked = occluded_fn(
-                scene, shadow_o, ldir, tmin=cfg.hit_eps, tmax=ldist - cfg.hit_eps
+                scene, shadow_o, ldir, tmin=cfg.hit_eps,
+                tmax=jnp.where(contrib_mask, ldist - cfg.hit_eps, 0.0),
             )
             contrib_mask = contrib_mask & ~blocked
         brdf_nl = sampling.evaluate_brdf_v(
@@ -281,7 +290,7 @@ def shade_core(
         nee_mask = surf & ~is_dielectric & (cos_s > 0.0) & (cos_e > 1e-6)
         if cfg.shadow_rays:
             so = isect.safe_origin_v(p, n, jnp.ones(shape, bool))
-            tmax_e = dist * (1.0 - 1e-3)
+            tmax_e = jnp.where(nee_mask, dist * (1.0 - 1e-3), 0.0)
             blocked = occluded_fn(scene, so, wi, tmin=cfg.hit_eps, tmax=tmax_e)
             nee_mask = nee_mask & ~blocked
         brdf_nl = sampling.evaluate_brdf_v(

@@ -162,7 +162,10 @@ def wavefront_sample(
 
     fused = _pallas_bounce_ok(scene, lights, n)
     pixel = unswizzle = None
-    if fused and cfg.swizzle and not compact:
+    if cfg.swizzle and not compact:
+        # Pays on the fused path (whole-tile early-out) AND the mesh path
+        # (per-subtile cluster culling in ops/pallas_trace); neutral pure
+        # index remap elsewhere.
         pixel, unswizzle = _swizzle(cfg, rows if rows is not None else cfg.height,
                                     n, row0)
     ps = transport.gen_primary(cfg, camera, frame_index, sample_index, row0, rows,

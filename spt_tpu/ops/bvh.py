@@ -49,6 +49,14 @@ class MeshAccel(NamedTuple):
     tri_e1: jnp.ndarray
     tri_e2: jnp.ndarray
     tri_mat: jnp.ndarray      # (C*K,) int32
+    # Kernel-friendly packing of the same triangles: (C, K, 16) float32 with
+    # columns [v0 | e1 | e2 | cross(e1,e2) | mat | 0 0 0].  One cluster is a
+    # dense (K, 16) VMEM block, so the Pallas tracer tests a whole cluster
+    # against a ray row with (K, LANES) vector math instead of K serialized
+    # scalar reads (see ops/pallas_trace.py).  Replaces what rtcCommitScene /
+    # optixAccelBuild bake for their traversers (EmbreeBackend.cpp:181,
+    # OptixBackend.cpp:916-1180).
+    tri_pack: jnp.ndarray
 
     @property
     def num_supers(self) -> int:
@@ -153,6 +161,15 @@ def build_mesh_accel(
     sup_lo = cl_lo.reshape(ns, SUPER_FACTOR, 3).min(1)
     sup_hi = cl_hi.reshape(ns, SUPER_FACTOR, 3).max(1)
 
+    c_total = cl_lo.shape[0]
+    pack = np.zeros((c_total * cluster_size, 16), np.float32)
+    pack[:, 0:3] = v0s
+    pack[:, 3:6] = e1s
+    pack[:, 6:9] = e2s
+    pack[:, 9:12] = np.cross(e1s, e2s)  # geometric normal, unnormalized
+    pack[:, 12] = mats.astype(np.float32)
+    pack = pack.reshape(c_total, cluster_size, 16)
+
     return MeshAccel(
         super_lo=jnp.asarray(sup_lo.astype(np.float32)),
         super_hi=jnp.asarray(sup_hi.astype(np.float32)),
@@ -162,6 +179,7 @@ def build_mesh_accel(
         tri_e1=jnp.asarray(e1s),
         tri_e2=jnp.asarray(e2s),
         tri_mat=jnp.asarray(mats),
+        tri_pack=jnp.asarray(pack),
     )
 
 

@@ -1,19 +1,39 @@
 """Pallas stream-traversal kernels: cluster-culled mesh tracing.
 
-The traversal design for TPU (see ops/bvh.py): every lane slab-tests every
-cluster AABB, but a whole ray tile skips a cluster's triangle loop when no
-lane in the tile can hit it — `@pl.when` on a scalar any-reduction, the kind
-of branch a vector machine can actually take.  Triangles stream from VMEM
-with scalar dynamic reads inside a rolled `fori_loop`, so program size is
-O(1) in scene size and Mosaic compiles fast regardless of triangle count.
+The traversal design for TPU (see ops/bvh.py for the build): each grid step
+owns one (SUBTILE_ROWS, 128) block of rays and
+
+1. slab-tests EVERY cluster and supercluster AABB against the whole subtile
+   in one broadcast (C, S, 128) vector pass, reducing to per-box open FLAGS
+   in VMEM scratch — this replaces per-cluster scalar AABB reads + masked
+   slab math, which measure ~420 ns per cluster-step (serialized scalar VMEM
+   loads) versus ~2 us for ALL boxes vectorized;
+2. walks supers -> clusters branching on scalar flag reads (~160 ns per
+   visited box), skipping closed groups without touching their triangles;
+3. tests an open cluster's K triangles as ONE dense (K, S, 128) broadcast
+   block from the packed table `accel.tri_pack` (triangles on the leading
+   axis, rays on sublane x lane) — Moller-Trumbore at near-peak VPU
+   throughput (~2.2 us per 64-triangle cluster against 1024 rays, measured),
+   with winner resolution by leading-axis min/argmax reductions.
+
+Versus the round-1 kernel (K serialized scalar VMEM reads per cluster inside
+a fori_loop, ~9 per triangle, ~576 per cluster visit) the triangle loop is
+fully vector and the box culling never touches scalar loads for closed
+clusters.  Program size stays O(1) in scene size (rolled loops + dynamic
+indexing), so Mosaic compiles fast regardless of triangle count.
 
 Analytic spheres (always few: the reference's user geometry,
-EmbreeBackend.cpp:139-178) are an unrolled scalar loop in the same kernel.
+EmbreeBackend.cpp:139-178) are an unrolled pass run FIRST, so sphere hits
+tighten the slab bounds before any cluster is opened.
 
 Kernels:
 - closest_hit: full Hit record (t, geometric normal, material, kind).
 - any_hit: boolean occlusion with per-lane tmax (shadow rays, Light.cpp:16-40)
-  and whole-kernel early exit once every lane in the tile is blocked.
+  and whole-subtile early exit once every lane is blocked.
+
+This pair replaces rtcIntersect1/rtcOccluded1 over Embree's committed BVH
+(EmbreeBackend.cpp:181) and optixTrace over the GAS/IAS builds
+(OptixBackend.cpp:916-1180).
 """
 
 from __future__ import annotations
@@ -30,7 +50,7 @@ from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.ops import intersect as isect
 
 LANES = 128
-TILE_ROWS = 32
+SUBTILE_ROWS = 8
 
 _BIG = np.float32(1e30)
 _MT_EPS = 1e-9
@@ -42,116 +62,89 @@ def _inv_dir(dx):
     return jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, jnp.where(dx >= 0, _BIG, -_BIG))
 
 
-def _slab(lo0, lo1, lo2, hi0, hi1, hi2, o, ix, iy, iz, tmin, tmax):
-    t0x = (lo0 - o.x) * ix
-    t1x = (hi0 - o.x) * ix
-    t0y = (lo1 - o.y) * iy
-    t1y = (hi1 - o.y) * iy
-    t0z = (lo2 - o.z) * iz
-    t1z = (hi2 - o.z) * iz
+def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref, tnear_ref=None):
+    """Slab-test all B boxes against the whole (S, L) ray subtile in one
+    (B, S, L) broadcast pass; write per-box any-lane-hit flags (B, 1) int32
+    to scratch.  lo/hi: (B, 3) VMEM tables; o3/inv3: (1, S, L) ray planes;
+    bound: (1, S, L) per-lane upper bound (min of tmax and current best).
+
+    With `tnear_ref`, also writes each box's minimum entry distance over the
+    subtile's hitting lanes (B, 1) float32 — the closest-hit kernels prune a
+    box once every lane's best hit is nearer than its entry (front-to-back
+    termination without per-ray ordering)."""
+    b = lo.shape[0]
+
+    def c3(tab, i):
+        return tab[:, i:i + 1].reshape(b, 1, 1)
+
+    t0x = (c3(lo, 0) - o3[0]) * inv3[0]
+    t1x = (c3(hi, 0) - o3[0]) * inv3[0]
+    t0y = (c3(lo, 1) - o3[1]) * inv3[1]
+    t1y = (c3(hi, 1) - o3[1]) * inv3[1]
+    t0z = (c3(lo, 2) - o3[2]) * inv3[2]
+    t1z = (c3(hi, 2) - o3[2]) * inv3[2]
     tnear = jnp.maximum(
         jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
         jnp.maximum(jnp.minimum(t0z, t1z), tmin),
     )
     tfar = jnp.minimum(
         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-        jnp.minimum(jnp.maximum(t0z, t1z), tmax),
+        jnp.minimum(jnp.maximum(t0z, t1z), bound),
     )
-    return tnear <= tfar
+    hit = tnear <= tfar                              # (B, S, L)
+    any_lane = jnp.any(hit, axis=2)                  # (B, S)
+    flags_ref[:] = jnp.any(any_lane, axis=1, keepdims=True).astype(jnp.int32)
+    if tnear_ref is not None:
+        tn = jnp.where(hit, tnear, _BIG)
+        tnear_ref[:] = jnp.min(jnp.min(tn, axis=2), axis=1, keepdims=True)
 
 
-def _tri_test(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, o, d, tmin, tmax, best):
-    hx = d.y * e2z - d.z * e2y
-    hy = d.z * e2x - d.x * e2z
-    hz = d.x * e2y - d.y * e2x
+def _unpack_col(blk, i, k):
+    return blk[:, i:i + 1].reshape(k, 1, 1)
+
+
+def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
+    """Moller-Trumbore of one packed cluster against the whole subtile:
+    (K, 1, 1) triangle columns x (1, S, L) ray planes -> (K, S, L).
+
+    Returns (ok, t): the per-(triangle, lane) acceptance mask and distance.
+    Packed layout: bvh.MeshAccel.tri_pack."""
+    v0x, v0y, v0z = (_unpack_col(blk, i, k) for i in (0, 1, 2))
+    e1x, e1y, e1z = (_unpack_col(blk, i, k) for i in (3, 4, 5))
+    e2x, e2y, e2z = (_unpack_col(blk, i, k) for i in (6, 7, 8))
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
     a = e1x * hx + e1y * hy + e1z * hz
     inv = 1.0 / jnp.where(jnp.abs(a) > _MT_EPS, a, 1.0)
-    sx, sy, sz = o.x - v0x, o.y - v0y, o.z - v0z
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
     u = inv * (sx * hx + sy * hy + sz * hz)
     qx = sy * e1z - sz * e1y
     qy = sz * e1x - sx * e1z
     qz = sx * e1y - sy * e1x
-    v = inv * (d.x * qx + d.y * qy + d.z * qz)
+    v = inv * (dx * qx + dy * qy + dz * qz)
     t = inv * (e2x * qx + e2y * qy + e2z * qz)
     ok = (
         (jnp.abs(a) > _MT_EPS)
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t > tmin) & (t < tmax) & (t < best)
+        & (t > tmin) & (t < tmax3)
     )
     return ok, t
 
 
-def _closest_kernel(n_clusters, k, n_sph, tmin,
-                    ox, oy, oz, dx, dy, dz, tmaxr,
-                    sup_lo, sup_hi, cl_lo, cl_hi, tv0, te1, te2, tmat,
-                    sph_c, sph_r, sph_m,
-                    out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-                    best_t, best_mat, best_kind, ax, ay, az, rinv):
-    o = Vec3(ox[:], oy[:], oz[:])
-    d = Vec3(dx[:], dy[:], dz[:])
-    tmax = tmaxr[:]
-    ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
-
-    best_t[:] = jnp.full(o.x.shape, _BIG)
-    best_mat[:] = jnp.zeros(o.x.shape, jnp.int32)
-    best_kind[:] = jnp.zeros(o.x.shape, jnp.int32)
-    ax[:] = jnp.zeros(o.x.shape, jnp.float32)
-    ay[:] = jnp.zeros(o.x.shape, jnp.float32)
-    az[:] = jnp.zeros(o.x.shape, jnp.float32)
-    rinv[:] = jnp.zeros(o.x.shape, jnp.float32)
-
-    n_supers = sup_lo.shape[0]
-    super_factor = n_clusters // n_supers
-
-    def super_body(sc, _):
-        sup_hit = _slab(
-            sup_lo[sc, 0], sup_lo[sc, 1], sup_lo[sc, 2],
-            sup_hi[sc, 0], sup_hi[sc, 1], sup_hi[sc, 2],
-            o, ix, iy, iz, tmin, jnp.minimum(tmax, best_t[:]),
-        )
-
-        @pl.when(jnp.any(sup_hit))
-        def _():
-            def cluster_body(ci, _):
-                c = sc * super_factor + ci
-                box_hit = _slab(
-                    cl_lo[c, 0], cl_lo[c, 1], cl_lo[c, 2],
-                    cl_hi[c, 0], cl_hi[c, 1], cl_hi[c, 2],
-                    o, ix, iy, iz, tmin, jnp.minimum(tmax, best_t[:]),
-                )
-
-                @pl.when(jnp.any(box_hit))
-                def _():
-                    def tri_body(j, _):
-                        idx = c * k + j
-                        v0x, v0y, v0z = tv0[idx, 0], tv0[idx, 1], tv0[idx, 2]
-                        e1x, e1y, e1z = te1[idx, 0], te1[idx, 1], te1[idx, 2]
-                        e2x, e2y, e2z = te2[idx, 0], te2[idx, 1], te2[idx, 2]
-                        ok, t = _tri_test(v0x, v0y, v0z, e1x, e1y, e1z,
-                                          e2x, e2y, e2z, o, d, tmin, tmax,
-                                          best_t[:])
-                        best_t[:] = jnp.where(ok, t, best_t[:])
-                        best_mat[:] = jnp.where(ok, tmat[idx, 0], best_mat[:])
-                        best_kind[:] = jnp.where(ok, isect.KIND_TRIANGLE,
-                                                 best_kind[:])
-                        nx = e1y * e2z - e1z * e2y
-                        ny = e1z * e2x - e1x * e2z
-                        nz = e1x * e2y - e1y * e2x
-                        ax[:] = jnp.where(ok, nx, ax[:])
-                        ay[:] = jnp.where(ok, ny, ay[:])
-                        az[:] = jnp.where(ok, nz, az[:])
-                        return 0
-
-                    jax.lax.fori_loop(0, k, tri_body, 0)
-
-                return 0
-
-            jax.lax.fori_loop(0, super_factor, cluster_body, 0)
-
-        return 0
-
-    jax.lax.fori_loop(0, n_supers, super_body, 0)
-
+def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
+    """Unrolled scalar sphere loop on the (S, L) subtile; returns the initial
+    best-hit carry (t, mat, kind, ax, ay, az) plus rinv (sphere-only)."""
+    shp = o.x.shape
+    best_t = jnp.full(shp, _BIG)
+    best_mat = jnp.zeros(shp, jnp.int32)
+    best_kind = jnp.zeros(shp, jnp.int32)
+    ax = jnp.zeros(shp, jnp.float32)
+    ay = jnp.zeros(shp, jnp.float32)
+    az = jnp.zeros(shp, jnp.float32)
+    rinv = jnp.zeros(shp, jnp.float32)
     for i in range(n_sph):
         cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
         r = sph_r[i, 0]
@@ -163,45 +156,116 @@ def _closest_kernel(n_clusters, k, n_sph, tmin,
         t0 = -b - sq
         t1 = -b + sq
         t = jnp.where((t0 > tmin) & (t0 < tmax), t0, t1)
-        ok = (disc > 0.0) & (r > 0.0) & (t > tmin) & (t < tmax) & (t < best_t[:])
-        best_t[:] = jnp.where(ok, t, best_t[:])
-        best_mat[:] = jnp.where(ok, sph_m[i, 0], best_mat[:])
-        best_kind[:] = jnp.where(ok, isect.KIND_SPHERE, best_kind[:])
-        ax[:] = jnp.where(ok, cx, ax[:])
-        ay[:] = jnp.where(ok, cy, ay[:])
-        az[:] = jnp.where(ok, cz, az[:])
-        rinv[:] = jnp.where(ok, 1.0 / jnp.maximum(r, 1e-12), rinv[:])
-
-    bt = best_t[:]
-    kind = best_kind[:]
-    hitm = kind != isect.KIND_MISS
-    t_safe = jnp.where(hitm, bt, 0.0)
-    is_sph = kind == isect.KIND_SPHERE
-    px = o.x + t_safe * d.x
-    py = o.y + t_safe * d.y
-    pz = o.z + t_safe * d.z
-    out_t[:] = jnp.where(hitm, bt, _BIG * 1e7)  # becomes inf downstream
-    out_nx[:] = jnp.where(is_sph, (px - ax[:]) * rinv[:], ax[:])
-    out_ny[:] = jnp.where(is_sph, (py - ay[:]) * rinv[:], ay[:])
-    out_nz[:] = jnp.where(is_sph, (pz - az[:]) * rinv[:], az[:])
-    out_mat[:] = best_mat[:]
-    out_kind[:] = kind
+        ok = (disc > 0.0) & (r > 0.0) & (t > tmin) & (t < tmax) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_mat = jnp.where(ok, sph_m[i, 0], best_mat)
+        best_kind = jnp.where(ok, isect.KIND_SPHERE, best_kind)
+        ax = jnp.where(ok, cx, ax)
+        ay = jnp.where(ok, cy, ay)
+        az = jnp.where(ok, cz, az)
+        rinv = jnp.where(ok, 1.0 / jnp.maximum(r, 1e-12), rinv)
+    return (best_t, best_mat, best_kind, ax, ay, az), rinv
 
 
-def _any_kernel(n_clusters, k, n_sph, tmin,
-                ox, oy, oz, dx, dy, dz, tmaxr,
-                sup_lo, sup_hi, cl_lo, cl_hi, tv0, te1, te2, tmat,
-                sph_c, sph_r, sph_m,
-                out_blocked):
+def _closest_kernel(n_clusters, k, n_sph, tmin,
+                    ox, oy, oz, dx, dy, dz, tmaxr,
+                    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
+                    sph_c, sph_r, sph_m,
+                    out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
+                    sup_flags, cl_flags, sup_tnear, cl_tnear):
+    s, l = ox.shape
+    n_supers = sup_lo.shape[0]
+    super_factor = n_clusters // n_supers
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     tmax = tmaxr[:]
+
+    carry0, rinv = _sphere_pass_closest(
+        n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
+    )
+
     ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
+    o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
+    d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
+    inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
+    bound = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
+    _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound, sup_flags, sup_tnear)
+    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags, cl_tnear)
 
-    # int32 mask carry: Mosaic cannot legalize bool (i1) loop carries.
-    blocked0 = jnp.zeros(o.x.shape, jnp.int32)
-    far = jnp.full(o.x.shape, _BIG)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
+    def open_cluster(c, carry):
+        best_t, best_mat, best_kind, ax, ay, az, max_best = carry
+        blk = tri_pack[c]
+        ok, t = _tri_block_test(blk, k, o3, d3, tmin, tmax.reshape(1, s, l))
+        tb = jnp.where(ok, t, _BIG)
+        tm = jnp.min(tb, axis=0)                     # (S, L)
+        win = tm < best_t
+
+        def resolve(carry):
+            best_t, best_mat, best_kind, ax, ay, az, _ = carry
+            # unique winner row per lane: max index among t == tm candidates
+            eq = ok & (tb == tm.reshape(1, s, l))
+            wi = jnp.max(jnp.where(eq, iota_k, -1), axis=0)
+            uniq = eq & (iota_k == wi.reshape(1, s, l))
+
+            def pick(i):
+                col = _unpack_col(blk, i, k)
+                return jnp.sum(jnp.where(uniq, col, 0.0), axis=0)
+
+            best_mat = jnp.where(win, pick(12).astype(jnp.int32), best_mat)
+            ax = jnp.where(win, pick(9), ax)
+            ay = jnp.where(win, pick(10), ay)
+            az = jnp.where(win, pick(11), az)
+            best_kind = jnp.where(win, isect.KIND_TRIANGLE, best_kind)
+            best_t = jnp.where(win, tm, best_t)
+            # the front-to-back bound: once every lane's best is nearer than
+            # a box's entry distance, that box can't improve anything
+            max_best = jnp.max(jnp.minimum(best_t, tmax))
+            return best_t, best_mat, best_kind, ax, ay, az, max_best
+
+        return jax.lax.cond(jnp.any(win), resolve, lambda cr: cr, carry)
+
+    def super_body(sc, carry):
+        def open_super(carry):
+            def cluster_body(ci, carry):
+                c = sc * super_factor + ci
+                take = (cl_flags[c, 0] != 0) & (cl_tnear[c, 0] < carry[6])
+                return jax.lax.cond(
+                    take,
+                    lambda cr: open_cluster(c, cr),
+                    lambda cr: cr,
+                    carry,
+                )
+
+            return jax.lax.fori_loop(0, super_factor, cluster_body, carry)
+
+        take = (sup_flags[sc, 0] != 0) & (sup_tnear[sc, 0] < carry[6])
+        return jax.lax.cond(take, open_super, lambda cr: cr, carry)
+
+    # max_best starts at the loosest live bound: pruning only engages once
+    # every lane in the subtile has found some hit below its tmax.
+    max_best0 = jnp.max(jnp.minimum(carry0[0], tmax))
+    best_t, best_mat, best_kind, ax, ay, az, _ = jax.lax.fori_loop(
+        0, n_supers, super_body, carry0 + (max_best0,)
+    )
+
+    hitm = best_kind != isect.KIND_MISS
+    t_safe = jnp.where(hitm, best_t, 0.0)
+    is_sph = best_kind == isect.KIND_SPHERE
+    px = o.x + t_safe * d.x
+    py = o.y + t_safe * d.y
+    pz = o.z + t_safe * d.z
+    out_t[:] = jnp.where(hitm, best_t, _BIG * 1e7)  # becomes inf downstream
+    out_nx[:] = jnp.where(is_sph, (px - ax) * rinv, ax)
+    out_ny[:] = jnp.where(is_sph, (py - ay) * rinv, ay)
+    out_nz[:] = jnp.where(is_sph, (pz - az) * rinv, az)
+    out_mat[:] = best_mat
+    out_kind[:] = best_kind
+
+
+def _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
+    blocked = jnp.zeros(o.x.shape, jnp.int32)
     for i in range(n_sph):
         cx, cy, cz = sph_c[i, 0], sph_c[i, 1], sph_c[i, 2]
         r = sph_r[i, 0]
@@ -214,61 +278,68 @@ def _any_kernel(n_clusters, k, n_sph, tmin,
         t1 = -b + sq
         t = jnp.where((t0 > tmin) & (t0 < tmax), t0, t1)
         hit = (disc > 0.0) & (r > 0.0) & (t > tmin) & (t < tmax)
-        blocked0 = blocked0 | hit.astype(jnp.int32)
+        blocked = blocked | hit.astype(jnp.int32)
+    return blocked
 
-    def cond(carry):
-        sc, blocked = carry
-        return (sc < sup_lo.shape[0]) & ~jnp.all(blocked != 0)
 
+def _any_kernel(n_clusters, k, n_sph, tmin,
+                ox, oy, oz, dx, dy, dz, tmaxr,
+                sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
+                sph_c, sph_r, sph_m,
+                out_blocked,
+                sup_flags, cl_flags):
+    s, l = ox.shape
     n_supers = sup_lo.shape[0]
     super_factor = n_clusters // n_supers
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    tmax = tmaxr[:]
+
+    blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
+
+    ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
+    o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
+    d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
+    inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
+    bound = tmax.reshape(1, s, l)
+    _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound, sup_flags)
+    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags)
+
+    def open_cluster(c, blocked):
+        blk = tri_pack[c]
+        ok, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
+        return blocked | jnp.any(ok, axis=0).astype(jnp.int32)
+
+    # while over supers: whole-subtile early exit once every lane is blocked
+    def cond(carry):
+        sc, blocked = carry
+        return (sc < n_supers) & ~jnp.all(blocked != 0)
 
     def body(carry):
         sc, blocked = carry
-        sup_hit = _slab(
-            sup_lo[sc, 0], sup_lo[sc, 1], sup_lo[sc, 2],
-            sup_hi[sc, 0], sup_hi[sc, 1], sup_hi[sc, 2],
-            o, ix, iy, iz, tmin, tmax,
-        ) & (blocked == 0)
 
-        def run_clusters(blocked):
+        def open_super(blocked):
             def cluster_body(ci, blocked):
                 c = sc * super_factor + ci
-                return _any_cluster(c, blocked)
+                return jax.lax.cond(
+                    cl_flags[c, 0] != 0,
+                    lambda b: open_cluster(c, b),
+                    lambda b: b,
+                    blocked,
+                )
+
             return jax.lax.fori_loop(0, super_factor, cluster_body, blocked)
 
-        blocked = jax.lax.cond(jnp.any(sup_hit), run_clusters,
+        blocked = jax.lax.cond(sup_flags[sc, 0] != 0, open_super,
                                lambda b: b, blocked)
         return sc + 1, blocked
-
-    def _any_cluster(c, blocked):
-        box_hit = _slab(
-            cl_lo[c, 0], cl_lo[c, 1], cl_lo[c, 2],
-            cl_hi[c, 0], cl_hi[c, 1], cl_hi[c, 2],
-            o, ix, iy, iz, tmin, tmax,
-        ) & (blocked == 0)
-
-        def run_tris(blocked):
-            def tri_body(j, blocked):
-                idx = c * k + j
-                ok, _ = _tri_test(
-                    tv0[idx, 0], tv0[idx, 1], tv0[idx, 2],
-                    te1[idx, 0], te1[idx, 1], te1[idx, 2],
-                    te2[idx, 0], te2[idx, 1], te2[idx, 2],
-                    o, d, tmin, tmax, far,
-                )
-                return blocked | ok.astype(jnp.int32)
-
-            return jax.lax.fori_loop(0, k, tri_body, blocked)
-
-        return jax.lax.cond(jnp.any(box_hit), run_tris, lambda b: b, blocked)
 
     _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), blocked0))
     out_blocked[:] = blocked
 
 
 def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
-                 out_shapes, out_specs_count, scratch=()):
+                 out_shapes, out_specs_count, with_tnear=False):
     n = o.x.shape[0]
     rows = n // LANES
     shape2 = (rows, LANES)
@@ -280,8 +351,7 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
     tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     state = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z), r2(tmax_arr)]
     tables = [accel.super_lo, accel.super_hi,
-              accel.cluster_lo, accel.cluster_hi, accel.tri_v0, accel.tri_e1,
-              accel.tri_e2, accel.tri_mat.reshape(-1, 1),
+              accel.cluster_lo, accel.cluster_hi, accel.tri_pack,
               scene.sph_center, scene.sph_radius.reshape(-1, 1),
               scene.sph_mat.reshape(-1, 1)]
 
@@ -289,8 +359,7 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
                          memory_space=pltpu.VMEM)
 
     def table_spec(a):
-        shp = a.shape
-        return pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+        return pl.BlockSpec(a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
                             memory_space=pltpu.VMEM)
 
     k = accel.cluster_size
@@ -303,14 +372,18 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
         in_specs=[block] * 7 + [table_spec(a) for a in tables],
         out_specs=[block] * out_specs_count,
         out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
-        scratch_shapes=[pltpu.VMEM((tile_rows, LANES), dt) for dt in scratch],
+        scratch_shapes=[pltpu.VMEM((accel.num_supers, 1), jnp.int32),
+                        pltpu.VMEM((accel.num_clusters, 1), jnp.int32)]
+        + ([pltpu.VMEM((accel.num_supers, 1), jnp.float32),
+            pltpu.VMEM((accel.num_clusters, 1), jnp.float32)]
+           if with_tnear else []),
     )(*state, *tables)
     return outs, n
 
 
 def _divisor(rows: int) -> int:
     """Multiple-of-8 divisor (Mosaic sublane constraint), else whole array."""
-    for cand in range(min(TILE_ROWS, rows) // 8 * 8, 0, -8):
+    for cand in range(min(SUBTILE_ROWS, rows) // 8 * 8, 0, -8):
         if rows % cand == 0:
             return cand
     return rows
@@ -324,8 +397,7 @@ def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0, tmax=np.float32(np.inf
         out_shapes=[jnp.float32, jnp.float32, jnp.float32, jnp.float32,
                     jnp.int32, jnp.int32],
         out_specs_count=6,
-        scratch=[jnp.float32, jnp.int32, jnp.int32,
-                 jnp.float32, jnp.float32, jnp.float32, jnp.float32],
+        with_tnear=True,
     )
     t, nx, ny, nz, mat, kind = (x.reshape(n) for x in outs)
     t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))

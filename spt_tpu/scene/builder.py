@@ -54,6 +54,22 @@ def build_default_scene() -> SceneDesc:
     return scene
 
 
+def build_hdr_glass_scene() -> SceneDesc:
+    """HDR-environment showcase: ground plane, one glass and one gold sphere
+    (BASELINE.md config #4 — HDR env + directional light with glass).
+    Pair with env.synthetic_equirect (the reference's default skybox asset is
+    absent from its repo, PathTracer.cpp:24)."""
+    scene = SceneDesc()
+    white = scene.add_material(Material([0.8, 0.8, 0.8], roughness=0.9, ior=1.0))
+    glass = scene.add_material(mats.glass())
+    gold = scene.add_material(mats.gold())
+    mid = scene.add_mesh(create_ground_plane_mesh(20.0, white))
+    scene.add_instance(mid)
+    scene.add_sphere([-1.2, 1.0, 0.0], 1.0, glass)
+    scene.add_sphere([1.2, 1.0, 0.0], 1.0, gold)
+    return scene
+
+
 def build_test_triangle_scene() -> SceneDesc:
     scene = SceneDesc()
     scene.add_material(Material([0.8, 0.3, 0.3]))

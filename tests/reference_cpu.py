@@ -187,6 +187,40 @@ def sky_color(d):
     return (sky * 0.8).astype(F32)
 
 
+def equirect_color(img, d, intensity=0.8, max_clamp=5.0):
+    """Scalar mirror of env.sample_equirect + the clamp-then-scale semantics
+    (EnvironmentManager.cpp:9-33, device_programs.cu:374-387): texel-center
+    bilinear, wrap in u, clamp each v tap independently."""
+    h, w = img.shape[0], img.shape[1]
+    theta = np.arctan2(d[2], d[0])
+    phi = np.arccos(np.clip(d[1], -1.0, 1.0))
+    u = (theta + np.pi) / (2.0 * np.pi)
+    v = phi / np.pi
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = F32(x - x0)
+    fy = F32(y - y0)
+    x0i = int(x0) % w
+    x1i = (x0i + 1) % w
+    y0f = int(y0)
+    y0i = min(max(y0f, 0), h - 1)
+    y1i = min(max(y0f + 1, 0), h - 1)
+    c00, c01 = img[y0i, x0i], img[y0i, x1i]
+    c10, c11 = img[y1i, x0i], img[y1i, x1i]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    tex = top * (1 - fy) + bot * fy
+    return (np.minimum(tex, F32(max_clamp)) * F32(intensity)).astype(F32)
+
+
+def env_color(env_image, d):
+    if env_image is None:
+        return sky_color(d)
+    return equirect_color(env_image, d)
+
+
 # --- BRDF (Material.cpp:84-117) --------------------------------------------------
 
 PI = F32(np.pi)
@@ -267,7 +301,8 @@ def cosine_sample(n, u1, u2):
 
 # --- the oracle integrator -------------------------------------------------------
 
-def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample: int = 0):
+def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample: int = 0,
+               env_image=None):
     """One path for one pixel -> (3,) radiance.  `lights` is a list of dicts
     {kind, vec, color_x_intensity}; camera is spt_tpu.camera.Camera."""
     w, h = cfg.width, cfg.height
@@ -301,7 +336,7 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
     for bounce in range(cfg.max_depth):
         t, ng, mid, kind = intersect(sc, o, d, tmin=0.0)
         if kind == 0:
-            radiance += throughput * sky_color(normalize(d))
+            radiance += throughput * env_color(env_image, normalize(d))
             break
 
         ng = normalize_or(ng, v3(0, 1, 0))
@@ -459,13 +494,14 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
     return radiance
 
 
-def render_image(cfg, sc: NpScene, lights, camera, frame: int = 0):
+def render_image(cfg, sc: NpScene, lights, camera, frame: int = 0, env_image=None):
     """Full (small!) image via the scalar oracle."""
     out = np.zeros((cfg.num_pixels, 3), F32)
     for pixel in range(cfg.num_pixels):
         acc = np.zeros(3, F32)
         for s in range(cfg.spp):
-            acc += trace_path(cfg, sc, lights, camera, pixel, frame, s)
+            acc += trace_path(cfg, sc, lights, camera, pixel, frame, s,
+                              env_image=env_image)
         out[pixel] = acc / cfg.spp
     return out.reshape(cfg.height, cfg.width, 3)
 

@@ -266,6 +266,34 @@ class TestRegeneration:
         )
 
 
+class TestHDREnvironment:
+    def test_hdr_env_scene_matches_oracle(self):
+        # BASELINE config #4 gate: HDR env + directional light + glass,
+        # RMSE < 1% vs the scalar oracle (reference HDR semantics:
+        # Cubemap.cpp:252-310 sampling, EnvironmentManager.h:12-13
+        # clamp 5.0 x intensity 0.8).
+        from spt_tpu.env import make_hdr_environment, synthetic_equirect
+        from spt_tpu.scene import build_hdr_glass_scene
+
+        img = synthetic_equirect(32)
+        env = make_hdr_environment(img)
+        lm = LightManager()
+        lm.add_directional_light((0.4, -1.0, -0.3), (1.0, 0.95, 0.9), 1.0)
+        scene = flatten_scene(build_hdr_glass_scene())
+        cfg = RenderConfig(width=20, height=20, spp=1, max_depth=4)
+        cam = Camera(position=(0, 2.0, 6.0), target=(0, 1.0, 0.0),
+                     fov_degrees=50.0, aspect_ratio=1.0)
+        got = np.asarray(
+            render_megakernel(cfg, scene, env, lm.device(), cam.rays(), 0)
+        )
+        want = ref.render_image(cfg, ref.NpScene(scene),
+                                ref.lights_from_device(lm.device()), cam, 0,
+                                env_image=img)
+        err = _rmse(got, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+
+
 class TestEmissiveNEE:
     def _setup(self):
         from spt_tpu.scene import build_cornell_box_scene
