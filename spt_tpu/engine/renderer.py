@@ -60,6 +60,22 @@ def _resolve_image(cfg: RenderConfig, rstate: state_mod.RenderState):
     return img01.reshape(cfg.height, cfg.width, 3)
 
 
+# Process-wide jit caches keyed by the (hashable, frozen) RenderConfig: every
+# Renderer with the same config shares one compiled program instead of
+# retracing per instance (jax's jit cache is per function *object*, and
+# functools.partial creates a fresh one each time).  Matters on the product
+# surface (checkpoint-resume constructs a second Renderer) and cuts test
+# wall time, where many Renderers share a config.
+@functools.lru_cache(maxsize=64)
+def _jitted_step(cfg: RenderConfig):
+    return jax.jit(functools.partial(_frame_step, cfg), donate_argnums=(4,))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_resolve(cfg: RenderConfig):
+    return jax.jit(functools.partial(_resolve_image, cfg))
+
+
 class Renderer:
     """Progressive renderer over one scene. Headless; the interactive viewer
     (spt_tpu.engine.display) drives this same object."""
@@ -98,10 +114,8 @@ class Renderer:
             self.env = replicate(self.mesh, self.env)
             self.lights = replicate(self.mesh, self.lights)
         else:
-            self._step = jax.jit(
-                functools.partial(_frame_step, self.cfg), donate_argnums=(4,)
-            )
-        self._resolve = jax.jit(functools.partial(_resolve_image, self.cfg))
+            self._step = _jitted_step(self.cfg)
+        self._resolve = _jitted_resolve(self.cfg)
 
     # --- frame loop -----------------------------------------------------------
 

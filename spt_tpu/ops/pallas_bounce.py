@@ -44,8 +44,14 @@ from spt_tpu.scene.flatten import DeviceScene
 
 LANES = 128
 TILE_ROWS = 64                   # 8192 lanes per grid step
+TILE_ROWS_MESH = 8               # accel mode: finer tiles -> tighter unions
 MAX_PALLAS_PRIMS = 192           # matches intersect.UNROLL_LIMIT
 MAX_PALLAS_MATERIALS = 16
+# Accel (mesh) mode: the packed triangle table must fit VMEM next to the
+# path-state tiles — (C, K, 16) pads its minor dim to 128 lanes, so
+# C*K triangles cost C*K*512 bytes (12288 -> 6 MB).
+MAX_ACCEL_TRIS = 12288
+MAX_ACCEL_SPHERES = 16
 
 
 class _Col:
@@ -115,6 +121,17 @@ def _tile_rows(rows: int) -> int:
 MAX_PALLAS_EMITTERS = 16
 
 
+def _accel_mode(scene: DeviceScene) -> bool:
+    """Mesh scenes trace through the cluster tables inside the fused kernels
+    (pallas_trace.closest_hit_tile) instead of the rolled prim loops."""
+    if scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS:
+        return False
+    a = scene.accel
+    return (a is not None
+            and a.num_clusters * a.cluster_size <= MAX_ACCEL_TRIS
+            and scene.num_spheres <= MAX_ACCEL_SPHERES)
+
+
 def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
              pad_ok: bool = False) -> bool:
     """Whether the fused kernels can run this workload.
@@ -122,8 +139,10 @@ def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
     `pad_ok=True` is for fused_frame callers that pad dead lanes up to a
     64x128 multiple themselves (wavefront masked path); fused_bounce callers
     need the lane count to tile as-is."""
+    scene_ok = (scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS
+                or _accel_mode(scene))
     if not (
-        scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS
+        scene_ok
         and scene.materials.count <= MAX_PALLAS_MATERIALS
         and (scene.emitters is None or scene.emitters.count <= MAX_PALLAS_EMITTERS)
     ):
@@ -264,7 +283,50 @@ def _rolled_occluded(scene, o, d, tmin=1e-4, tmax=None):
     return blocked != 0
 
 
-def _kernel(cfg: RenderConfig, has_emitters: bool,
+def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
+                      sph_c, sph_r, sph_m, n_sphs):
+    """Build the kernel's (closest(scene, ps), occluded(...)) pair.
+
+    Small scenes stream the rolled prim loops; accel (mesh) scenes traverse
+    the cluster tables via pallas_trace's tile functions, keeping path state
+    in VMEM across trace+shade exactly like the small-scene path."""
+    if accel_dims is None:
+        def closest(scene, ps):
+            return _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
+
+        return closest, _rolled_occluded
+
+    import numpy as _np
+
+    from spt_tpu.ops import pallas_trace
+
+    n_clusters, k = accel_dims
+
+    def closest(scene, ps):
+        # dead lanes trace with tmax = 0 (see transport.trace_bounce)
+        tmax = jnp.where(ps.alive, _np.float32(1e30), _np.float32(0.0))
+        t, nx, ny, nz, mat, kind = pallas_trace.closest_hit_tile(
+            accel_refs, scratch_refs, n_clusters, k, n_sphs,
+            _np.float32(0.0), sph_c, sph_r, sph_m,
+            ps.origin, ps.direction, tmax,
+        )
+        t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
+        return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind)
+
+    def occluded(scene, o, d, tmin=1e-4, tmax=None):
+        tm = _np.float32(1e30) if tmax is None else tmax
+        tm = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), o.x.shape)
+        tm = jnp.minimum(tm, _np.float32(1e30))
+        blocked = pallas_trace.any_hit_tile(
+            accel_refs, scratch_refs, n_clusters, k, n_sphs,
+            _np.float32(tmin), sph_c, sph_r, sph_m, o, d, tm,
+        )
+        return blocked != 0
+
+    return closest, occluded
+
+
+def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
             # scalar params
             params_ref,
@@ -275,14 +337,21 @@ def _kernel(cfg: RenderConfig, has_emitters: bool,
             m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
+            a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack,
             # outputs
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed):
+            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
+            # accel scratch
+            s_supf, s_clf, s_supt, s_clt):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
+    closest_impl, occluded_impl = _make_trace_impls(
+        accel_dims, (a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack),
+        (s_supf, s_clf, s_supt, s_clt), sph_c, sph_r, sph_m, n_sphs,
+    )
 
     def live_tile():
         ps = transport.PathState(
@@ -313,11 +382,11 @@ def _kernel(cfg: RenderConfig, has_emitters: bool,
             attenuation=l_att,
         )
 
-        hit = _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
+        hit = closest_impl(scene, ps)
         new_ps, missed = transport.shade_core(
             cfg, scene, lights, ps, hit, bounce, is_last,
             gather_materials=_gather_materials_select,
-            occluded_fn=_rolled_occluded,
+            occluded_fn=occluded_impl,
         )
 
         o_ox[:], o_oy[:], o_oz[:] = new_ps.origin
@@ -347,6 +416,36 @@ def _kernel(cfg: RenderConfig, has_emitters: bool,
     tile_alive = jnp.any(alive[:] != 0)
     pl.when(tile_alive)(live_tile)
     pl.when(jnp.logical_not(tile_alive))(dead_tile)
+
+
+def _accel_inputs(scene: DeviceScene):
+    """(accel_dims, accel_tables, tri_tables) for the fused kernels.
+
+    In accel mode the flat per-triangle tables are replaced by 1-row dummies
+    (the cluster tracer reads tri_pack instead; keeping the real (C*K, 3)
+    tables resident would waste MBs of VMEM)."""
+    def col(a):
+        return a.reshape(-1, 1)
+
+    if _accel_mode(scene):
+        a = scene.accel
+        z13 = jnp.zeros((1, 3), jnp.float32)
+        tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
+        accel_tables = [a.super_lo, a.super_hi, a.cluster_lo, a.cluster_hi,
+                        a.tri_pack]
+        return (a.num_clusters, a.cluster_size), accel_tables, tri_tables
+    z83 = jnp.zeros((8, 3), jnp.float32)
+    accel_tables = [z83, z83, z83, z83, jnp.zeros((1, 8, 16), jnp.float32)]
+    tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                  col(scene.tri_mat)]
+    return None, accel_tables, tri_tables
+
+
+def _accel_scratch(accel_tables):
+    ns = accel_tables[0].shape[0]
+    nc = accel_tables[2].shape[0]
+    return [pltpu.VMEM((ns, 1), jnp.int32), pltpu.VMEM((nc, 1), jnp.int32),
+            pltpu.VMEM((ns, 1), jnp.float32), pltpu.VMEM((nc, 1), jnp.float32)]
 
 
 def fused_bounce(
@@ -391,20 +490,22 @@ def fused_bounce(
     else:
         z13 = jnp.zeros((1, 3), jnp.float32)
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
-    tables = [
-        scene.tri_v0, scene.tri_e1, scene.tri_e2, col(scene.tri_mat),
+    accel_dims, accel_tables, tri_tables = _accel_inputs(scene)
+    tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
         col(mats.mat_type), mats.emission, col(mats.transparency),
         col(lights.kind), lights.vec, lights.color, col(lights.intensity),
         lights.attenuation,
-    ] + emitter_tables
+    ] + emitter_tables + accel_tables
     params = jnp.stack(
         [jnp.asarray(bounce, jnp.int32),
          jnp.asarray(is_last, jnp.int32)]
     ).reshape(1, 2)
 
-    tile_rows = _tile_rows(rows)
+    tile_rows = (TILE_ROWS_MESH
+                 if accel_dims is not None and rows % TILE_ROWS_MESH == 0
+                 else _tile_rows(rows))
     grid = (rows // tile_rows,)
     block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -430,8 +531,8 @@ def fused_bounce(
     )
 
     kern = functools.partial(
-        _kernel, cfg, has_emitters, lights.count, scene.num_triangles,
-        scene.num_spheres, mats.count,
+        _kernel, cfg, has_emitters, accel_dims, lights.count,
+        scene.num_triangles, scene.num_spheres, mats.count,
     )
     outs = pl.pallas_call(
         kern,
@@ -439,6 +540,7 @@ def fused_bounce(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=_accel_scratch(accel_tables),
     )(params, *state_in, *tables)
 
     def r1(a):
@@ -459,15 +561,18 @@ def fused_bounce(
 
 # --- whole-frame kernel: the depth loop in VMEM ---------------------------------
 
-def _frame_kernel(cfg: RenderConfig, has_emitters: bool,
+def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
+                  n_sphs: int,
                   params_ref,
                   ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
                   tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
                   m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
                   l_kind, l_vec, l_color, l_int, l_att,
                   e_v0, e_e1, e_e2, e_le, e_area,
+                  a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-                  o_rx, o_ry, o_rz, o_missed, o_bounces):
+                  o_rx, o_ry, o_rz, o_missed, o_bounces,
+                  s_supf, s_clf, s_supt, s_clt):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -482,6 +587,11 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool,
     from spt_tpu.scene.flatten import EmitterTable
 
     del params_ref  # reserved (frame knobs are static via cfg)
+
+    closest_impl, occluded_impl = _make_trace_impls(
+        accel_dims, (a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack),
+        (s_supf, s_clf, s_supt, s_clt), sph_c, sph_r, sph_m, n_sphs,
+    )
 
     emitters = EmitterTable(
         v0=e_v0, e1=e_e1, e2=e_e2, le=e_le, area=_Col(e_area)
@@ -519,12 +629,12 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool,
             alive=calive != 0,
             emission_ok=cemok != 0,
         )
-        hit = _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
+        hit = closest_impl(scene, ps)
         new_ps, missed = transport.shade_core(
             cfg, scene, lights, ps, hit, bounce,
             bounce == cfg.max_depth - 1,
             gather_materials=_gather_materials_select,
-            occluded_fn=_rolled_occluded,
+            occluded_fn=occluded_impl,
         )
         return (bounce + 1,
                 new_ps.origin.x, new_ps.origin.y, new_ps.origin.z,
@@ -569,7 +679,6 @@ def fused_frame(
     n = ps.rng.shape[0]
     rows = n // LANES
     shape2 = (rows, LANES)
-    tile_rows = _tile_rows(rows)
 
     def r2(a):
         return a.reshape(shape2)
@@ -594,16 +703,19 @@ def fused_frame(
     else:
         z13 = jnp.zeros((1, 3), jnp.float32)
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
-    tables = [
-        scene.tri_v0, scene.tri_e1, scene.tri_e2, col(scene.tri_mat),
+    accel_dims, accel_tables, tri_tables = _accel_inputs(scene)
+    tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
         col(mats.mat_type), mats.emission, col(mats.transparency),
         col(lights.kind), lights.vec, lights.color, col(lights.intensity),
         lights.attenuation,
-    ] + emitter_tables
+    ] + emitter_tables + accel_tables
     params = jnp.zeros((1, 2), jnp.int32)
 
+    tile_rows = (TILE_ROWS_MESH
+                 if accel_dims is not None and rows % TILE_ROWS_MESH == 0
+                 else _tile_rows(rows))
     grid = (rows // tile_rows,)
     block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -626,13 +738,15 @@ def fused_frame(
            jax.ShapeDtypeStruct(shape2, jnp.int32)]
     )
 
-    kern = functools.partial(_frame_kernel, cfg, has_emitters)
+    kern = functools.partial(_frame_kernel, cfg, has_emitters, accel_dims,
+                             scene.num_spheres)
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=_accel_scratch(accel_tables),
     )(params, *state_in, *tables)
 
     def r1(a):

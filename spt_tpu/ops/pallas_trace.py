@@ -167,18 +167,22 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
     return (best_t, best_mat, best_kind, ax, ay, az), rinv
 
 
-def _closest_kernel(n_clusters, k, n_sph, tmin,
-                    ox, oy, oz, dx, dy, dz, tmaxr,
-                    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
-                    sph_c, sph_r, sph_m,
-                    out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-                    sup_flags, cl_flags, sup_tnear, cl_tnear):
-    s, l = ox.shape
+def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
+                     sph_c, sph_r, sph_m, o, d, tmax):
+    """Full closest-hit for one (S, L) ray tile inside a Pallas kernel:
+    sphere pass + culled cluster traversal + hit resolution.
+
+    `accel_refs` = (sup_lo, sup_hi, cl_lo, cl_hi, tri_pack) VMEM refs;
+    `scratch_refs` = (sup_flags, cl_flags, sup_tnear, cl_tnear) VMEM scratch.
+    o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
+    mat, kind) value planes, with t = _BIG * 1e7 on miss (inf downstream).
+    Reused by the standalone trace kernels AND the fused bounce/frame
+    kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
+    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack = accel_refs
+    sup_flags, cl_flags, sup_tnear, cl_tnear = scratch_refs
+    s, l = o.x.shape
     n_supers = sup_lo.shape[0]
     super_factor = n_clusters // n_supers
-    o = Vec3(ox[:], oy[:], oz[:])
-    d = Vec3(dx[:], dy[:], dz[:])
-    tmax = tmaxr[:]
 
     carry0, rinv = _sphere_pass_closest(
         n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
@@ -256,12 +260,33 @@ def _closest_kernel(n_clusters, k, n_sph, tmin,
     px = o.x + t_safe * d.x
     py = o.y + t_safe * d.y
     pz = o.z + t_safe * d.z
-    out_t[:] = jnp.where(hitm, best_t, _BIG * 1e7)  # becomes inf downstream
-    out_nx[:] = jnp.where(is_sph, (px - ax) * rinv, ax)
-    out_ny[:] = jnp.where(is_sph, (py - ay) * rinv, ay)
-    out_nz[:] = jnp.where(is_sph, (pz - az) * rinv, az)
-    out_mat[:] = best_mat
-    out_kind[:] = best_kind
+    return (jnp.where(hitm, best_t, _BIG * 1e7),  # becomes inf downstream
+            jnp.where(is_sph, (px - ax) * rinv, ax),
+            jnp.where(is_sph, (py - ay) * rinv, ay),
+            jnp.where(is_sph, (pz - az) * rinv, az),
+            best_mat,
+            best_kind)
+
+
+def _closest_kernel(n_clusters, k, n_sph, tmin,
+                    ox, oy, oz, dx, dy, dz, tmaxr,
+                    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
+                    sph_c, sph_r, sph_m,
+                    out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
+                    sup_flags, cl_flags, sup_tnear, cl_tnear):
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    t, nx, ny, nz, mat, kind = closest_hit_tile(
+        (sup_lo, sup_hi, cl_lo, cl_hi, tri_pack),
+        (sup_flags, cl_flags, sup_tnear, cl_tnear),
+        n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
+    )
+    out_t[:] = t
+    out_nx[:] = nx
+    out_ny[:] = ny
+    out_nz[:] = nz
+    out_mat[:] = mat
+    out_kind[:] = kind
 
 
 def _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
@@ -282,18 +307,17 @@ def _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
     return blocked
 
 
-def _any_kernel(n_clusters, k, n_sph, tmin,
-                ox, oy, oz, dx, dy, dz, tmaxr,
-                sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
-                sph_c, sph_r, sph_m,
-                out_blocked,
-                sup_flags, cl_flags):
-    s, l = ox.shape
+def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
+                 sph_c, sph_r, sph_m, o, d, tmax):
+    """Occlusion for one (S, L) ray tile inside a Pallas kernel: sphere pass
+    + culled traversal with whole-tile early exit.  Returns (S, L) int32
+    blocked flags.  Same ref contract as closest_hit_tile (the tnear scratch
+    slots are accepted and ignored so both share one scratch set)."""
+    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack = accel_refs
+    sup_flags, cl_flags = scratch_refs[0], scratch_refs[1]
+    s, l = o.x.shape
     n_supers = sup_lo.shape[0]
     super_factor = n_clusters // n_supers
-    o = Vec3(ox[:], oy[:], oz[:])
-    d = Vec3(dx[:], dy[:], dz[:])
-    tmax = tmaxr[:]
 
     blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
 
@@ -335,7 +359,22 @@ def _any_kernel(n_clusters, k, n_sph, tmin,
         return sc + 1, blocked
 
     _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), blocked0))
-    out_blocked[:] = blocked
+    return blocked
+
+
+def _any_kernel(n_clusters, k, n_sph, tmin,
+                ox, oy, oz, dx, dy, dz, tmaxr,
+                sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
+                sph_c, sph_r, sph_m,
+                out_blocked,
+                sup_flags, cl_flags):
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    out_blocked[:] = any_hit_tile(
+        (sup_lo, sup_hi, cl_lo, cl_hi, tri_pack),
+        (sup_flags, cl_flags),
+        n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
+    )
 
 
 def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,

@@ -23,6 +23,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: XLA-CPU compiles of the wavefront depth loop
+# take 20-30 s each and dominate suite wall time on a 1-core runner; cached
+# reruns cut the suite from ~17 min to a few minutes.  This is the CPU
+# backend — the axon-relay pathology that keeps the cache off on TPU
+# (utils/cache.py) does not apply here.
+from spt_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -166,6 +166,42 @@ class TestFusedFrame:
         np.testing.assert_array_equal(
             np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
 
+    def test_mesh_accel_through_fused_frame(self, monkeypatch):
+        # Mesh (accel) mode: the fused frame kernel traverses the cluster
+        # tables via pallas_trace.closest_hit_tile / any_hit_tile instead of
+        # the rolled prim loops.  Force accel mode on a small cube+spheres
+        # scene and check equality with the non-fused masked loop.
+        import jax.numpy as jnp
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+        from spt_tpu.ops.bvh import build_mesh_accel
+
+        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=4)
+        scene = flatten_scene(build_default_scene())
+        accel = build_mesh_accel(np.asarray(scene.tri_v0),
+                                 np.asarray(scene.tri_e1),
+                                 np.asarray(scene.tri_e2),
+                                 np.asarray(scene.tri_mat), cluster_size=8)
+        scene = scene._replace(accel=accel)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 4)
+        assert pb._accel_mode(scene)
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height).rays()
+
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, scene._replace(accel=None), env, lights, ps,
+            jnp.zeros((4,), jnp.int32), fused=False)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32),
+            fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
+
     def test_cornell_nee_through_kernel(self):
         import jax.numpy as jnp
         from spt_tpu.camera import Camera

@@ -232,7 +232,7 @@ class TestSwizzle:
         from spt_tpu.integrators import transport, wavefront as wf
 
         scene, env, lights, cam = setup
-        cfg = RenderConfig(width=256, height=128, spp=1, max_depth=3)
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=3)
         cam = default_camera(cfg.width, cfg.height)
         rays = cam.rays()
         n = cfg.num_pixels
@@ -335,11 +335,12 @@ class TestEmissiveNEE:
         base = RenderConfig(width=24, height=24, spp=4, max_depth=4)
 
         def render_pair(cfg, frames=2):
-            imgs = []
-            for f in range(frames):
-                img, _ = render_wavefront(cfg, scene, env, lights, cam.rays(), f)
-                imgs.append(np.asarray(img))
-            return imgs
+            # jit with the frame index as an argument: one compile per
+            # config instead of one re-trace per frame (XLA-CPU compiles of
+            # the depth loop dominate this test's wall time).
+            step = jax.jit(lambda f: render_wavefront(
+                cfg, scene, env, lights, cam.rays(), f)[0])
+            return [np.asarray(step(f)) for f in range(frames)]
 
         on = render_pair(base)
         off = render_pair(base.replace(nee=False))
