@@ -11,14 +11,15 @@ shape that SIMD ray tracers (including Embree's own packet mode) use:
   their AABB centroid, cut the sorted order into fixed-size clusters of
   `cluster_size` triangles, and store one AABB per cluster.  This is exactly
   the leaf level of an LBVH [Karras 2012] — the upper tree is replaced by a
-  linear sweep because the consumer culls at ray-TILE granularity, where a
-  few hundred AABB tests are cheaper than any tree walk.
-- TRAVERSE (device): every lane slab-tests every cluster AABB (vector math,
-  ~10 ops), and a whole 8x128 ray tile skips a cluster's triangle loop when
-  no lane in the tile can hit it closer than its current best — a scalar
-  branch, which Pallas *can* take (ops/pallas_trace.py).  Coherent primary
-  and shadow rays skip almost everything; incoherent bounce rays degrade
-  gracefully to the brute-force cost.
+  flat vector pass because the consumer culls at ray-TILE granularity, where
+  a few hundred AABB tests are one broadcast VPU pass, cheaper than any
+  branchy tree walk.
+- TRAVERSE (device): one (C, S, 128) broadcast slab pass flags every cluster
+  a ray tile might hit, a short scalar scan compacts the flagged ids into a
+  front-to-back visit list (per ray-direction octant), and the triangle loop
+  runs branch-free over exactly those clusters (ops/pallas_trace.py).
+  Coherent primary and shadow rays open a handful of clusters; incoherent
+  bounce rays degrade gracefully toward brute-force cost.
 
 The XLA fallback (no Pallas) uses the same clusters with a running-min scan —
 no tile culling, but still memory-friendly.
@@ -32,17 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# Superclusters group this many Morton-adjacent clusters under one AABB —
-# the second tree level for tile culling (12 super tests replace 96 cluster
-# tests on the 6k-triangle chair before any cluster is opened).
-SUPER_FACTOR = 8
-
-
 class MeshAccel(NamedTuple):
-    """Cluster-sorted triangle soup + two AABB levels (a pytree)."""
+    """Cluster-sorted triangle soup + per-cluster AABBs (a pytree)."""
 
-    super_lo: jnp.ndarray     # (C/SUPER_FACTOR, 3) float32
-    super_hi: jnp.ndarray
     cluster_lo: jnp.ndarray   # (C, 3) float32
     cluster_hi: jnp.ndarray   # (C, 3) float32
     tri_v0: jnp.ndarray       # (C*K, 3) sorted, padded with degenerates
@@ -57,10 +50,14 @@ class MeshAccel(NamedTuple):
     # optixAccelBuild bake for their traversers (EmbreeBackend.cpp:181,
     # OptixBackend.cpp:916-1180).
     tri_pack: jnp.ndarray
-
-    @property
-    def num_supers(self) -> int:
-        return self.super_lo.shape[0]
+    # Front-to-back visit orders, one per ray-direction octant (the
+    # "direction-sorted traversal" classic SIMD tracers use).  Sorting keys
+    # are box centroids dotted with the octant sign vector, so a subtile
+    # whose rays share an octant visits near clusters first and early hits
+    # tighten every lane's bound before far clusters are tested.  Stored as
+    # a column table because Mosaic scalar reads need the dynamic index on
+    # the leading axis: cl_order[(oct * C + i), 0] = i-th cluster to visit.
+    cl_order: jnp.ndarray     # (8 * C, 1) int32
 
     @property
     def num_clusters(self) -> int:
@@ -145,23 +142,17 @@ def build_mesh_accel(
 
     v0s, e1s, e2s, mats = v0[order], e1[order], e2[order], mat[order]
 
-    # Supercluster level: pad the cluster count to SUPER_FACTOR with inert
-    # inverted boxes, then fold.
-    c = cl_lo.shape[0]
-    cpad = (-c) % SUPER_FACTOR
-    if cpad:
-        cl_lo = np.concatenate([cl_lo, np.full((cpad, 3), 1e30, np.float32)])
-        cl_hi = np.concatenate([cl_hi, np.full((cpad, 3), -1e30, np.float32)])
-        zt = np.zeros((cpad * cluster_size, 3), np.float32)
-        v0s = np.concatenate([v0s, zt])
-        e1s = np.concatenate([e1s, zt])
-        e2s = np.concatenate([e2s, zt])
-        mats = np.concatenate([mats, np.zeros(cpad * cluster_size, np.int32)])
-    ns = cl_lo.shape[0] // SUPER_FACTOR
-    sup_lo = cl_lo.reshape(ns, SUPER_FACTOR, 3).min(1)
-    sup_hi = cl_hi.reshape(ns, SUPER_FACTOR, 3).max(1)
-
+    # Octant visit orders (front-to-back by centroid along the octant
+    # direction; octant bit set = negative direction component).
     c_total = cl_lo.shape[0]
+    cent_cl = np.where(cl_lo <= cl_hi, 0.5 * (cl_lo + cl_hi), 0.0)
+    cl_order = np.zeros((8, c_total), np.int32)
+    for o in range(8):
+        sgn = np.array([-1.0 if (o >> 2) & 1 else 1.0,
+                        -1.0 if (o >> 1) & 1 else 1.0,
+                        -1.0 if o & 1 else 1.0])
+        cl_order[o] = np.argsort(cent_cl @ sgn, kind="stable")
+
     pack = np.zeros((c_total * cluster_size, 16), np.float32)
     pack[:, 0:3] = v0s
     pack[:, 3:6] = e1s
@@ -171,8 +162,6 @@ def build_mesh_accel(
     pack = pack.reshape(c_total, cluster_size, 16)
 
     return MeshAccel(
-        super_lo=jnp.asarray(sup_lo.astype(np.float32)),
-        super_hi=jnp.asarray(sup_hi.astype(np.float32)),
         cluster_lo=jnp.asarray(cl_lo.astype(np.float32)),
         cluster_hi=jnp.asarray(cl_hi.astype(np.float32)),
         tri_v0=jnp.asarray(v0s),
@@ -180,6 +169,7 @@ def build_mesh_accel(
         tri_e2=jnp.asarray(e2s),
         tri_mat=jnp.asarray(mats),
         tri_pack=jnp.asarray(pack),
+        cl_order=jnp.asarray(cl_order.reshape(-1, 1)),
     )
 
 

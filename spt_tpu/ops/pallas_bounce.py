@@ -337,20 +337,20 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
-            a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack,
+            a_cl_lo, a_cl_hi, a_pack, a_cl_ord,
             # outputs
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
             o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
             # accel scratch
-            s_supf, s_clf, s_supt, s_clt):
+            s_clf, s_cll):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
     closest_impl, occluded_impl = _make_trace_impls(
-        accel_dims, (a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack),
-        (s_supf, s_clf, s_supt, s_clt), sph_c, sph_r, sph_m, n_sphs,
+        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
+        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
     )
 
     def live_tile():
@@ -431,21 +431,19 @@ def _accel_inputs(scene: DeviceScene):
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
         tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
-        accel_tables = [a.super_lo, a.super_hi, a.cluster_lo, a.cluster_hi,
-                        a.tri_pack]
+        accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_order]
         return (a.num_clusters, a.cluster_size), accel_tables, tri_tables
     z83 = jnp.zeros((8, 3), jnp.float32)
-    accel_tables = [z83, z83, z83, z83, jnp.zeros((1, 8, 16), jnp.float32)]
+    zi = jnp.zeros((8, 1), jnp.int32)
+    accel_tables = [z83, z83, jnp.zeros((1, 8, 16), jnp.float32), zi]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
                   col(scene.tri_mat)]
     return None, accel_tables, tri_tables
 
 
 def _accel_scratch(accel_tables):
-    ns = accel_tables[0].shape[0]
-    nc = accel_tables[2].shape[0]
-    return [pltpu.VMEM((ns, 1), jnp.int32), pltpu.VMEM((nc, 1), jnp.int32),
-            pltpu.VMEM((ns, 1), jnp.float32), pltpu.VMEM((nc, 1), jnp.float32)]
+    nc = accel_tables[0].shape[0]
+    return [pltpu.VMEM((nc, 1), jnp.int32), pltpu.SMEM((nc, 1), jnp.int32)]
 
 
 def fused_bounce(
@@ -569,10 +567,10 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
                   l_kind, l_vec, l_color, l_int, l_att,
                   e_v0, e_e1, e_e2, e_le, e_area,
-                  a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack,
+                  a_cl_lo, a_cl_hi, a_pack, a_cl_ord,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
                   o_rx, o_ry, o_rz, o_missed, o_bounces,
-                  s_supf, s_clf, s_supt, s_clt):
+                  s_clf, s_cll):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -589,8 +587,8 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     del params_ref  # reserved (frame knobs are static via cfg)
 
     closest_impl, occluded_impl = _make_trace_impls(
-        accel_dims, (a_sup_lo, a_sup_hi, a_cl_lo, a_cl_hi, a_pack),
-        (s_supf, s_clf, s_supt, s_clt), sph_c, sph_r, sph_m, n_sphs,
+        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
+        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
     )
 
     emitters = EmitterTable(

@@ -3,24 +3,24 @@
 The traversal design for TPU (see ops/bvh.py for the build): each grid step
 owns one (SUBTILE_ROWS, 128) block of rays and
 
-1. slab-tests EVERY cluster and supercluster AABB against the whole subtile
-   in one broadcast (C, S, 128) vector pass, reducing to per-box open FLAGS
-   in VMEM scratch — this replaces per-cluster scalar AABB reads + masked
-   slab math, which measure ~420 ns per cluster-step (serialized scalar VMEM
-   loads) versus ~2 us for ALL boxes vectorized;
-2. walks supers -> clusters branching on scalar flag reads (~160 ns per
-   visited box), skipping closed groups without touching their triangles;
-3. tests an open cluster's K triangles as ONE dense (K, S, 128) broadcast
-   block from the packed table `accel.tri_pack` (triangles on the leading
-   axis, rays on sublane x lane) — Moller-Trumbore at near-peak VPU
-   throughput (~2.2 us per 64-triangle cluster against 1024 rays, measured),
-   with winner resolution by leading-axis min/argmax reductions.
+1. slab-tests EVERY cluster AABB against the whole subtile in one broadcast
+   (C, S, 128) vector pass, reducing to per-cluster open FLAGS in VMEM
+   scratch;
+2. compacts the flagged cluster ids into a VISIT LIST with a short scalar
+   scan, walking ids in front-to-back order for the subtile's dominant
+   direction octant (bvh.MeshAccel.cl_order) — ~10 ns per scanned cluster;
+3. runs a branch-free fori_loop over exactly the listed clusters, testing
+   each cluster's K triangles as ONE dense (K, S, 128) broadcast block from
+   the packed table `accel.tri_pack` (triangles on the leading axis, rays on
+   sublane x lane) — Moller-Trumbore at near-peak VPU throughput, with
+   winner resolution by unconditional masked reductions.
 
-Versus the round-1 kernel (K serialized scalar VMEM reads per cluster inside
-a fori_loop, ~9 per triangle, ~576 per cluster visit) the triangle loop is
-fully vector and the box culling never touches scalar loads for closed
-clusters.  Program size stays O(1) in scene size (rolled loops + dynamic
-indexing), so Mosaic compiles fast regardless of triangle count.
+The list scan exists because per-cluster scalar branching is NOT free on
+TPU: a lax.cond whose predicate is a vector reduction costs ~0.3-0.5 us in
+vector->scalar sync (measured: K=32 clusters halve the triangle math per
+open yet the chair trace got *slower* because twice as many conds ran).
+One scan converts all of that into a single dynamic loop bound; the open
+loop itself contains zero scalar predicates.
 
 Analytic spheres (always few: the reference's user geometry,
 EmbreeBackend.cpp:139-178) are an unrolled pass run FIRST, so sphere hits
@@ -62,16 +62,11 @@ def _inv_dir(dx):
     return jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, jnp.where(dx >= 0, _BIG, -_BIG))
 
 
-def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref, tnear_ref=None):
+def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref):
     """Slab-test all B boxes against the whole (S, L) ray subtile in one
     (B, S, L) broadcast pass; write per-box any-lane-hit flags (B, 1) int32
     to scratch.  lo/hi: (B, 3) VMEM tables; o3/inv3: (1, S, L) ray planes;
-    bound: (1, S, L) per-lane upper bound (min of tmax and current best).
-
-    With `tnear_ref`, also writes each box's minimum entry distance over the
-    subtile's hitting lanes (B, 1) float32 — the closest-hit kernels prune a
-    box once every lane's best hit is nearer than its entry (front-to-back
-    termination without per-ray ordering)."""
+    bound: (1, S, L) per-lane upper bound (min of tmax and current best)."""
     b = lo.shape[0]
 
     def c3(tab, i):
@@ -94,9 +89,23 @@ def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref, tnear_ref=None):
     hit = tnear <= tfar                              # (B, S, L)
     any_lane = jnp.any(hit, axis=2)                  # (B, S)
     flags_ref[:] = jnp.any(any_lane, axis=1, keepdims=True).astype(jnp.int32)
-    if tnear_ref is not None:
-        tn = jnp.where(hit, tnear, _BIG)
-        tnear_ref[:] = jnp.min(jnp.min(tn, axis=2), axis=1, keepdims=True)
+
+
+def _scan_open_list(n_clusters, oct_, cl_order, flags_ref, list_ref):
+    """Compact the flagged cluster ids into list_ref, visiting ids in
+    front-to-back octant order.  Returns the open count (scalar).  Pure
+    scalar-unit work: one load+test+conditional-store per cluster."""
+    def body(i, cnt):
+        c = cl_order[oct_ * n_clusters + i, 0]
+        keep = flags_ref[c, 0] != 0
+
+        @pl.when(keep)
+        def _():
+            list_ref[cnt, 0] = c
+
+        return cnt + jnp.where(keep, 1, 0)
+
+    return jax.lax.fori_loop(0, n_clusters, body, jnp.int32(0))
 
 
 def _unpack_col(blk, i, k):
@@ -170,19 +179,22 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
 def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
                      sph_c, sph_r, sph_m, o, d, tmax):
     """Full closest-hit for one (S, L) ray tile inside a Pallas kernel:
-    sphere pass + culled cluster traversal + hit resolution.
+    sphere pass + flags + list scan + branch-free cluster loop.
 
-    `accel_refs` = (sup_lo, sup_hi, cl_lo, cl_hi, tri_pack) VMEM refs;
-    `scratch_refs` = (sup_flags, cl_flags, sup_tnear, cl_tnear) VMEM scratch.
+    `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_order) VMEM refs;
+    `scratch_refs` = (cl_flags, cl_list): (C, 1) int32 scratch, flags in
+    VMEM (vector-written by the flags pass), the visit list in SMEM (the
+    scan stores scalars, which Mosaic only allows to SMEM).
     o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
     mat, kind) value planes, with t = _BIG * 1e7 on miss (inf downstream).
     Reused by the standalone trace kernels AND the fused bounce/frame
     kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
-    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack = accel_refs
-    sup_flags, cl_flags, sup_tnear, cl_tnear = scratch_refs
+    cl_lo, cl_hi, tri_pack, cl_order = accel_refs
+    cl_flags, cl_list = scratch_refs[0], scratch_refs[1]
     s, l = o.x.shape
-    n_supers = sup_lo.shape[0]
-    super_factor = n_clusters // n_supers
+    oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
+            + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
+            + (jnp.sum(d.z) < 0).astype(jnp.int32))
 
     carry0, rinv = _sphere_pass_closest(
         n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
@@ -193,21 +205,26 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
     inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
     bound = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
-    _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound, sup_flags, sup_tnear)
-    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags, cl_tnear)
+    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags)
+    count = _scan_open_list(n_clusters, oct_, cl_order, cl_flags, cl_list)
 
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
-    def open_cluster(c, carry):
-        best_t, best_mat, best_kind, ax, ay, az, max_best = carry
+    def open_body(j, carry):
+        best_t, best_mat, best_kind, ax, ay, az = carry
+        c = cl_list[j, 0]
         blk = tri_pack[c]
         ok, t = _tri_block_test(blk, k, o3, d3, tmin, tmax.reshape(1, s, l))
         tb = jnp.where(ok, t, _BIG)
         tm = jnp.min(tb, axis=0)                     # (S, L)
         win = tm < best_t
 
+        # Winner resolution behind a cond: most opened clusters improve no
+        # lane (especially for incoherent bounce rays), and the ~13 masked
+        # K-passes of attribute picking cost ~3x the vector->scalar sync of
+        # the any() predicate (both measured).
         def resolve(carry):
-            best_t, best_mat, best_kind, ax, ay, az, _ = carry
+            best_t, best_mat, best_kind, ax, ay, az = carry
             # unique winner row per lane: max index among t == tm candidates
             eq = ok & (tb == tm.reshape(1, s, l))
             wi = jnp.max(jnp.where(eq, iota_k, -1), axis=0)
@@ -223,35 +240,12 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
             az = jnp.where(win, pick(11), az)
             best_kind = jnp.where(win, isect.KIND_TRIANGLE, best_kind)
             best_t = jnp.where(win, tm, best_t)
-            # the front-to-back bound: once every lane's best is nearer than
-            # a box's entry distance, that box can't improve anything
-            max_best = jnp.max(jnp.minimum(best_t, tmax))
-            return best_t, best_mat, best_kind, ax, ay, az, max_best
+            return best_t, best_mat, best_kind, ax, ay, az
 
         return jax.lax.cond(jnp.any(win), resolve, lambda cr: cr, carry)
 
-    def super_body(sc, carry):
-        def open_super(carry):
-            def cluster_body(ci, carry):
-                c = sc * super_factor + ci
-                take = (cl_flags[c, 0] != 0) & (cl_tnear[c, 0] < carry[6])
-                return jax.lax.cond(
-                    take,
-                    lambda cr: open_cluster(c, cr),
-                    lambda cr: cr,
-                    carry,
-                )
-
-            return jax.lax.fori_loop(0, super_factor, cluster_body, carry)
-
-        take = (sup_flags[sc, 0] != 0) & (sup_tnear[sc, 0] < carry[6])
-        return jax.lax.cond(take, open_super, lambda cr: cr, carry)
-
-    # max_best starts at the loosest live bound: pruning only engages once
-    # every lane in the subtile has found some hit below its tmax.
-    max_best0 = jnp.max(jnp.minimum(carry0[0], tmax))
-    best_t, best_mat, best_kind, ax, ay, az, _ = jax.lax.fori_loop(
-        0, n_supers, super_body, carry0 + (max_best0,)
+    best_t, best_mat, best_kind, ax, ay, az = jax.lax.fori_loop(
+        0, count, open_body, carry0
     )
 
     hitm = best_kind != isect.KIND_MISS
@@ -270,15 +264,15 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
 
 def _closest_kernel(n_clusters, k, n_sph, tmin,
                     ox, oy, oz, dx, dy, dz, tmaxr,
-                    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
+                    cl_lo, cl_hi, tri_pack, cl_order,
                     sph_c, sph_r, sph_m,
                     out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-                    sup_flags, cl_flags, sup_tnear, cl_tnear):
+                    cl_flags, cl_list):
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t, nx, ny, nz, mat, kind = closest_hit_tile(
-        (sup_lo, sup_hi, cl_lo, cl_hi, tri_pack),
-        (sup_flags, cl_flags, sup_tnear, cl_tnear),
+        (cl_lo, cl_hi, tri_pack, cl_order),
+        (cl_flags, cl_list),
         n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
     )
     out_t[:] = t
@@ -310,14 +304,16 @@ def _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
 def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
                  sph_c, sph_r, sph_m, o, d, tmax):
     """Occlusion for one (S, L) ray tile inside a Pallas kernel: sphere pass
-    + culled traversal with whole-tile early exit.  Returns (S, L) int32
-    blocked flags.  Same ref contract as closest_hit_tile (the tnear scratch
-    slots are accepted and ignored so both share one scratch set)."""
-    sup_lo, sup_hi, cl_lo, cl_hi, tri_pack = accel_refs
-    sup_flags, cl_flags = scratch_refs[0], scratch_refs[1]
+    + flags + list scan + cluster loop with whole-subtile early exit once
+    every lane is blocked.  Returns (S, L) int32 blocked flags.  Same ref
+    contract as closest_hit_tile.  The visit list is front-to-back, so near
+    blockers saturate the subtile sooner and the early exit fires earlier."""
+    cl_lo, cl_hi, tri_pack, cl_order = accel_refs
+    cl_flags, cl_list = scratch_refs[0], scratch_refs[1]
     s, l = o.x.shape
-    n_supers = sup_lo.shape[0]
-    super_factor = n_clusters // n_supers
+    oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
+            + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
+            + (jnp.sum(d.z) < 0).astype(jnp.int32))
 
     blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
 
@@ -326,37 +322,20 @@ def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
     inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
     bound = tmax.reshape(1, s, l)
-    _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound, sup_flags)
     _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags)
+    count = _scan_open_list(n_clusters, oct_, cl_order, cl_flags, cl_list)
 
-    def open_cluster(c, blocked):
-        blk = tri_pack[c]
-        ok, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
-        return blocked | jnp.any(ok, axis=0).astype(jnp.int32)
-
-    # while over supers: whole-subtile early exit once every lane is blocked
+    # while over the visit list: early exit once every lane is blocked
     def cond(carry):
-        sc, blocked = carry
-        return (sc < n_supers) & ~jnp.all(blocked != 0)
+        j, blocked = carry
+        return (j < count) & ~jnp.all(blocked != 0)
 
     def body(carry):
-        sc, blocked = carry
-
-        def open_super(blocked):
-            def cluster_body(ci, blocked):
-                c = sc * super_factor + ci
-                return jax.lax.cond(
-                    cl_flags[c, 0] != 0,
-                    lambda b: open_cluster(c, b),
-                    lambda b: b,
-                    blocked,
-                )
-
-            return jax.lax.fori_loop(0, super_factor, cluster_body, blocked)
-
-        blocked = jax.lax.cond(sup_flags[sc, 0] != 0, open_super,
-                               lambda b: b, blocked)
-        return sc + 1, blocked
+        j, blocked = carry
+        c = cl_list[j, 0]
+        blk = tri_pack[c]
+        ok, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
+        return j + 1, blocked | jnp.any(ok, axis=0).astype(jnp.int32)
 
     _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), blocked0))
     return blocked
@@ -364,21 +343,21 @@ def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
 
 def _any_kernel(n_clusters, k, n_sph, tmin,
                 ox, oy, oz, dx, dy, dz, tmaxr,
-                sup_lo, sup_hi, cl_lo, cl_hi, tri_pack,
+                cl_lo, cl_hi, tri_pack, cl_order,
                 sph_c, sph_r, sph_m,
                 out_blocked,
-                sup_flags, cl_flags):
+                cl_flags, cl_list):
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     out_blocked[:] = any_hit_tile(
-        (sup_lo, sup_hi, cl_lo, cl_hi, tri_pack),
-        (sup_flags, cl_flags),
+        (cl_lo, cl_hi, tri_pack, cl_order),
+        (cl_flags, cl_list),
         n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
     )
 
 
 def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
-                 out_shapes, out_specs_count, with_tnear=False):
+                 out_shapes, out_specs_count):
     n = o.x.shape[0]
     rows = n // LANES
     shape2 = (rows, LANES)
@@ -389,8 +368,8 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
 
     tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     state = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z), r2(tmax_arr)]
-    tables = [accel.super_lo, accel.super_hi,
-              accel.cluster_lo, accel.cluster_hi, accel.tri_pack,
+    tables = [accel.cluster_lo, accel.cluster_hi, accel.tri_pack,
+              accel.cl_order,
               scene.sph_center, scene.sph_radius.reshape(-1, 1),
               scene.sph_mat.reshape(-1, 1)]
 
@@ -411,11 +390,8 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
         in_specs=[block] * 7 + [table_spec(a) for a in tables],
         out_specs=[block] * out_specs_count,
         out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
-        scratch_shapes=[pltpu.VMEM((accel.num_supers, 1), jnp.int32),
-                        pltpu.VMEM((accel.num_clusters, 1), jnp.int32)]
-        + ([pltpu.VMEM((accel.num_supers, 1), jnp.float32),
-            pltpu.VMEM((accel.num_clusters, 1), jnp.float32)]
-           if with_tnear else []),
+        scratch_shapes=[pltpu.VMEM((accel.num_clusters, 1), jnp.int32),
+                        pltpu.SMEM((accel.num_clusters, 1), jnp.int32)],
     )(*state, *tables)
     return outs, n
 
@@ -436,7 +412,6 @@ def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0, tmax=np.float32(np.inf
         out_shapes=[jnp.float32, jnp.float32, jnp.float32, jnp.float32,
                     jnp.int32, jnp.int32],
         out_specs_count=6,
-        with_tnear=True,
     )
     t, nx, ny, nz, mat, kind = (x.reshape(n) for x in outs)
     t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
