@@ -92,6 +92,9 @@ def build_workload(scene_name: str, width: int, height: int):
 
 
 def main():
+    from spt_tpu.utils.cache import enable_default_cache
+
+    enable_default_cache()
     width, height = 1920, 1080
     warmup, iters = 2, 8
     scene_name = "default"

@@ -133,6 +133,9 @@ def make_renderer(args):
 
 
 def main(argv=None) -> int:
+    from spt_tpu.utils.cache import enable_default_cache
+
+    enable_default_cache()
     args = build_parser().parse_args(argv)
     try:
         r = make_renderer(args)
