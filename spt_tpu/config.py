@@ -113,6 +113,13 @@ class RenderConfig:
     # bitwise identical.  On when the lane count tiles.
     swizzle: bool = True
 
+    # Sort bounce rays by direction octant (+ origin morton) after the
+    # primary bounce on mesh scenes, so the cluster tracer's subtile-level
+    # culling sees coherent lanes and dead lanes pack into whole-dead
+    # subtiles (ops/ray_sort).  Only engages when the scene has a cluster
+    # accel and the lane count supports chunked sorting.
+    ray_sort: bool = True
+
     # Compute dtype for shading math. Intersection always runs fp32.
     dtype: str = "float32"
 

@@ -227,6 +227,73 @@ def wavefront_sample(
     return ps.radiance.to_array(), WavefrontStats(rays_per_bounce=rays, bounces_run=bounce)
 
 
+def _ray_sort_ok(cfg, scene, n: int) -> bool:
+    """Bounce-ray sorting pays only on mesh (accel) scenes — small-scene
+    traces are brute-force broadcast with no culling to help — and needs a
+    chunkable lane count and at least one bounce after the primary."""
+    from spt_tpu.ops import ray_sort
+
+    return (cfg.ray_sort and scene.accel is not None and cfg.max_depth > 1
+            and ray_sort.chunk_size(n) > 0)
+
+
+def _fused_mesh_sorted_frame(cfg, scene, lights, ps):
+    """fused_frame with a coherence sort between the primary bounce and the
+    rest of the depth loop (see ops/ray_sort).  Same contract and results as
+    fused_frame: lane order is restored before returning — radiance is
+    bitwise identical because every shading decision is lane-local.
+    """
+    from spt_tpu.ops import pallas_bounce, ray_sort
+
+    n = ps.rng.shape[0]
+    chunk = ray_sort.chunk_size(n)
+    live0 = jnp.sum(ps.alive.astype(jnp.int32))
+
+    ps, missed0 = pallas_bounce.fused_bounce(cfg, scene, lights, ps, 0,
+                                             cfg.max_depth == 1)
+
+    a = scene.accel
+    lo = jnp.min(a.cluster_lo, axis=0)
+    extent = jnp.max(a.cluster_hi, axis=0) - lo
+    inv_extent = 1.0 / jnp.maximum(extent, 1e-9)
+    key = ray_sort.sort_key(ps.direction, ps.origin, ps.alive, lo, inv_extent)
+
+    flags = (ps.alive.astype(jnp.int32)
+             | (ps.emission_ok.astype(jnp.int32) << 1)
+             | (missed0.astype(jnp.int32) << 2))
+    lane_id, sorted_ops = ray_sort.sort_by_key(key, [
+        ps.origin.x, ps.origin.y, ps.origin.z,
+        ps.direction.x, ps.direction.y, ps.direction.z,
+        ps.throughput.x, ps.throughput.y, ps.throughput.z,
+        ps.radiance.x, ps.radiance.y, ps.radiance.z,
+        ps.rng, flags,
+    ], chunk)
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, flags_s) = sorted_ops
+    ps_s = transport.PathState(
+        origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
+        throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
+        rng=rng, alive=(flags_s & 1) != 0, emission_ok=(flags_s & 2) != 0,
+    )
+
+    radiance, direction, throughput, missed, rays = pallas_bounce.fused_frame(
+        cfg, scene, lights, ps_s, start_bounce=1
+    )
+    missed = missed | ((flags_s & 4) != 0)
+
+    out = ray_sort.unsort_by_lane(lane_id, [
+        radiance.x, radiance.y, radiance.z,
+        direction.x, direction.y, direction.z,
+        throughput.x, throughput.y, throughput.z,
+        missed.astype(jnp.int32),
+    ], chunk)
+    radiance = Vec3(out[0], out[1], out[2])
+    direction = Vec3(out[3], out[4], out[5])
+    throughput = Vec3(out[6], out[7], out[8])
+    missed_ever = out[9] != 0
+    rays = rays.at[0].set(live0)
+    return radiance, direction, throughput, missed_ever, rays
+
+
 def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
                       unswizzle=None):
     """All-lanes-masked depth loop (the default).
@@ -264,7 +331,9 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
             ps = jax.tree.map(pad, ps)
             ps = ps._replace(alive=ps.alive.at[n:].set(False))
         radiance, direction, throughput, missed_ever, rays = (
-            pallas_bounce.fused_frame(cfg, scene, lights, ps)
+            _fused_mesh_sorted_frame(cfg, scene, lights, ps)
+            if _ray_sort_ok(cfg, scene, ps.rng.shape[0])
+            else pallas_bounce.fused_frame(cfg, scene, lights, ps)
         )
         if n_pad:
             radiance, direction, throughput, missed_ever = jax.tree.map(

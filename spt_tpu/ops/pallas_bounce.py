@@ -342,7 +342,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
             o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
             # accel scratch
-            s_clf, s_cll):
+            s_clf, s_cll, s_ctn):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
@@ -350,7 +350,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     is_last = params_ref[0, 1] > 0
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
+        (s_clf, s_cll, s_ctn), sph_c, sph_r, sph_m, n_sphs,
     )
 
     def live_tile():
@@ -443,7 +443,8 @@ def _accel_inputs(scene: DeviceScene):
 
 def _accel_scratch(accel_tables):
     nc = accel_tables[0].shape[0]
-    return [pltpu.VMEM((nc, 1), jnp.int32), pltpu.SMEM((nc, 1), jnp.int32)]
+    return [pltpu.VMEM((nc, 1), jnp.int32), pltpu.SMEM((nc, 1), jnp.int32),
+            pltpu.VMEM((nc, 1), jnp.float32)]
 
 
 def fused_bounce(
@@ -570,7 +571,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   a_cl_lo, a_cl_hi, a_pack, a_cl_ord,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
                   o_rx, o_ry, o_rz, o_missed, o_bounces,
-                  s_clf, s_cll):
+                  s_clf, s_cll, s_ctn):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -584,11 +585,11 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
-    del params_ref  # reserved (frame knobs are static via cfg)
+    bounce0 = params_ref[0, 0]
 
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
+        (s_clf, s_cll, s_ctn), sph_c, sph_r, sph_m, n_sphs,
     )
 
     emitters = EmitterTable(
@@ -646,7 +647,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                 cbounces + calive)
 
     zero_i = jnp.zeros_like(alive[:])
-    carry = (jnp.int32(0),
+    carry = (bounce0,
              ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
              tx[:], ty[:], tz[:], rx[:], ry[:], rz[:],
              alive[:], emok[:], rng[:].astype(jnp.uint32), zero_i, zero_i)
@@ -665,14 +666,18 @@ def fused_frame(
     cfg: RenderConfig,
     scene: DeviceScene,
     lights: DeviceLights,
-    ps,  # transport.PathState with (N,) planes (freshly generated)
+    ps,  # transport.PathState with (N,) planes
+    start_bounce: int = 0,
 ):
-    """All max_depth bounces of one sample in a single Pallas launch.
+    """Bounces [start_bounce, max_depth) of one sample in a single Pallas
+    launch (start_bounce > 0 lets the caller run the primary bounce
+    separately and reorder lanes in between — wavefront ray sorting).
 
     Returns (radiance Vec3, final_direction Vec3, final_throughput Vec3,
-    missed_ever (N,) bool, rays_per_bounce (max_depth,) int32).  The caller
-    owes `throughput * env(direction)` to missed lanes (deferred-env
-    contract, transport.shade / wavefront._wavefront_masked).
+    missed_ever (N,) bool, rays_per_bounce (max_depth,) int32; entries below
+    start_bounce are zero).  The caller owes `throughput * env(direction)`
+    to missed lanes (deferred-env contract, transport.shade /
+    wavefront._wavefront_masked).
     """
     n = ps.rng.shape[0]
     rows = n // LANES
@@ -709,7 +714,7 @@ def fused_frame(
         col(lights.kind), lights.vec, lights.color, col(lights.intensity),
         lights.attenuation,
     ] + emitter_tables + accel_tables
-    params = jnp.zeros((1, 2), jnp.int32)
+    params = jnp.full((1, 2), start_bounce, jnp.int32)
 
     tile_rows = (TILE_ROWS_MESH
                  if accel_dims is not None and rows % TILE_ROWS_MESH == 0
@@ -758,7 +763,8 @@ def fused_frame(
     # bounce b contributes iff it ran more than b bounces.
     bounces_done = r1(outs[10])
     rays = jnp.stack(
-        [jnp.sum((bounces_done > b).astype(jnp.int32))
+        [jnp.sum((bounces_done > b - start_bounce).astype(jnp.int32))
+         if b >= start_bounce else jnp.int32(0)
          for b in range(cfg.max_depth)]
     )
     return radiance, direction, throughput, missed, rays

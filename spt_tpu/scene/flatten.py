@@ -179,8 +179,11 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
 
     accel = None
     if v0.shape[0] > ACCEL_THRESHOLD:
+        import os
+
         from spt_tpu.ops.bvh import build_mesh_accel
 
+        cluster_size = int(os.environ.get("SPT_CLUSTER_SIZE", cluster_size))
         accel = build_mesh_accel(v0, v1 - v0, v2 - v0, tri_mat,
                                  cluster_size=cluster_size)
 

@@ -224,3 +224,85 @@ class TestFusedFrame:
             cfg, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32), fused=True)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestRaySort:
+    def test_roundtrip_restores_order(self):
+        from spt_tpu.ops import ray_sort
+
+        n = 16384
+        chunk = ray_sort.chunk_size(n)
+        assert chunk == 8192
+        rng = np.random.default_rng(3)
+        key = jnp.asarray(rng.integers(0, 1 << 30, n, dtype=np.uint32))
+        planes = [jnp.asarray(rng.normal(size=n).astype(np.float32))
+                  for _ in range(3)]
+        iplane = jnp.asarray(rng.integers(0, 1 << 31, n, dtype=np.int32))
+
+        lane_id, sorted_ops = ray_sort.sort_by_key(key, planes + [iplane], chunk)
+        # sorted keys are non-decreasing within each chunk
+        ks = np.asarray(key)[np.asarray(lane_id)].reshape(-1, chunk)
+        assert (np.diff(ks, axis=1) >= 0).all()
+        back = ray_sort.unsort_by_lane(lane_id, sorted_ops, chunk)
+        for orig, got in zip(planes + [iplane], back):
+            np.testing.assert_array_equal(np.asarray(orig), np.asarray(got))
+
+    def test_dead_lanes_sort_last(self):
+        from spt_tpu.ops import ray_sort
+
+        n = 256
+        rng = np.random.default_rng(7)
+        d = Vec3(*(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                   for _ in range(3)))
+        o = Vec3(*(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                   for _ in range(3)))
+        alive = jnp.asarray(rng.random(n) < 0.5)
+        lo = jnp.asarray(np.float32([-3, -3, -3]))
+        inv = jnp.asarray(np.float32([1 / 6, 1 / 6, 1 / 6]))
+        key = ray_sort.sort_key(d, o, alive, lo, inv)
+        k = np.asarray(key)
+        al = np.asarray(alive)
+        assert (k[al] < 0xFFFFFFFF).all()
+        assert (k[~al] == 0xFFFFFFFF).all()
+        # octant occupies the top bits below the dead flag
+        oct_ = ((np.asarray(d.x) < 0) * 4 + (np.asarray(d.y) < 0) * 2
+                + (np.asarray(d.z) < 0)).astype(np.uint32)
+        np.testing.assert_array_equal((k[al] >> 27) & 7, oct_[al])
+
+    def test_sorted_fused_frame_matches_unsorted(self, monkeypatch):
+        # The sorted mesh frame must produce the same image as the plain
+        # fused frame: sorting only regroups lanes; all shading is
+        # lane-local.  128x128 = 16384 lanes so the 8192-chunk engages.
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+        from spt_tpu.ops.bvh import build_mesh_accel
+
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=4)
+        scene = flatten_scene(build_default_scene())
+        accel = build_mesh_accel(np.asarray(scene.tri_v0),
+                                 np.asarray(scene.tri_e1),
+                                 np.asarray(scene.tri_e2),
+                                 np.asarray(scene.tri_mat), cluster_size=8)
+        scene = scene._replace(accel=accel)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 4)
+        assert pb._accel_mode(scene)
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height).rays()
+
+        assert wf._ray_sort_ok(cfg, scene, cfg.width * cfg.height)
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32),
+            fused=True)
+
+        cfg_ns = RenderConfig(width=128, height=128, spp=1, max_depth=4,
+                              ray_sort=False)
+        ps2 = transport.gen_primary(cfg_ns, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg_ns, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32),
+            fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
