@@ -120,6 +120,11 @@ class RenderConfig:
     # accel and the lane count supports chunked sorting.
     ray_sort: bool = True
 
+    # How many early bounces get their own coherence sort (each sort goes
+    # stale after one bounce: fresh diffuse directions decorrelate from the
+    # octant key and dying lanes scatter).  Clamped to max_depth - 1.
+    ray_sort_stages: int = 2
+
     # Compute dtype for shading math. Intersection always runs fp32.
     dtype: str = "float32"
 

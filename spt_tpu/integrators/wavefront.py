@@ -75,14 +75,22 @@ def _queue_width(n: int) -> int:
     return ((w + 1023) // 1024) * 1024 if w >= 1024 else w
 
 
-def _swizzle(cfg, rows: int, n: int, row0=0):
+def _swizzle(cfg, rows: int, n: int, row0=0, square: bool = False):
     """Block-swizzled lane -> pixel mapping so each fused-kernel tile covers
-    a compact (th x 128)-pixel image rect instead of a thin full-width strip.
+    a compact pixel rect instead of a thin full-width strip.
 
     Live paths cluster spatially; compact tiles make the kernel's whole-tile
     early-out actually fire (row-major strips almost always cross some live
     object).  Pure index arithmetic + one transpose at frame output — no
     gathers, and the per-pixel RNG keeps the image bitwise identical.
+
+    Two shapes:
+    - default: (th x 128) rects, th = the fused kernel's tile rows.
+    - `square`: 32x32 squares — one per 1024-lane mesh kernel tile
+      (pallas_bounce.TILE_ROWS_MESH x 128 lanes).  Mesh traversal culls
+      clusters per TILE, so the tile's pixel footprint sets the primary-ray
+      frustum: a 32x32 square is 4x narrower than an 8x128 strip and opens
+      measurably fewer clusters per subtile.
 
     `row0` offsets the mapping to a horizontal band (pixel-axis sharding);
     pixel indices are global, like gen_primary's own row-major mapping.
@@ -93,13 +101,34 @@ def _swizzle(cfg, rows: int, n: int, row0=0):
     """
     from spt_tpu.ops import pallas_bounce
 
-    th = pallas_bounce._tile_rows(n // 128)
     w = cfg.width
+    lane = jnp.arange(n, dtype=jnp.uint32)
+
+    if square:
+        if w % 32 == 0 and rows % 32 == 0 and n == rows * w:
+            bx = w // 32
+            by = rows // 32
+            block = lane // jnp.uint32(1024)
+            rem = lane % jnp.uint32(1024)
+            ly = rem // jnp.uint32(32)
+            lx = rem % jnp.uint32(32)
+            b_y = block // jnp.uint32(bx)
+            b_x = block % jnp.uint32(bx)
+            py = b_y * jnp.uint32(32) + ly + jnp.asarray(row0, jnp.uint32)
+            px = b_x * jnp.uint32(32) + lx
+
+            def unswizzle_sq(rad):
+                img = rad.reshape(by, bx, 32, 32, 3)
+                return jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(rows, w, 3)
+
+            return py * jnp.uint32(w) + px, unswizzle_sq
+        # fall through to the rect mapping when squares don't tile
+
+    th = pallas_bounce._tile_rows(n // 128)
     if th <= 0 or w % 128 or rows % th:
         return None, None
     by, bx = rows // th, w // 128
 
-    lane = jnp.arange(n, dtype=jnp.uint32)
     block = lane // jnp.uint32(th * 128)
     rem = lane % jnp.uint32(th * 128)
     ly = rem // jnp.uint32(128)
@@ -167,7 +196,7 @@ def wavefront_sample(
         # (per-subtile cluster culling in ops/pallas_trace); neutral pure
         # index remap elsewhere.
         pixel, unswizzle = _swizzle(cfg, rows if rows is not None else cfg.height,
-                                    n, row0)
+                                    n, row0, square=scene.accel is not None)
     ps = transport.gen_primary(cfg, camera, frame_index, sample_index, row0, rows,
                                pixel=pixel)
     if not compact or cfg.max_depth == 1 or n < 16384:
@@ -237,61 +266,105 @@ def _ray_sort_ok(cfg, scene, n: int) -> bool:
             and ray_sort.chunk_size(n) > 0)
 
 
-def _fused_mesh_sorted_frame(cfg, scene, lights, ps):
-    """fused_frame with a coherence sort between the primary bounce and the
-    rest of the depth loop (see ops/ray_sort).  Same contract and results as
-    fused_frame: lane order is restored before returning — radiance is
-    bitwise identical because every shading decision is lane-local.
+def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
+    """The depth loop with coherence sorts between early bounces (see
+    ops/ray_sort).  Lane order is restored before returning, so the image
+    matches the unsorted fused frame to float tolerance (sorting only
+    regroups lanes; all shading is lane-local — differences are sum-order
+    only).
+
+    Structure (cfg.ray_sort_stages = S, clamped to max_depth - 1):
+
+        fused_bounce(b=0)  ->  sort  ->  fused_bounce(b=1)  ->  sort  ->
+        ... S sorts ...  ->  fused_frame(start_bounce=S)
+
+    A single sort goes stale after one bounce: the next diffuse direction
+    decorrelates from the octant key, and lanes that die scatter inside the
+    live region, so bounces 2+ cost ~6 ms each vs 2.5 ms for the freshly
+    sorted bounce 1 (measured, chair 512x384).  Re-sorting before each early
+    bounce re-packs survivors (fewer live tiles) and refreshes octants while
+    the live count is still worth it.
+
+    Sort traffic is minimal: bounce-0 radiance stays behind in pixel order;
+    radiance from sorted bounces accumulates in sorted order; the deferred
+    env term is applied in SORTED order.  Because chunked sorts never move a
+    lane across its chunk, the ORIGINAL lane id rides every forward sort and
+    ONE final chunked sort keyed on it restores pixel order, carrying only
+    the 3 radiance planes.
+
+    Returns ((N,) radiance Vec3 WITH env applied, rays) — unlike
+    fused_frame, nothing else is owed.
     """
+    from spt_tpu.env import environment_color_v
     from spt_tpu.ops import pallas_bounce, ray_sort
 
     n = ps.rng.shape[0]
     chunk = ray_sort.chunk_size(n)
     live0 = jnp.sum(ps.alive.astype(jnp.int32))
-
-    ps, missed0 = pallas_bounce.fused_bounce(cfg, scene, lights, ps, 0,
-                                             cfg.max_depth == 1)
+    stages = max(1, min(cfg.ray_sort_stages, cfg.max_depth - 1))
 
     a = scene.accel
     lo = jnp.min(a.cluster_lo, axis=0)
     extent = jnp.max(a.cluster_hi, axis=0) - lo
     inv_extent = 1.0 / jnp.maximum(extent, 1e-9)
-    key = ray_sort.sort_key(ps.direction, ps.origin, ps.alive, lo, inv_extent)
 
-    flags = (ps.alive.astype(jnp.int32)
-             | (ps.emission_ok.astype(jnp.int32) << 1)
-             | (missed0.astype(jnp.int32) << 2))
-    lane_id, sorted_ops = ray_sort.sort_by_key(key, [
-        ps.origin.x, ps.origin.y, ps.origin.z,
-        ps.direction.x, ps.direction.y, ps.direction.z,
-        ps.throughput.x, ps.throughput.y, ps.throughput.z,
-        ps.radiance.x, ps.radiance.y, ps.radiance.z,
-        ps.rng, flags,
-    ], chunk)
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, flags_s) = sorted_ops
-    ps_s = transport.PathState(
-        origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
-        throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
-        rng=rng, alive=(flags_s & 1) != 0, emission_ok=(flags_s & 2) != 0,
+    ps, missed0 = pallas_bounce.fused_bounce(cfg, scene, lights, ps, 0,
+                                             cfg.max_depth == 1)
+    rad0 = ps.radiance  # bounce-0 NEE/emission, pixel order
+    zeros = jnp.zeros_like(ps.rng, jnp.float32)
+    ps = ps._replace(radiance=Vec3(zeros, zeros, zeros))
+    missed_ever = missed0
+    orig_lane = jnp.arange(n, dtype=jnp.int32)
+    rays_list = [live0]
+
+    for b in range(1, stages + 1):
+        key = ray_sort.sort_key(ps.direction, ps.origin, ps.alive, lo,
+                                inv_extent)
+        flags = (ps.alive.astype(jnp.int32)
+                 | (ps.emission_ok.astype(jnp.int32) << 1)
+                 | (missed_ever.astype(jnp.int32) << 2))
+        _, sorted_ops = ray_sort.sort_by_key(key, [
+            orig_lane,
+            ps.origin.x, ps.origin.y, ps.origin.z,
+            ps.direction.x, ps.direction.y, ps.direction.z,
+            ps.throughput.x, ps.throughput.y, ps.throughput.z,
+            ps.radiance.x, ps.radiance.y, ps.radiance.z,
+            ps.rng, flags,
+        ], chunk)
+        (orig_lane, ox, oy, oz, dx, dy, dz, tx, ty, tz,
+         rx, ry, rz, rng, flags_s) = sorted_ops
+        ps = transport.PathState(
+            origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
+            throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
+            rng=rng, alive=(flags_s & 1) != 0,
+            emission_ok=(flags_s & 2) != 0,
+        )
+        missed_ever = (flags_s & 4) != 0
+        rays_list.append(jnp.sum(ps.alive.astype(jnp.int32)))
+        if b < stages:
+            ps, missed = pallas_bounce.fused_bounce(
+                cfg, scene, lights, ps, b, b == cfg.max_depth - 1
+            )
+            missed_ever = missed_ever | missed
+
+    radiance, direction, throughput, missed, rays_f = (
+        pallas_bounce.fused_frame(cfg, scene, lights, ps,
+                                  start_bounce=stages)
     )
+    missed_ever = missed_ever | missed
 
-    radiance, direction, throughput, missed, rays = pallas_bounce.fused_frame(
-        cfg, scene, lights, ps_s, start_bounce=1
+    env_c = environment_color_v(env, direction)
+    zero3 = Vec3(zeros, zeros, zeros)
+    radiance = radiance + v3.where(missed_ever, throughput * env_c, zero3)
+
+    out = ray_sort.unsort_by_lane(orig_lane, [radiance.x, radiance.y,
+                                              radiance.z], chunk)
+    radiance = rad0 + Vec3(out[0], out[1], out[2])
+    rays = jnp.stack(
+        [rays_list[b] if b < len(rays_list) else rays_f[b]
+         for b in range(cfg.max_depth)]
     )
-    missed = missed | ((flags_s & 4) != 0)
-
-    out = ray_sort.unsort_by_lane(lane_id, [
-        radiance.x, radiance.y, radiance.z,
-        direction.x, direction.y, direction.z,
-        throughput.x, throughput.y, throughput.z,
-        missed.astype(jnp.int32),
-    ], chunk)
-    radiance = Vec3(out[0], out[1], out[2])
-    direction = Vec3(out[3], out[4], out[5])
-    throughput = Vec3(out[6], out[7], out[8])
-    missed_ever = out[9] != 0
-    rays = rays.at[0].set(live0)
-    return radiance, direction, throughput, missed_ever, rays
+    return radiance, rays
 
 
 def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
@@ -330,19 +403,19 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
 
             ps = jax.tree.map(pad, ps)
             ps = ps._replace(alive=ps.alive.at[n:].set(False))
-        radiance, direction, throughput, missed_ever, rays = (
-            _fused_mesh_sorted_frame(cfg, scene, lights, ps)
-            if _ray_sort_ok(cfg, scene, ps.rng.shape[0])
-            else pallas_bounce.fused_frame(cfg, scene, lights, ps)
-        )
-        if n_pad:
-            radiance, direction, throughput, missed_ever = jax.tree.map(
-                lambda a: a[:n],
-                (radiance, direction, throughput, missed_ever),
+        if _ray_sort_ok(cfg, scene, ps.rng.shape[0]):
+            radiance, rays = _fused_mesh_sorted_frame(cfg, scene, env, lights,
+                                                      ps)
+        else:
+            radiance, direction, throughput, missed_ever, rays = (
+                pallas_bounce.fused_frame(cfg, scene, lights, ps)
             )
-        env_c = environment_color_v(env, direction)
-        zero3 = Vec3.full((0, 0, 0), missed_ever.shape)
-        radiance = radiance + v3.where(missed_ever, throughput * env_c, zero3)
+            env_c = environment_color_v(env, direction)
+            zero3 = Vec3.full((0, 0, 0), missed_ever.shape)
+            radiance = radiance + v3.where(missed_ever, throughput * env_c,
+                                           zero3)
+        if n_pad:
+            radiance = jax.tree.map(lambda a: a[:n], radiance)
         rad = radiance.to_array()
         if unswizzle is not None:
             rad = unswizzle(rad).reshape(-1, 3)

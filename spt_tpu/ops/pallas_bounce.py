@@ -342,7 +342,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
             o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
             # accel scratch
-            s_clf, s_cll, s_ctn):
+            s_clf, s_cll):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
@@ -350,7 +350,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     is_last = params_ref[0, 1] > 0
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll, s_ctn), sph_c, sph_r, sph_m, n_sphs,
+        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
     )
 
     def live_tile():
@@ -443,8 +443,7 @@ def _accel_inputs(scene: DeviceScene):
 
 def _accel_scratch(accel_tables):
     nc = accel_tables[0].shape[0]
-    return [pltpu.VMEM((nc, 1), jnp.int32), pltpu.SMEM((nc, 1), jnp.int32),
-            pltpu.VMEM((nc, 1), jnp.float32)]
+    return [pltpu.VMEM((nc, 1), jnp.int32), pltpu.SMEM((nc, 1), jnp.int32)]
 
 
 def fused_bounce(
@@ -571,7 +570,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   a_cl_lo, a_cl_hi, a_pack, a_cl_ord,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
                   o_rx, o_ry, o_rz, o_missed, o_bounces,
-                  s_clf, s_cll, s_ctn):
+                  s_clf, s_cll):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -589,7 +588,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
 
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll, s_ctn), sph_c, sph_r, sph_m, n_sphs,
+        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
     )
 
     emitters = EmitterTable(

@@ -62,13 +62,17 @@ def _inv_dir(dx):
     return jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, jnp.where(dx >= 0, _BIG, -_BIG))
 
 
-def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref, tnear_ref=None):
+def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref):
     """Slab-test all B boxes against the whole (S, L) ray subtile in one
     (B, S, L) broadcast pass; write per-box any-lane-hit flags (B, 1) int32
     to scratch.  lo/hi: (B, 3) VMEM tables; o3/inv3: (1, S, L) ray planes;
     bound: (1, S, L) per-lane upper bound (min of tmax and current best).
-    With `tnear_ref`, also record each box's nearest entry distance over the
-    hitting lanes (B, 1) f32 — the open loop's shrinking-bound recheck."""
+
+    (A shrinking-bound recheck in the open loop — skip clusters whose
+    nearest entry lies behind every lane's best — was tried and REMOVED:
+    the scalar bound is max over lanes, and any lane that misses everything
+    keeps it at tmax forever, so the cond's vector->scalar sync per open
+    cost ~2 ms/frame on the chair and skipped almost nothing.)"""
     b = lo.shape[0]
 
     def c3(tab, i):
@@ -91,9 +95,6 @@ def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref, tnear_ref=None):
     hit = tnear <= tfar                              # (B, S, L)
     any_lane = jnp.any(hit, axis=2)                  # (B, S)
     flags_ref[:] = jnp.any(any_lane, axis=1, keepdims=True).astype(jnp.int32)
-    if tnear_ref is not None:
-        tn = jnp.min(jnp.where(hit, tnear, _BIG), axis=2)   # (B, S)
-        tnear_ref[:] = jnp.min(tn, axis=1, keepdims=True)
 
 
 def _scan_open_list(n_clusters, oct_, cl_order, flags_ref, list_ref):
@@ -187,17 +188,15 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     sphere pass + flags + list scan + branch-free cluster loop.
 
     `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_order) VMEM refs;
-    `scratch_refs` = (cl_flags, cl_list, cl_tnear): (C, 1) scratch — int32
-    flags in VMEM (vector-written by the flags pass), the int32 visit list
-    in SMEM (the scan stores scalars, which Mosaic only allows to SMEM),
-    and f32 per-cluster nearest-entry distances in VMEM (the open loop's
-    shrinking-bound recheck).
+    `scratch_refs` = (cl_flags, cl_list): (C, 1) int32 scratch, flags in
+    VMEM (vector-written by the flags pass), the visit list in SMEM (the
+    scan stores scalars, which Mosaic only allows to SMEM).
     o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
     mat, kind) value planes, with t = _BIG * 1e7 on miss (inf downstream).
     Reused by the standalone trace kernels AND the fused bounce/frame
     kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
     cl_lo, cl_hi, tri_pack, cl_order = accel_refs
-    cl_flags, cl_list, cl_tnear = scratch_refs[0], scratch_refs[1], scratch_refs[2]
+    cl_flags, cl_list = scratch_refs[0], scratch_refs[1]
     s, l = o.x.shape
     oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
             + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
@@ -212,26 +211,13 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
     inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
     bound = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
-    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags, cl_tnear)
+    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags)
     count = _scan_open_list(n_clusters, oct_, cl_order, cl_flags, cl_list)
 
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
     def open_body(j, carry):
-        best_t = carry[0]
-        c = cl_list[j, 0]
-
-        # Shrinking-bound recheck: the visit list was built against the
-        # PRE-loop bound, but best_t tightens as front-to-back opens land
-        # hits.  Skip the whole K-triangle block once the cluster's nearest
-        # entry distance (cl_tnear, recorded by the flags pass) lies behind
-        # every live lane's current best — for coherent subtiles that is
-        # most of the tail of the list.
-        bound_max = jnp.max(jnp.minimum(tmax, best_t))
-        still_wanted = jnp.any(cl_tnear[pl.ds(c, 1)] <= bound_max)
-
-        return jax.lax.cond(still_wanted, _open_cluster, lambda c_, cr: cr,
-                            c, carry)
+        return _open_cluster(cl_list[j, 0], carry)
 
     def _open_cluster(c, carry):
         best_t, best_mat, best_kind, ax, ay, az = carry
@@ -289,12 +275,12 @@ def _closest_kernel(n_clusters, k, n_sph, tmin,
                     cl_lo, cl_hi, tri_pack, cl_order,
                     sph_c, sph_r, sph_m,
                     out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-                    cl_flags, cl_list, cl_tnear):
+                    cl_flags, cl_list):
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     t, nx, ny, nz, mat, kind = closest_hit_tile(
         (cl_lo, cl_hi, tri_pack, cl_order),
-        (cl_flags, cl_list, cl_tnear),
+        (cl_flags, cl_list),
         n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
     )
     out_t[:] = t
@@ -368,7 +354,7 @@ def _any_kernel(n_clusters, k, n_sph, tmin,
                 cl_lo, cl_hi, tri_pack, cl_order,
                 sph_c, sph_r, sph_m,
                 out_blocked,
-                cl_flags, cl_list, cl_tnear):
+                cl_flags, cl_list):
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     out_blocked[:] = any_hit_tile(
@@ -413,8 +399,7 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
         out_specs=[block] * out_specs_count,
         out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
         scratch_shapes=[pltpu.VMEM((accel.num_clusters, 1), jnp.int32),
-                        pltpu.SMEM((accel.num_clusters, 1), jnp.int32),
-                        pltpu.VMEM((accel.num_clusters, 1), jnp.float32)],
+                        pltpu.SMEM((accel.num_clusters, 1), jnp.int32)],
     )(*state, *tables)
     return outs, n
 
