@@ -133,18 +133,27 @@ def main():
     _ = float(np.asarray(r.state.accum[:1]).sum())
 
     # The tunneled TPU shows high run-to-run variance (relay contention):
-    # take the median of several timed trials.
+    # take the median of several timed trials.  Static-camera configs run
+    # each chain as ONE dispatch (render_frames) — per-dispatch host/relay
+    # overhead is ~2-4 ms, real at these frame times; the animated config
+    # must step per-frame for its camera-move accumulation resets.
     trials = []
     for _ in range(3):
         t0 = time.perf_counter()
-        frame_stats = []
-        for _ in range(iters):
-            r.render_frame(check_camera=False)
-            frame_stats.append(r.last_stats)   # device arrays: no sync here
+        if animate:
+            frame_stats = []
+            for _ in range(iters):
+                advance_camera()
+                r.render_frame(check_camera=True)
+                frame_stats.append(r.last_stats)  # device arrays: no sync
+            total = lambda: sum(count_rays(s, cfg, n_lights=1)
+                                for s in frame_stats)
+        else:
+            r.render_frames(iters)
+            total = lambda: count_rays(r.last_stats, cfg, n_lights=1)
         _ = float(np.asarray(r.state.accum[:1]).sum())  # one sync per chain
         dt = time.perf_counter() - t0
-        total_rays = sum(count_rays(s, cfg, n_lights=1) for s in frame_stats)
-        trials.append(total_rays / dt / 1e6)
+        trials.append(total() / dt / 1e6)
     mrays = float(np.median(trials))
     result = {
         "metric": f"wavefront_mrays_per_sec_{scene_name}_scene_{width}x{height}",

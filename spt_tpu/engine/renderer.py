@@ -49,6 +49,35 @@ def _frame_step(
     return new_state, stats
 
 
+def _frame_step_k(
+    cfg: RenderConfig,
+    k: int,
+    scene: DeviceScene,
+    env: Environment,
+    lights: DeviceLights,
+    camera: CameraRays,
+    rstate: state_mod.RenderState,
+):
+    """`k` progressive frames in ONE XLA program (lax.fori_loop over the
+    frame step).  Each dispatch through the device runtime costs ~2-4 ms of
+    host/relay overhead (measured on the axon tunnel with a trivial op);
+    batching frames amortizes it for non-interactive rendering (bench, CLI
+    with a static camera).  Stats are summed across the k frames."""
+    from spt_tpu.integrators.wavefront import WavefrontStats
+
+    def body(_, carry):
+        st, rays, bounces = carry
+        st2, stats = _frame_step(cfg, scene, env, lights, camera, st)
+        return (st2, rays + stats.rays_per_bounce,
+                jnp.maximum(bounces, stats.bounces_run))
+
+    st, rays, bounces = jax.lax.fori_loop(
+        0, k, body,
+        (rstate, jnp.zeros((cfg.max_depth,), jnp.int32), jnp.int32(0)),
+    )
+    return st, WavefrontStats(rays_per_bounce=rays, bounces_run=bounces)
+
+
 def _resolve_image(cfg: RenderConfig, rstate: state_mod.RenderState):
     img01 = resolve(
         rstate.accum,
@@ -69,6 +98,18 @@ def _resolve_image(cfg: RenderConfig, rstate: state_mod.RenderState):
 @functools.lru_cache(maxsize=64)
 def _jitted_step(cfg: RenderConfig):
     return jax.jit(functools.partial(_frame_step, cfg), donate_argnums=(4,))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_step_k(cfg: RenderConfig, k: int):
+    # NO buffer donation here, deliberately: donating the render state to
+    # the k-frame program makes the axon TPU client abort on the SECOND
+    # execution of the executable (Rust panic "index out of bounds: len 32"
+    # in client.rs loaded_executable_execute — an input-aliasing table
+    # overflow; reproduced deterministically, gone without donation).  The
+    # cost is one extra copy of the accumulation buffer per k frames —
+    # microseconds against the ~2-4 ms/frame the batching saves.
+    return jax.jit(functools.partial(_frame_step_k, cfg, k))
 
 
 @functools.lru_cache(maxsize=64)
@@ -124,6 +165,36 @@ class Renderer:
         if check_camera and self.camera.has_moved_since_last_check():
             self.state = state_mod.reset(self.state)
         self.state, self.last_stats = self._step(
+            self.scene, self.env, self.lights, self.camera.rays(), self.state
+        )
+
+    def render_frames(self, k: int, check_camera: bool = False) -> None:
+        """Advance by `k` frames in one device dispatch (static camera).
+
+        Falls back to per-frame stepping on a multi-chip mesh (the sharded
+        step has its own program), on accel (mesh-traced) scenes — the axon
+        TPU client cannot reliably re-execute the batched program there
+        (backend InvalidArgument/abort on the second execution; see
+        docs/DESIGN.md environment quirks) — or for k <= 1.  Summed stats
+        land in last_stats."""
+        if k <= 1 or self.mesh is not None or self.scene.accel is not None:
+            from spt_tpu.integrators.wavefront import WavefrontStats
+
+            rays = bounces = None
+            for _ in range(k):
+                self.render_frame(check_camera=check_camera)
+                s = self.last_stats
+                rays = s.rays_per_bounce if rays is None else rays + s.rays_per_bounce
+                bounces = (s.bounces_run if bounces is None
+                           else jnp.maximum(bounces, s.bounces_run))
+            if rays is not None:
+                self.last_stats = WavefrontStats(rays_per_bounce=rays,
+                                                 bounces_run=bounces)
+            return
+        if check_camera and self.camera.has_moved_since_last_check():
+            self.state = state_mod.reset(self.state)
+        step_k = _jitted_step_k(self.cfg, k)
+        self.state, self.last_stats = step_k(
             self.scene, self.env, self.lights, self.camera.rays(), self.state
         )
 

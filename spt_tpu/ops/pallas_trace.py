@@ -324,6 +324,13 @@ def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
             + (jnp.sum(d.z) < 0).astype(jnp.int32))
 
     blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
+    # Masked-out lanes (tmax <= tmin: dead paths, non-contributing shadow
+    # rays) can never test as blocked, which would pin the all-blocked early
+    # exit off for every mixed tile.  Count them as blocked up front — their
+    # result is ignored by every caller (transport.shade_core masks with
+    # contrib_mask), and the exit then fires as soon as the LIVE lanes are
+    # occluded.
+    blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
 
     ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
     o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))

@@ -26,6 +26,22 @@ class TestProgressive:
         r.render_frame()
         assert r.accumulated_samples == 2 * CFG.spp
 
+    def test_render_frames_batched_equals_single(self):
+        # k frames in one dispatch == k single-frame dispatches: same
+        # accumulation, same frame index, same summed telemetry.
+        import numpy as np
+
+        a = make_renderer()
+        for _ in range(3):
+            a.render_frame()
+        b = make_renderer()
+        b.render_frames(3)
+        np.testing.assert_allclose(np.asarray(a.state.accum),
+                                   np.asarray(b.state.accum),
+                                   rtol=1e-6, atol=1e-7)
+        assert a.accumulated_samples == b.accumulated_samples
+        assert int(a.state.frame_index) == int(b.state.frame_index)
+
     def test_progressive_mean_is_mean_of_frames(self):
         r = make_renderer()
         r.render_frame()
