@@ -162,6 +162,33 @@ def shade(
     return new_ps._replace(radiance=radiance)
 
 
+def sample_texture_v(textures, tex_id, uvx, uvy) -> Vec3:
+    """Nearest-neighbor baseColor texture sample, XLA layout-flat gather.
+
+    `textures` is the kernel tiling (n_tex, 4, 8, 128, 3) of TEX_RES^2
+    images (materials.build_texture_table); texel (ty, tx) lives at flat
+    index ty * TEX_RES + tx = (q << 10) | (r << 7) | c.  UVs wrap (glTF
+    REPEAT, the only mode the reference's assets use); V maps directly to
+    image rows (glTF uv origin and the image array origin are both top-left).
+    Lanes without a texture (tex_id < 0) return 1 so base_color passes
+    through.
+    """
+    from spt_tpu.materials import TEX_RES
+
+    res = jnp.float32(TEX_RES)
+    fu = uvx - jnp.floor(uvx)
+    fv = uvy - jnp.floor(uvy)
+    tx = jnp.clip((fu * res).astype(jnp.int32), 0, TEX_RES - 1)
+    ty = jnp.clip((fv * res).astype(jnp.int32), 0, TEX_RES - 1)
+    flat = ty * TEX_RES + tx
+    tid = jnp.maximum(tex_id, 0)
+    tex_flat = textures.reshape(textures.shape[0], -1, 3)
+    rgb = tex_flat[tid, flat]                     # (N, 3) gather
+    has = (tex_id >= 0)[:, None]
+    rgb = jnp.where(has, rgb, 1.0)
+    return Vec3(rgb[:, 0], rgb[:, 1], rgb[:, 2])
+
+
 def shade_core(
     cfg: RenderConfig,
     scene: DeviceScene,
@@ -172,6 +199,7 @@ def shade_core(
     is_last,
     gather_materials=gather_v,
     occluded_fn=isect.occluded_v,
+    texture_fn=None,
 ):
     """Everything in shade except the environment color: emission, direct
     lighting with shadow rays, and the scatter branches.  Returns
@@ -193,6 +221,11 @@ def shade_core(
 
     # --- surface setup --------------------------------------------------------
     mat = gather_materials(scene.materials, hit.mat_id)
+    if scene.textures is not None and hit.uvx is not None:
+        tex = (texture_fn or sample_texture_v)(
+            scene.textures, mat.tex_id, hit.uvx, hit.uvy
+        )
+        mat = mat._replace(base_color=mat.base_color * tex)
     up = Vec3.full((0.0, 1.0, 0.0), shape)
     ng = v3.normalize_or(hit.normal, up)
     n, entering = v3.faceforward(ng, ps.direction)

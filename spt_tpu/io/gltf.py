@@ -8,9 +8,11 @@ step 6): recursive node walk with TRS/matrix transforms
 u8/u16/u32 index extraction (:219-331), computed-normal fallback (:176-200),
 and pbrMetallicRoughness -> Material mapping.
 
-Pure stdlib + numpy (no pygltflib in the image).  Textures are not sampled
-(the reference doesn't sample them either — materials are per-primitive
-factors); KHR extensions are ignored except KHR_materials_emissive_strength.
+Pure stdlib + numpy (no pygltflib in the image); PIL decodes texture
+images.  baseColor textures ARE loaded and sampled — beyond the reference,
+whose GLTFLoader reads TEXCOORD_0 and texture uris but whose backends never
+sample a texture (GLTFLoader.cpp:219-331).  KHR extensions are ignored
+except KHR_materials_emissive_strength / _transmission / _ior.
 """
 
 from __future__ import annotations
@@ -150,7 +152,54 @@ def _computed_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return (n / np.maximum(lens, 1e-12)).astype(np.float32)
 
 
-def _convert_material(gmat: dict) -> Material:
+def _load_image(g: _Gltf, base_dir: str, image_index: int):
+    """Decode a glTF image (uri file, data uri, or bufferView) -> (H, W, 3)
+    float32 LINEAR color (baseColor images are sRGB-encoded per spec)."""
+    try:
+        import io as _io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    img = g.doc["images"][image_index]
+    try:
+        if "uri" in img:
+            uri = img["uri"]
+            if uri.startswith("data:"):
+                data = base64.b64decode(uri.split(",", 1)[1])
+                pil = Image.open(_io.BytesIO(data))
+            else:
+                from urllib.parse import unquote
+
+                pil = Image.open(os.path.join(base_dir, unquote(uri)))
+        else:
+            bv = g.doc["bufferViews"][img["bufferView"]]
+            buf = g.buffers[bv["buffer"]]
+            off = bv.get("byteOffset", 0)
+            pil = Image.open(_io.BytesIO(buf[off:off + bv["byteLength"]]))
+        arr = np.asarray(pil.convert("RGB"), np.float32) / 255.0
+    except Exception:
+        return None
+    # sRGB -> linear (the exact EOTF; shading is linear throughout)
+    return np.where(arr <= 0.04045, arr / 12.92,
+                    ((arr + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def _base_color_texture(g: _Gltf, base_dir: str, gmat: dict):
+    pbr = gmat.get("pbrMetallicRoughness", {})
+    tex = pbr.get("baseColorTexture")
+    if tex is None:
+        return None
+    textures = g.doc.get("textures", [])
+    if tex.get("index", -1) >= len(textures):
+        return None
+    source = textures[tex["index"]].get("source")
+    if source is None:
+        return None
+    return _load_image(g, base_dir, source)
+
+
+def _convert_material(gmat: dict, texture: np.ndarray = None) -> Material:
     pbr = gmat.get("pbrMetallicRoughness", {})
     base = np.array(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)[:3]
     metallic = float(pbr.get("metallicFactor", 1.0))
@@ -180,6 +229,7 @@ def _convert_material(gmat: dict) -> Material:
         ior=float(ior),
         transparency=float(transmission),
         mat_type=mat_type,
+        base_color_texture=texture,
     )
 
 
@@ -190,10 +240,11 @@ def load_gltf(path: str, scene_desc: Optional[SceneDesc] = None) -> SceneDesc:
     sd = scene_desc if scene_desc is not None else SceneDesc()
 
     # materials (offset if appending to an existing desc)
+    base_dir = os.path.dirname(os.path.abspath(path))
     mat_base = len(sd.materials)
     gmats = doc.get("materials", [])
     for gm in gmats:
-        sd.add_material(_convert_material(gm))
+        sd.add_material(_convert_material(gm, _base_color_texture(g, base_dir, gm)))
     if not gmats:
         sd.add_material(Material())
 

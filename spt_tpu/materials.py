@@ -38,10 +38,46 @@ class DeviceMaterials(NamedTuple):
     mat_type: jnp.ndarray      # (M,) int32: 0 PBR, 1 DIELECTRIC
     emission: jnp.ndarray      # (M, 3)
     transparency: jnp.ndarray  # (M,) derived via Material::getTransparency()
+    tex_id: jnp.ndarray        # (M,) int32 index into the scene texture
+                               # table, -1 when the material is untextured
 
     @property
     def count(self) -> int:
         return self.base_color.shape[0]
+
+
+# Device texture resolution: every baseColor texture is resampled to this
+# square size.  64x64 = 4096 texels = four (8, 128) VMEM tiles, the unit the
+# in-kernel sampler's tpu.dynamic_gather can address (ops/pallas_bounce).
+TEX_RES = 64
+
+
+def _resample_texture(img: np.ndarray, res: int = TEX_RES) -> np.ndarray:
+    """(H, W, 3) -> (res, res, 3) by uniform-grid point sampling."""
+    h, w = img.shape[0], img.shape[1]
+    yi = np.minimum((np.arange(res) + 0.5) / res * h, h - 1).astype(np.int64)
+    xi = np.minimum((np.arange(res) + 0.5) / res * w, w - 1).astype(np.int64)
+    return img[yi][:, xi].astype(np.float32)
+
+
+def build_texture_table(materials: Sequence["Material"]):
+    """(tex_id (M,) int32, textures (n_tex, 4, 8, 128, 3) f32 | None).
+
+    Texture layout is the kernel-addressable tiling of a TEX_RES^2 image:
+    texel (ty, tx) -> flat = ty * TEX_RES + tx -> (flat >> 10, (flat >> 7)
+    & 7, flat & 127).  The XLA sampler indexes the same layout."""
+    tex_id = np.full(max(len(materials), 1), -1, np.int32)
+    imgs = []
+    for i, m in enumerate(materials):
+        img = getattr(m, "base_color_texture", None)
+        if img is None:
+            continue
+        tex_id[i] = len(imgs)
+        t = _resample_texture(img).reshape(-1, 3)        # (4096, 3)
+        imgs.append(t.reshape(4, 8, 128, 3))
+    if not imgs:
+        return jnp.asarray(tex_id), None
+    return jnp.asarray(tex_id), jnp.asarray(np.stack(imgs), jnp.float32)
 
 
 def build_device_materials(materials: Sequence["Material"]) -> DeviceMaterials:
@@ -49,6 +85,7 @@ def build_device_materials(materials: Sequence["Material"]) -> DeviceMaterials:
     MaterialManager.cpp:13-19, with derived transparency baked in)."""
     if len(materials) == 0:
         materials = [Material()]
+    tex_id, _ = build_texture_table(materials)
     return DeviceMaterials(
         base_color=jnp.asarray(np.stack([m.base_color for m in materials]), jnp.float32),
         metallic=jnp.asarray(np.array([m.metallic for m in materials], np.float32)),
@@ -59,6 +96,7 @@ def build_device_materials(materials: Sequence["Material"]) -> DeviceMaterials:
         transparency=jnp.asarray(
             np.array([m.get_transparency() for m in materials], np.float32)
         ),
+        tex_id=tex_id,
     )
 
 
@@ -74,6 +112,7 @@ def gather(table: DeviceMaterials, mat_id: jnp.ndarray) -> DeviceMaterials:
         mat_type=table.mat_type[mid],
         emission=table.emission[mid],
         transparency=table.transparency[mid],
+        tex_id=table.tex_id[mid],
     )
 
 
@@ -156,6 +195,7 @@ class LaneMaterials(_NT):
     mat_type: "jnp.ndarray"
     emission: Vec3
     transparency: "jnp.ndarray"
+    tex_id: "jnp.ndarray"
 
 
 def gather_v(table: DeviceMaterials, mat_id) -> LaneMaterials:
@@ -172,4 +212,5 @@ def gather_v(table: DeviceMaterials, mat_id) -> LaneMaterials:
         mat_type=table.mat_type[mid],
         emission=Vec3(em[..., 0], em[..., 1], em[..., 2]),
         transparency=table.transparency[mid],
+        tex_id=table.tex_id[mid],
     )

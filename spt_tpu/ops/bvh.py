@@ -42,9 +42,9 @@ class MeshAccel(NamedTuple):
     tri_e1: jnp.ndarray
     tri_e2: jnp.ndarray
     tri_mat: jnp.ndarray      # (C*K,) int32
-    # Kernel-friendly packing of the same triangles: (C, K, 16) float32 with
-    # columns [v0 | e1 | e2 | cross(e1,e2) | mat | 0 0 0].  One cluster is a
-    # dense (K, 16) VMEM block, so the Pallas tracer tests a whole cluster
+    # Kernel-friendly packing of the same triangles: (C, K, 24) float32 with
+    # columns [v0 | e1 | e2 | cross(e1,e2) | mat | uv0 duv1 duv2 | pad].  One
+    # cluster is a dense (K, 24) VMEM block, so the Pallas tracer tests a whole cluster
     # against a ray row with (K, LANES) vector math instead of K serialized
     # scalar reads (see ops/pallas_trace.py).  Replaces what rtcCommitScene /
     # optixAccelBuild bake for their traversers (EmbreeBackend.cpp:181,
@@ -89,6 +89,7 @@ def build_mesh_accel(
     e2: np.ndarray,
     mat: np.ndarray,
     cluster_size: int = 64,
+    uv: np.ndarray = None,
 ) -> MeshAccel:
     """Sort triangles along the Morton curve and cut into clusters.
 
@@ -102,6 +103,8 @@ def build_mesh_accel(
     e2 = np.asarray(e2, np.float32)
     mat = np.asarray(mat, np.int32)
     t = v0.shape[0]
+    uv = (np.zeros((t, 6), np.float32) if uv is None
+          else np.asarray(uv, np.float32).reshape(t, 6))
 
     pad = (-t) % cluster_size
     if pad:
@@ -110,6 +113,7 @@ def build_mesh_accel(
         e1 = np.concatenate([e1, z])
         e2 = np.concatenate([e2, z])
         mat = np.concatenate([mat, np.zeros(pad, np.int32)])
+        uv = np.concatenate([uv, np.zeros((pad, 6), np.float32)])
 
     from spt_tpu.io import native
 
@@ -140,7 +144,8 @@ def build_mesh_accel(
         cl_lo = np.where(np.isfinite(cl_lo), cl_lo, 1e30).astype(np.float32)
         cl_hi = np.where(np.isfinite(cl_hi), cl_hi, -1e30).astype(np.float32)
 
-    v0s, e1s, e2s, mats = v0[order], e1[order], e2[order], mat[order]
+    v0s, e1s, e2s, mats, uvs = (v0[order], e1[order], e2[order], mat[order],
+                                uv[order])
 
     # Octant visit orders (front-to-back by centroid along the octant
     # direction; octant bit set = negative direction component).
@@ -153,13 +158,14 @@ def build_mesh_accel(
                         -1.0 if o & 1 else 1.0])
         cl_order[o] = np.argsort(cent_cl @ sgn, kind="stable")
 
-    pack = np.zeros((c_total * cluster_size, 16), np.float32)
+    pack = np.zeros((c_total * cluster_size, 24), np.float32)
     pack[:, 0:3] = v0s
     pack[:, 3:6] = e1s
     pack[:, 6:9] = e2s
     pack[:, 9:12] = np.cross(e1s, e2s)  # geometric normal, unnormalized
     pack[:, 12] = mats.astype(np.float32)
-    pack = pack.reshape(c_total, cluster_size, 16)
+    pack[:, 13:19] = uvs                # texture uv0 | duv1 | duv2
+    pack = pack.reshape(c_total, cluster_size, 24)
 
     return MeshAccel(
         cluster_lo=jnp.asarray(cl_lo.astype(np.float32)),

@@ -52,12 +52,18 @@ UNROLL_LIMIT = 192
 
 
 class HitV(NamedTuple):
-    """Component-SoA hit record (the TPU HitRecord, LaunchParams.h:27-32)."""
+    """Component-SoA hit record (the TPU HitRecord, LaunchParams.h:27-32,
+    plus the interpolated TEXCOORD_0 the reference loads but never uses —
+    GLTFLoader.cpp:219-331)."""
 
     t: jnp.ndarray        # (N,) float32, INF on miss
     normal: Vec3          # geometric normal (not normalized)
     mat_id: jnp.ndarray   # (N,) int32
     kind: jnp.ndarray     # (N,) int32
+    # Interpolated texture coordinates at the hit; None when the scene is
+    # untextured (intersectors only compute them when scene.tri_uv exists).
+    uvx: jnp.ndarray = None   # (N,) float32
+    uvy: jnp.ndarray = None   # (N,) float32
 
     @property
     def hit_mask(self) -> jnp.ndarray:
@@ -79,8 +85,10 @@ class Hit(NamedTuple):
 
 # --- unrolled scalar-prim path ------------------------------------------------
 
-def _tri_scalar_test(scene, i, o: Vec3, d: Vec3, tmin, tmax, best_t):
-    """One triangle against all lanes; returns (t_masked, tri normal xyz)."""
+def _tri_scalar_test(scene, i, o: Vec3, d: Vec3, tmin, tmax, best_t,
+                     with_uv: bool = False):
+    """One triangle against all lanes; returns (ok, t, tri normal xyz[,
+    barycentric (u, v)])."""
     v0x, v0y, v0z = scene.tri_v0[i, 0], scene.tri_v0[i, 1], scene.tri_v0[i, 2]
     e1x, e1y, e1z = scene.tri_e1[i, 0], scene.tri_e1[i, 1], scene.tri_e1[i, 2]
     e2x, e2y, e2z = scene.tri_e2[i, 0], scene.tri_e2[i, 1], scene.tri_e2[i, 2]
@@ -106,6 +114,8 @@ def _tri_scalar_test(scene, i, o: Vec3, d: Vec3, tmin, tmax, best_t):
     nx = e1y * e2z - e1z * e2y
     ny = e1z * e2x - e1x * e2z
     nz = e1x * e2y - e1y * e2x
+    if with_uv:
+        return ok, t, (nx, ny, nz), (u, v)
     return ok, t, (nx, ny, nz)
 
 
@@ -134,14 +144,22 @@ def _intersect_unrolled(scene, o: Vec3, d: Vec3, tmin, tmax) -> HitV:
     ax = ay = az = zeros
     rinv = zeros
 
+    textured = scene.tri_uv is not None
+    uvx = uvy = zeros
     for i in range(scene.num_triangles):
-        ok, t, (nx, ny, nz) = _tri_scalar_test(scene, i, o, d, tmin, tmax, best_t)
+        ok, t, (nx, ny, nz), (bu, bv) = _tri_scalar_test(
+            scene, i, o, d, tmin, tmax, best_t, with_uv=True
+        )
         best_t = jnp.where(ok, t, best_t)
         kind = jnp.where(ok, KIND_TRIANGLE, kind)
         mat = jnp.where(ok, scene.tri_mat[i], mat)
         ax = jnp.where(ok, nx, ax)
         ay = jnp.where(ok, ny, ay)
         az = jnp.where(ok, nz, az)
+        if textured:
+            r = scene.tri_uv[i]
+            uvx = jnp.where(ok, r[0] + bu * r[2] + bv * r[4], uvx)
+            uvy = jnp.where(ok, r[1] + bu * r[3] + bv * r[5], uvy)
 
     for i in range(scene.num_spheres):
         ok, t, (cx, cy, cz, r) = _sph_scalar_test(scene, i, o, d, tmin, tmax, best_t)
@@ -164,7 +182,10 @@ def _intersect_unrolled(scene, o: Vec3, d: Vec3, tmin, tmax) -> HitV:
         jnp.where(is_sph, (py - ay) * rinv, ay),
         jnp.where(is_sph, (pz - az) * rinv, az),
     )
-    return HitV(t=best_t, normal=normal, mat_id=mat, kind=kind)
+    if not textured:
+        uvx = uvy = None
+    return HitV(t=best_t, normal=normal, mat_id=mat, kind=kind,
+                uvx=uvx, uvy=uvy)
 
 
 def _occluded_unrolled(scene, o: Vec3, d: Vec3, tmin, tmax) -> jnp.ndarray:
@@ -304,8 +325,27 @@ def _intersect_chunked(scene, o: Vec3, d: Vec3, tmin, tmax, chunk_size=128) -> H
         is_tri, scene.tri_mat[ti], jnp.where(is_sph, scene.sph_mat[si], 0)
     ).astype(jnp.int32)
 
+    uvx = uvy = None
+    if scene.tri_uv is not None:
+        # Re-evaluate the winning triangle's barycentrics (one MT per lane —
+        # cheaper than carrying (u, v) through every chunk's running min).
+        wv0 = scene.tri_v0[ti]
+        we1 = scene.tri_e1[ti]
+        we2 = scene.tri_e2[ti]
+        h = jnp.cross(da, we2)
+        a = jnp.sum(we1 * h, axis=-1)
+        inv_a = 1.0 / jnp.where(jnp.abs(a) > _MT_EPS, a, 1.0)
+        s = oa - wv0
+        bu = inv_a * jnp.sum(s * h, axis=-1)
+        q = jnp.cross(s, we1)
+        bv = inv_a * jnp.sum(da * q, axis=-1)
+        r = scene.tri_uv[ti]
+        uvx = jnp.where(is_tri, r[:, 0] + bu * r[:, 2] + bv * r[:, 4], 0.0)
+        uvy = jnp.where(is_tri, r[:, 1] + bu * r[:, 3] + bv * r[:, 5], 0.0)
+
     return HitV(
-        t=best_t, normal=Vec3.from_array(normal_a), mat_id=mat_id, kind=best_kind
+        t=best_t, normal=Vec3.from_array(normal_a), mat_id=mat_id,
+        kind=best_kind, uvx=uvx, uvy=uvy
     )
 
 

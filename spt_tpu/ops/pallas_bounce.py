@@ -105,6 +105,8 @@ def _gather_materials_select(table, mat_id):
         mat_type=mat_type,
         emission=Vec3(ex, ey, ez),
         transparency=transparency,
+        # untextured inside the kernel (supports() excludes textured scenes)
+        tex_id=jnp.full_like(mat_id, -1),
     )
 
 
@@ -145,6 +147,10 @@ def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
         scene_ok
         and scene.materials.count <= MAX_PALLAS_MATERIALS
         and (scene.emitters is None or scene.emitters.count <= MAX_PALLAS_EMITTERS)
+        # Textured scenes take the staged XLA pipeline: the in-kernel shade
+        # cannot sample textures yet (the trace side resolves uv; the
+        # sampler needs tpu.dynamic_gather plumbing — next stage).
+        and scene.textures is None
     ):
         return False
     if pad_ok:
@@ -373,6 +379,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                 base_color=m_base, metallic=_Col(m_metal),
                 roughness=_Col(m_rough), ior=_Col(m_ior), mat_type=_Col(m_type),
                 emission=m_emis, transparency=_Col(m_trans),
+                tex_id=jnp.full_like(_Col(m_type), -1),
             ),
             accel=None,
             emitters=emitters,
@@ -435,7 +442,7 @@ def _accel_inputs(scene: DeviceScene):
         return (a.num_clusters, a.cluster_size), accel_tables, tri_tables
     z83 = jnp.zeros((8, 3), jnp.float32)
     zi = jnp.zeros((8, 1), jnp.int32)
-    accel_tables = [z83, z83, jnp.zeros((1, 8, 16), jnp.float32), zi]
+    accel_tables = [z83, z83, jnp.zeros((1, 8, 24), jnp.float32), zi]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
                   col(scene.tri_mat)]
     return None, accel_tables, tri_tables
@@ -601,6 +608,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             base_color=m_base, metallic=_Col(m_metal),
             roughness=_Col(m_rough), ior=_Col(m_ior), mat_type=_Col(m_type),
             emission=m_emis, transparency=_Col(m_trans),
+            tex_id=jnp.full_like(_Col(m_type), -1),
         ),
         accel=None,
         emitters=emitters,

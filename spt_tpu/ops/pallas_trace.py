@@ -146,7 +146,7 @@ def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         & (t > tmin) & (t < tmax3)
     )
-    return ok, t
+    return ok, t, u, v
 
 
 def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
@@ -183,7 +183,7 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
 
 
 def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
-                     sph_c, sph_r, sph_m, o, d, tmax):
+                     sph_c, sph_r, sph_m, o, d, tmax, with_uv: bool = False):
     """Full closest-hit for one (S, L) ray tile inside a Pallas kernel:
     sphere pass + flags + list scan + branch-free cluster loop.
 
@@ -192,7 +192,9 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     VMEM (vector-written by the flags pass), the visit list in SMEM (the
     scan stores scalars, which Mosaic only allows to SMEM).
     o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
-    mat, kind) value planes, with t = _BIG * 1e7 on miss (inf downstream).
+    mat, kind) value planes — plus (uvx, uvy) interpolated texture
+    coordinates when `with_uv` (textured scenes; pack cols 13-18 hold
+    uv0|duv1|duv2) — with t = _BIG * 1e7 on miss (inf downstream).
     Reused by the standalone trace kernels AND the fused bounce/frame
     kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
     cl_lo, cl_hi, tri_pack, cl_order = accel_refs
@@ -205,6 +207,9 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     carry0, rinv = _sphere_pass_closest(
         n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
     )
+    if with_uv:
+        zero_sl = jnp.zeros(o.x.shape, jnp.float32)
+        carry0 = carry0 + (zero_sl, zero_sl)
 
     ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
     o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
@@ -220,9 +225,10 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
         return _open_cluster(cl_list[j, 0], carry)
 
     def _open_cluster(c, carry):
-        best_t, best_mat, best_kind, ax, ay, az = carry
+        best_t = carry[0]
         blk = tri_pack[c]
-        ok, t = _tri_block_test(blk, k, o3, d3, tmin, tmax.reshape(1, s, l))
+        ok, t, bu, bv = _tri_block_test(blk, k, o3, d3, tmin,
+                                        tmax.reshape(1, s, l))
         tb = jnp.where(ok, t, _BIG)
         tm = jnp.min(tb, axis=0)                     # (S, L)
         win = tm < best_t
@@ -232,7 +238,7 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
         # K-passes of attribute picking cost ~3x the vector->scalar sync of
         # the any() predicate (both measured).
         def resolve(carry):
-            best_t, best_mat, best_kind, ax, ay, az = carry
+            best_t, best_mat, best_kind, ax, ay, az = carry[:6]
             # unique winner row per lane: max index among t == tm candidates
             eq = ok & (tb == tm.reshape(1, s, l))
             wi = jnp.max(jnp.where(eq, iota_k, -1), axis=0)
@@ -248,13 +254,21 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
             az = jnp.where(win, pick(11), az)
             best_kind = jnp.where(win, isect.KIND_TRIANGLE, best_kind)
             best_t = jnp.where(win, tm, best_t)
-            return best_t, best_mat, best_kind, ax, ay, az
+            out = (best_t, best_mat, best_kind, ax, ay, az)
+            if with_uv:
+                uvx, uvy = carry[6], carry[7]
+                pu = jnp.sum(jnp.where(uniq, bu, 0.0), axis=0)
+                pv = jnp.sum(jnp.where(uniq, bv, 0.0), axis=0)
+                texu = pick(13) + pu * pick(15) + pv * pick(17)
+                texv = pick(14) + pu * pick(16) + pv * pick(18)
+                out = out + (jnp.where(win, texu, uvx),
+                             jnp.where(win, texv, uvy))
+            return out
 
         return jax.lax.cond(jnp.any(win), resolve, lambda cr: cr, carry)
 
-    best_t, best_mat, best_kind, ax, ay, az = jax.lax.fori_loop(
-        0, count, open_body, carry0
-    )
+    out_carry = jax.lax.fori_loop(0, count, open_body, carry0)
+    best_t, best_mat, best_kind, ax, ay, az = out_carry[:6]
 
     hitm = best_kind != isect.KIND_MISS
     t_safe = jnp.where(hitm, best_t, 0.0)
@@ -262,33 +276,40 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     px = o.x + t_safe * d.x
     py = o.y + t_safe * d.y
     pz = o.z + t_safe * d.z
-    return (jnp.where(hitm, best_t, _BIG * 1e7),  # becomes inf downstream
-            jnp.where(is_sph, (px - ax) * rinv, ax),
-            jnp.where(is_sph, (py - ay) * rinv, ay),
-            jnp.where(is_sph, (pz - az) * rinv, az),
-            best_mat,
-            best_kind)
+    out = (jnp.where(hitm, best_t, _BIG * 1e7),  # becomes inf downstream
+           jnp.where(is_sph, (px - ax) * rinv, ax),
+           jnp.where(is_sph, (py - ay) * rinv, ay),
+           jnp.where(is_sph, (pz - az) * rinv, az),
+           best_mat,
+           best_kind)
+    if with_uv:
+        out = out + (out_carry[6], out_carry[7])
+    return out
 
 
-def _closest_kernel(n_clusters, k, n_sph, tmin,
+def _closest_kernel(n_clusters, k, n_sph, tmin, with_uv,
                     ox, oy, oz, dx, dy, dz, tmaxr,
                     cl_lo, cl_hi, tri_pack, cl_order,
                     sph_c, sph_r, sph_m,
-                    out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-                    cl_flags, cl_list):
+                    *outs_and_scratch):
+    if with_uv:
+        (out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
+         out_uvx, out_uvy, cl_flags, cl_list) = outs_and_scratch
+    else:
+        (out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
+         cl_flags, cl_list) = outs_and_scratch
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
-    t, nx, ny, nz, mat, kind = closest_hit_tile(
+    res = closest_hit_tile(
         (cl_lo, cl_hi, tri_pack, cl_order),
         (cl_flags, cl_list),
         n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
+        with_uv=with_uv,
     )
-    out_t[:] = t
-    out_nx[:] = nx
-    out_ny[:] = ny
-    out_nz[:] = nz
-    out_mat[:] = mat
-    out_kind[:] = kind
+    out_t[:], out_nx[:], out_ny[:], out_nz[:] = res[0], res[1], res[2], res[3]
+    out_mat[:], out_kind[:] = res[4], res[5]
+    if with_uv:
+        out_uvx[:], out_uvy[:] = res[6], res[7]
 
 
 def _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
@@ -349,7 +370,7 @@ def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
         j, blocked = carry
         c = cl_list[j, 0]
         blk = tri_pack[c]
-        ok, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
+        ok, _, _, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
         return j + 1, blocked | jnp.any(ok, axis=0).astype(jnp.int32)
 
     _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), blocked0))
@@ -372,7 +393,7 @@ def _any_kernel(n_clusters, k, n_sph, tmin,
 
 
 def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
-                 out_shapes, out_specs_count):
+                 out_shapes, out_specs_count, extra_statics=()):
     n = o.x.shape[0]
     rows = n // LANES
     shape2 = (rows, LANES)
@@ -397,7 +418,8 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
 
     k = accel.cluster_size
     kern = functools.partial(
-        kernel, accel.num_clusters, k, scene.num_spheres, np.float32(tmin)
+        kernel, accel.num_clusters, k, scene.num_spheres, np.float32(tmin),
+        *extra_statics
     )
     outs = pl.pallas_call(
         kern,
@@ -420,17 +442,24 @@ def _divisor(rows: int) -> int:
 
 
 def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0, tmax=np.float32(np.inf)):
-    """Pallas cluster-culled closest hit -> isect.HitV."""
+    """Pallas cluster-culled closest hit -> isect.HitV (with interpolated
+    texture uv when the scene is textured)."""
     tmax = np.float32(min(float(tmax), 1e30)) if isinstance(tmax, (int, float)) else tmax
+    with_uv = scene.textures is not None
+    f32, i32 = jnp.float32, jnp.int32
+    out_shapes = [f32, f32, f32, f32, i32, i32] + ([f32, f32] if with_uv else [])
     outs, n = _common_call(
         _closest_kernel, accel, scene, o, d, tmin, tmax,
-        out_shapes=[jnp.float32, jnp.float32, jnp.float32, jnp.float32,
-                    jnp.int32, jnp.int32],
-        out_specs_count=6,
+        out_shapes=out_shapes,
+        out_specs_count=len(out_shapes),
+        extra_statics=(with_uv,),
     )
-    t, nx, ny, nz, mat, kind = (x.reshape(n) for x in outs)
+    outs = [x.reshape(n) for x in outs]
+    t, nx, ny, nz, mat, kind = outs[:6]
     t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
-    return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind)
+    return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind,
+                      uvx=outs[6] if with_uv else None,
+                      uvy=outs[7] if with_uv else None)
 
 
 def any_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0, tmax=np.float32(np.inf)):

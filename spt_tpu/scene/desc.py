@@ -43,10 +43,19 @@ class Material:
     ior: float = 1.5
     transparency: float = 0.0
     mat_type: int = MATERIAL_TYPE_PBR
+    # Optional baseColor texture, (H, W, 3) float32 LINEAR color; multiplies
+    # base_color at shade time using the hit's interpolated TEXCOORD_0.
+    # Beyond reference parity: its GLTFLoader reads TEXCOORD_0 but neither
+    # backend ever samples a texture (GLTFLoader.cpp:219-331).
+    base_color_texture: np.ndarray = None
 
     def __post_init__(self):
         if self.base_color is None:
             self.base_color = np.array([0.8, 0.8, 0.8], np.float32)
+        if self.base_color_texture is not None:
+            self.base_color_texture = np.asarray(
+                self.base_color_texture, np.float32
+            ).reshape(self.base_color_texture.shape[0], -1, 3)
         if self.emission is None:
             self.emission = np.array([0.0, 0.0, 0.0], np.float32)
         self.base_color = np.asarray(self.base_color, np.float32)

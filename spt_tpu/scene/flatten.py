@@ -70,6 +70,14 @@ class DeviceScene(NamedTuple):
     accel: Optional["MeshAccel"] = None
     # Emissive triangles for NEE; None when the scene has no emitters.
     emitters: Optional[EmitterTable] = None
+    # Per-triangle texture coordinates [uv0 | uv1-uv0 | uv2-uv0], (T, 6)
+    # float32; None when no material carries a texture (the common case —
+    # keeps untextured programs free of the extra tables).
+    tri_uv: Optional[jnp.ndarray] = None
+    # Scene texture table (n_tex, 4, 8, 128, 3) float32 linear color — the
+    # kernel-addressable tiling of TEX_RES^2 baseColor images
+    # (materials.build_texture_table); None when untextured.
+    textures: Optional[jnp.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -100,7 +108,7 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
     """Bake instance transforms and build the padded SoA arrays (plus the
     cluster accel for large meshes — the rtcCommitScene/optixAccelBuild
     analog, EmbreeBackend.cpp:181 / OptixBackend.cpp:916-1180)."""
-    v0s, v1s, v2s, tri_mats = [], [], [], []
+    v0s, v1s, v2s, tri_mats, tri_uvs = [], [], [], [], []
     for inst in desc.instances:
         if inst.mesh_id >= len(desc.meshes):
             continue
@@ -119,17 +127,27 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         v1s.append(world[idx[:, 1]])
         v2s.append(world[idx[:, 2]])
         tri_mats.append(np.full(idx.shape[0], mat_id, np.int32))
+        if mesh.texcoords is not None and len(mesh.texcoords) == mesh.vertex_count:
+            tc = mesh.texcoords
+            uv0 = tc[idx[:, 0]]
+            tri_uvs.append(np.concatenate(
+                [uv0, tc[idx[:, 1]] - uv0, tc[idx[:, 2]] - uv0], axis=1
+            ).astype(np.float32))
+        else:
+            tri_uvs.append(np.zeros((idx.shape[0], 6), np.float32))
 
     if v0s:
         v0 = np.concatenate(v0s)
         v1 = np.concatenate(v1s)
         v2 = np.concatenate(v2s)
         tri_mat = np.concatenate(tri_mats)
+        tri_uv = np.concatenate(tri_uvs)
     else:
         v0 = np.zeros((0, 3), np.float32)
         v1 = np.zeros((0, 3), np.float32)
         v2 = np.zeros((0, 3), np.float32)
         tri_mat = np.zeros((0,), np.int32)
+        tri_uv = np.zeros((0, 6), np.float32)
 
     t_pad = _pad_to(v0.shape[0], pad_multiple)
     pad_n = t_pad - v0.shape[0]
@@ -139,6 +157,7 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         v1 = np.concatenate([v1, zero])
         v2 = np.concatenate([v2, zero])
         tri_mat = np.concatenate([tri_mat, np.zeros(pad_n, np.int32)])
+        tri_uv = np.concatenate([tri_uv, np.zeros((pad_n, 6), np.float32)])
 
     if desc.spheres:
         centers = np.stack([s.center for s in desc.spheres]).astype(np.float32)
@@ -185,8 +204,11 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
 
         cluster_size = int(os.environ.get("SPT_CLUSTER_SIZE", cluster_size))
         accel = build_mesh_accel(v0, v1 - v0, v2 - v0, tri_mat,
-                                 cluster_size=cluster_size)
+                                 cluster_size=cluster_size, uv=tri_uv)
 
+    from spt_tpu.materials import build_texture_table
+
+    _, textures = build_texture_table(desc.materials)
     return DeviceScene(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(v1 - v0),
@@ -198,4 +220,6 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         materials=build_device_materials(desc.materials),
         accel=accel,
         emitters=emitters,
+        tri_uv=jnp.asarray(tri_uv) if textures is not None else None,
+        textures=textures,
     )
