@@ -84,8 +84,10 @@ def _gather_materials_select(table, mat_id):
     metallic, roughness, transparency = z, z, z
     ior = jnp.ones_like(mat_id, jnp.float32)
     mat_type = jnp.zeros_like(mat_id)
+    texid = jnp.full_like(mat_id, -1)
     for m in range(m_count):
         sel = mat_id == m
+        texid = jnp.where(sel, table.tex_id[m], texid)
         bx = jnp.where(sel, table.base_color[m, 0], bx)
         by = jnp.where(sel, table.base_color[m, 1], by)
         bz = jnp.where(sel, table.base_color[m, 2], bz)
@@ -105,8 +107,7 @@ def _gather_materials_select(table, mat_id):
         mat_type=mat_type,
         emission=Vec3(ex, ey, ez),
         transparency=transparency,
-        # untextured inside the kernel (supports() excludes textured scenes)
-        tex_id=jnp.full_like(mat_id, -1),
+        tex_id=texid,
     )
 
 
@@ -121,6 +122,7 @@ def _tile_rows(rows: int) -> int:
 
 
 MAX_PALLAS_EMITTERS = 16
+MAX_PALLAS_TEXTURES = 4
 
 
 def _accel_mode(scene: DeviceScene) -> bool:
@@ -147,10 +149,13 @@ def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
         scene_ok
         and scene.materials.count <= MAX_PALLAS_MATERIALS
         and (scene.emitters is None or scene.emitters.count <= MAX_PALLAS_EMITTERS)
-        # Textured scenes take the staged XLA pipeline: the in-kernel shade
-        # cannot sample textures yet (the trace side resolves uv; the
-        # sampler needs tpu.dynamic_gather plumbing — next stage).
-        and scene.textures is None
+        # In-kernel texture sampling (tpu.dynamic_gather) works through the
+        # cluster tracer's resolved uv, i.e. accel mode; small textured
+        # scenes fall back to the staged XLA pipeline (the rolled prim
+        # loops don't resolve uv).
+        and (scene.textures is None
+             or (_accel_mode(scene)
+                 and scene.textures.shape[0] <= MAX_PALLAS_TEXTURES))
     ):
         return False
     if pad_ok:
@@ -289,8 +294,54 @@ def _rolled_occluded(scene, o, d, tmin=1e-4, tmax=None):
     return blocked != 0
 
 
+def _make_texture_sampler(tex_ref, n_tex: int):
+    """In-kernel nearest-tap baseColor sampler over VMEM texture tiles.
+
+    `tex_ref`: (n_tex*3*4, 8, 128) f32 — row (t*3 + ch)*4 + q holds quarter
+    q of channel ch of texture t (the flat TEX_RES^2 image split as
+    flat = q<<10 | r<<7 | c).  Per-lane lookup composes the two Mosaic
+    dynamic_gather directions on one (8, 128) tile: a lane-gather picks
+    column c within every sublane row, then a sublane-gather picks row r —
+    valid because the column indices are broadcast per OUTPUT row, so the
+    row gather reads an (r, c) pair indexed by the same output lane.
+    Lanes without a texture (tex_id < 0) return 1.
+    """
+    def sample(_, tex_id, uvx, uvy):
+        from spt_tpu.materials import TEX_RES
+
+        s, l = uvx.shape
+        fu = uvx - jnp.floor(uvx)
+        fv = uvy - jnp.floor(uvy)
+        txi = jnp.clip((fu * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
+        tyi = jnp.clip((fv * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
+        flat = tyi * TEX_RES + txi
+        q = flat >> 10
+        r = (flat >> 7) & 7
+        c = flat & 127
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+        chans = []
+        for ch in range(3):
+            acc = jnp.ones((s, l), jnp.float32)
+            for t in range(n_tex):
+                for qq in range(4):
+                    tile = tex_ref[(t * 3 + ch) * 4 + qq]
+                    for i in range(s):
+                        c_b = jnp.broadcast_to(c[i:i + 1], (8, l))
+                        r_b = jnp.broadcast_to(r[i:i + 1], (8, l))
+                        h = jnp.take_along_axis(tile, c_b, axis=1)
+                        g = jnp.take_along_axis(h, r_b, axis=0)
+                        sel = (iota_s == i) & (q == qq) & (tex_id == t)
+                        acc = jnp.where(
+                            sel, jnp.broadcast_to(g[0:1], (s, l)), acc
+                        )
+            chans.append(acc)
+        return Vec3(chans[0], chans[1], chans[2])
+
+    return sample
+
+
 def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
-                      sph_c, sph_r, sph_m, n_sphs):
+                      sph_c, sph_r, sph_m, n_sphs, with_uv: bool = False):
     """Build the kernel's (closest(scene, ps), occluded(...)) pair.
 
     Small scenes stream the rolled prim loops; accel (mesh) scenes traverse
@@ -311,13 +362,16 @@ def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
     def closest(scene, ps):
         # dead lanes trace with tmax = 0 (see transport.trace_bounce)
         tmax = jnp.where(ps.alive, _np.float32(1e30), _np.float32(0.0))
-        t, nx, ny, nz, mat, kind = pallas_trace.closest_hit_tile(
+        res = pallas_trace.closest_hit_tile(
             accel_refs, scratch_refs, n_clusters, k, n_sphs,
             _np.float32(0.0), sph_c, sph_r, sph_m,
-            ps.origin, ps.direction, tmax,
+            ps.origin, ps.direction, tmax, with_uv=with_uv,
         )
+        t, nx, ny, nz, mat, kind = res[:6]
         t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
-        return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind)
+        return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind,
+                          uvx=res[6] if with_uv else None,
+                          uvy=res[7] if with_uv else None)
 
     def occluded(scene, o, d, tmin=1e-4, tmax=None):
         tm = _np.float32(1e30) if tmax is None else tmax
@@ -332,7 +386,7 @@ def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
     return closest, occluded
 
 
-def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
+def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
             # scalar params
             params_ref,
@@ -340,10 +394,10 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
             # scene tables (full)
             tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
-            m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
+            m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans, m_texid,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
-            a_cl_lo, a_cl_hi, a_pack, a_cl_ord,
+            a_cl_lo, a_cl_hi, a_pack, a_cl_ord, a_tex,
             # outputs
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
             o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
@@ -354,10 +408,12 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
 
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
+    textured = n_tex > 0
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
+        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
     )
+    texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
     def live_tile():
         ps = transport.PathState(
@@ -379,10 +435,11 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                 base_color=m_base, metallic=_Col(m_metal),
                 roughness=_Col(m_rough), ior=_Col(m_ior), mat_type=_Col(m_type),
                 emission=m_emis, transparency=_Col(m_trans),
-                tex_id=jnp.full_like(_Col(m_type), -1),
+                tex_id=_Col(m_texid),
             ),
             accel=None,
             emitters=emitters,
+            textures=a_tex if textured else None,
         )
         lights = DeviceLights(
             kind=_Col(l_kind), vec=l_vec, color=l_color, intensity=_Col(l_int),
@@ -394,6 +451,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             cfg, scene, lights, ps, hit, bounce, is_last,
             gather_materials=_gather_materials_select,
             occluded_fn=occluded_impl,
+            texture_fn=texture_fn,
         )
 
         o_ox[:], o_oy[:], o_oz[:] = new_ps.origin
@@ -426,26 +484,38 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
 
 
 def _accel_inputs(scene: DeviceScene):
-    """(accel_dims, accel_tables, tri_tables) for the fused kernels.
+    """(accel_dims, n_tex, accel_tables, tri_tables) for the fused kernels.
 
     In accel mode the flat per-triangle tables are replaced by 1-row dummies
     (the cluster tracer reads tri_pack instead; keeping the real (C*K, 3)
-    tables resident would waste MBs of VMEM)."""
+    tables resident would waste MBs of VMEM).  The last accel table is the
+    texture tile table (n_tex*3*4, 8, 128) — see _make_texture_sampler —
+    or a 1-row dummy when untextured."""
     def col(a):
         return a.reshape(-1, 1)
+
+    textured = _accel_mode(scene) and scene.textures is not None
+    if textured:
+        # (t, q, r, c, ch) -> (t, ch, q, r, c) -> rows of (8, 128)
+        tex = jnp.transpose(scene.textures, (0, 4, 1, 2, 3)).reshape(-1, 8, 128)
+        n_tex = scene.textures.shape[0]
+    else:
+        tex = jnp.zeros((1, 8, 128), jnp.float32)
+        n_tex = 0
 
     if _accel_mode(scene):
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
         tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
-        accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_order]
-        return (a.num_clusters, a.cluster_size), accel_tables, tri_tables
+        accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_order,
+                        tex]
+        return (a.num_clusters, a.cluster_size), n_tex, accel_tables, tri_tables
     z83 = jnp.zeros((8, 3), jnp.float32)
     zi = jnp.zeros((8, 1), jnp.int32)
-    accel_tables = [z83, z83, jnp.zeros((1, 8, 24), jnp.float32), zi]
+    accel_tables = [z83, z83, jnp.zeros((1, 8, 24), jnp.float32), zi, tex]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
                   col(scene.tri_mat)]
-    return None, accel_tables, tri_tables
+    return None, n_tex, accel_tables, tri_tables
 
 
 def _accel_scratch(accel_tables):
@@ -495,11 +565,12 @@ def fused_bounce(
     else:
         z13 = jnp.zeros((1, 3), jnp.float32)
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
-    accel_dims, accel_tables, tri_tables = _accel_inputs(scene)
+    accel_dims, n_tex, accel_tables, tri_tables = _accel_inputs(scene)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
         col(mats.mat_type), mats.emission, col(mats.transparency),
+        col(mats.tex_id),
         col(lights.kind), lights.vec, lights.color, col(lights.intensity),
         lights.attenuation,
     ] + emitter_tables + accel_tables
@@ -536,7 +607,7 @@ def fused_bounce(
     )
 
     kern = functools.partial(
-        _kernel, cfg, has_emitters, accel_dims, lights.count,
+        _kernel, cfg, has_emitters, accel_dims, n_tex, lights.count,
         scene.num_triangles, scene.num_spheres, mats.count,
     )
     outs = pl.pallas_call(
@@ -567,14 +638,15 @@ def fused_bounce(
 # --- whole-frame kernel: the depth loop in VMEM ---------------------------------
 
 def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
-                  n_sphs: int,
+                  n_tex: int, n_sphs: int,
                   params_ref,
                   ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
                   tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
                   m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
+                  m_texid,
                   l_kind, l_vec, l_color, l_int, l_att,
                   e_v0, e_e1, e_e2, e_le, e_area,
-                  a_cl_lo, a_cl_hi, a_pack, a_cl_ord,
+                  a_cl_lo, a_cl_hi, a_pack, a_cl_ord, a_tex,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
                   o_rx, o_ry, o_rz, o_missed, o_bounces,
                   s_clf, s_cll):
@@ -592,11 +664,13 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     from spt_tpu.scene.flatten import EmitterTable
 
     bounce0 = params_ref[0, 0]
+    textured = n_tex > 0
 
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs,
+        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
     )
+    texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
     emitters = EmitterTable(
         v0=e_v0, e1=e_e1, e2=e_e2, le=e_le, area=_Col(e_area)
@@ -608,10 +682,11 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             base_color=m_base, metallic=_Col(m_metal),
             roughness=_Col(m_rough), ior=_Col(m_ior), mat_type=_Col(m_type),
             emission=m_emis, transparency=_Col(m_trans),
-            tex_id=jnp.full_like(_Col(m_type), -1),
+            tex_id=_Col(m_texid),
         ),
         accel=None,
         emitters=emitters,
+        textures=a_tex if textured else None,
     )
     lights = DeviceLights(
         kind=_Col(l_kind), vec=l_vec, color=l_color, intensity=_Col(l_int),
@@ -641,6 +716,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             bounce == cfg.max_depth - 1,
             gather_materials=_gather_materials_select,
             occluded_fn=occluded_impl,
+            texture_fn=texture_fn,
         )
         return (bounce + 1,
                 new_ps.origin.x, new_ps.origin.y, new_ps.origin.z,
@@ -713,11 +789,12 @@ def fused_frame(
     else:
         z13 = jnp.zeros((1, 3), jnp.float32)
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
-    accel_dims, accel_tables, tri_tables = _accel_inputs(scene)
+    accel_dims, n_tex, accel_tables, tri_tables = _accel_inputs(scene)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
         col(mats.mat_type), mats.emission, col(mats.transparency),
+        col(mats.tex_id),
         col(lights.kind), lights.vec, lights.color, col(lights.intensity),
         lights.attenuation,
     ] + emitter_tables + accel_tables
@@ -749,7 +826,7 @@ def fused_frame(
     )
 
     kern = functools.partial(_frame_kernel, cfg, has_emitters, accel_dims,
-                             scene.num_spheres)
+                             n_tex, scene.num_spheres)
     outs = pl.pallas_call(
         kern,
         grid=grid,

@@ -166,3 +166,62 @@ class TestTextureThroughClusterTracer:
         np.testing.assert_allclose(np.asarray(got.uvy)[hits],
                                    np.asarray(want.uvy)[hits],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestTexturedFusedFrame:
+    def test_fused_textured_matches_staged(self, monkeypatch):
+        # Textured accel scene through the fused kernels (in-kernel
+        # dynamic_gather sampler) == the staged XLA pipeline (gather
+        # sampler), interpreter mode.
+        import jax.experimental.pallas as pl
+        import jax.numpy as jnp
+
+        import spt_tpu.ops.pallas_bounce as pb
+        import spt_tpu.ops.pallas_trace as pt
+        from spt_tpu.integrators import transport, wavefront as wf
+        from spt_tpu.ops.bvh import build_mesh_accel
+        from spt_tpu.camera import default_camera
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pb.pl, "pallas_call", patched)
+        monkeypatch.setattr(pt.pl, "pallas_call", patched)
+
+        sd = _quad_scene(_checker())
+        scene = flatten_scene(sd)
+        accel = build_mesh_accel(np.asarray(scene.tri_v0),
+                                 np.asarray(scene.tri_e1),
+                                 np.asarray(scene.tri_e2),
+                                 np.asarray(scene.tri_mat),
+                                 cluster_size=8,
+                                 uv=np.asarray(scene.tri_uv))
+        scene = scene._replace(accel=accel)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 1)
+        assert pb._accel_mode(scene)
+
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=3)
+        lm = LightManager()
+        lm.add_directional_light((0.2, -0.4, -1.0), (1.0, 1.0, 1.0), 2.0)
+        lights = lm.device()
+        env = make_procedural_environment()
+        cam = Camera(position=(0, 0, 2.5), target=(0, 0, 0), fov_degrees=60.0,
+                     aspect_ratio=1.0).rays()
+
+        assert pb.supports(scene, lights, cfg.width * cfg.height, pad_ok=True)
+        ps = transport.gen_primary(cfg, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg, scene, env, lights, ps, jnp.zeros((3,), jnp.int32),
+            fused=True)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, scene, env, lights, ps2, jnp.zeros((3,), jnp.int32),
+            fused=False)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+        # and the texture is actually visible: image has quadrant structure
+        img = np.asarray(got).reshape(128, 128, 3)
+        assert not np.allclose(img[40, 40], img[40, 90], atol=1e-3)
