@@ -222,8 +222,12 @@ def shade_core(
     # --- surface setup --------------------------------------------------------
     mat = gather_materials(scene.materials, hit.mat_id)
     if scene.textures is not None and hit.uvx is not None:
+        # Mask miss lanes out of the lookup (their gathered material is
+        # arbitrary): a tex_id of -1 samples nothing and returns 1, and the
+        # kernel sampler's whole-tile skip can then fire on sky/dead tiles.
         tex = (texture_fn or sample_texture_v)(
-            scene.textures, mat.tex_id, hit.uvx, hit.uvy
+            scene.textures, jnp.where(hit.hit_mask, mat.tex_id, -1),
+            hit.uvx, hit.uvy
         )
         mat = mat._replace(base_color=mat.base_color * tex)
     up = Vec3.full((0.0, 1.0, 0.0), shape)

@@ -310,32 +310,44 @@ def _make_texture_sampler(tex_ref, n_tex: int):
         from spt_tpu.materials import TEX_RES
 
         s, l = uvx.shape
-        fu = uvx - jnp.floor(uvx)
-        fv = uvy - jnp.floor(uvy)
-        txi = jnp.clip((fu * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
-        tyi = jnp.clip((fv * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
-        flat = tyi * TEX_RES + txi
-        q = flat >> 10
-        r = (flat >> 7) & 7
-        c = flat & 127
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
-        chans = []
-        for ch in range(3):
-            acc = jnp.ones((s, l), jnp.float32)
-            for t in range(n_tex):
-                for qq in range(4):
-                    tile = tex_ref[(t * 3 + ch) * 4 + qq]
-                    for i in range(s):
-                        c_b = jnp.broadcast_to(c[i:i + 1], (8, l))
-                        r_b = jnp.broadcast_to(r[i:i + 1], (8, l))
-                        h = jnp.take_along_axis(tile, c_b, axis=1)
-                        g = jnp.take_along_axis(h, r_b, axis=0)
-                        sel = (iota_s == i) & (q == qq) & (tex_id == t)
-                        acc = jnp.where(
-                            sel, jnp.broadcast_to(g[0:1], (s, l)), acc
-                        )
-            chans.append(acc)
-        return Vec3(chans[0], chans[1], chans[2])
+
+        def compute(_op):
+            fu = uvx - jnp.floor(uvx)
+            fv = uvy - jnp.floor(uvy)
+            txi = jnp.clip((fu * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
+            tyi = jnp.clip((fv * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
+            flat = tyi * TEX_RES + txi
+            q = flat >> 10
+            r = (flat >> 7) & 7
+            c = flat & 127
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+            chans = []
+            for ch in range(3):
+                acc = jnp.ones((s, l), jnp.float32)
+                for t in range(n_tex):
+                    for qq in range(4):
+                        tile = tex_ref[(t * 3 + ch) * 4 + qq]
+                        for i in range(s):
+                            c_b = jnp.broadcast_to(c[i:i + 1], (8, l))
+                            r_b = jnp.broadcast_to(r[i:i + 1], (8, l))
+                            h = jnp.take_along_axis(tile, c_b, axis=1)
+                            g = jnp.take_along_axis(h, r_b, axis=0)
+                            sel = (iota_s == i) & (q == qq) & (tex_id == t)
+                            acc = jnp.where(
+                                sel, jnp.broadcast_to(g[0:1], (s, l)), acc
+                            )
+                chans.append(acc)
+            return chans[0], chans[1], chans[2]
+
+        def ones(_op):
+            one = jnp.ones((s, l), jnp.float32)
+            return one, one, one
+
+        # Whole-tile skip: sky/miss tiles have no textured-hit lane
+        # (tex_id is -1 unless the lane HIT a textured material), so the
+        # ~96-gather loop is skipped for most of the frame.
+        cx, cy, cz = jax.lax.cond(jnp.any(tex_id >= 0), compute, ones, 0)
+        return Vec3(cx, cy, cz)
 
     return sample
 
