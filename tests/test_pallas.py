@@ -149,7 +149,7 @@ class TestFusedFrame:
         from spt_tpu.env import make_procedural_environment
         from spt_tpu.integrators import wavefront as wf
 
-        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=6)
+        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=4)
         scene = flatten_scene(build_default_scene())
         env = make_procedural_environment()
         lights = default_lights()
@@ -157,10 +157,10 @@ class TestFusedFrame:
 
         ps = transport.gen_primary(cfg, cam, 0)
         want, sw = wf._wavefront_masked(
-            cfg, scene, env, lights, ps, jnp.zeros((6,), jnp.int32), fused=False)
+            cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32), fused=False)
         ps2 = transport.gen_primary(cfg, cam, 0)
         got, sg = wf._wavefront_masked(
-            cfg, scene, env, lights, ps2, jnp.zeros((6,), jnp.int32), fused=True)
+            cfg, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32), fused=True)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(
@@ -176,7 +176,7 @@ class TestFusedFrame:
         from spt_tpu.integrators import wavefront as wf
         from spt_tpu.ops.bvh import build_mesh_accel
 
-        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=4)
+        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=3)
         scene = flatten_scene(build_default_scene())
         accel = build_mesh_accel(np.asarray(scene.tri_v0),
                                  np.asarray(scene.tri_e1),
@@ -192,10 +192,10 @@ class TestFusedFrame:
         ps = transport.gen_primary(cfg, cam, 0)
         want, sw = wf._wavefront_masked(
             cfg, scene._replace(accel=None), env, lights, ps,
-            jnp.zeros((4,), jnp.int32), fused=False)
+            jnp.zeros((3,), jnp.int32), fused=False)
         ps2 = transport.gen_primary(cfg, cam, 0)
         got, sg = wf._wavefront_masked(
-            cfg, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32),
+            cfg, scene, env, lights, ps2, jnp.zeros((3,), jnp.int32),
             fused=True)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=1e-4, atol=1e-5)
