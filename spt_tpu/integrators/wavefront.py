@@ -56,7 +56,10 @@ def _pallas_bounce_ok(scene, lights, n_lanes: int) -> bool:
         return False
     from spt_tpu.ops import pallas_bounce
 
-    return pallas_bounce.supports(scene, lights, n_lanes, pad_ok=True)
+    ok = pallas_bounce.supports(scene, lights, n_lanes, pad_ok=True)
+    if not ok:
+        pallas_bounce.announce_decline(scene, lights, n_lanes, pad_ok=True)
+    return ok
 
 
 class WavefrontStats(NamedTuple):
@@ -262,7 +265,8 @@ def _ray_sort_ok(cfg, scene, n: int) -> bool:
     chunkable lane count and at least one bounce after the primary."""
     from spt_tpu.ops import ray_sort
 
-    return (cfg.ray_sort and scene.accel is not None and cfg.max_depth > 1
+    return (cfg.ray_sort and cfg.ray_sort_stages > 0
+            and scene.accel is not None and cfg.max_depth > 1
             and ray_sort.chunk_size(n) > 0)
 
 
@@ -301,7 +305,8 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     n = ps.rng.shape[0]
     chunk = ray_sort.chunk_size(n)
     live0 = jnp.sum(ps.alive.astype(jnp.int32))
-    stages = max(1, min(cfg.ray_sort_stages, cfg.max_depth - 1))
+    # _ray_sort_ok guarantees ray_sort_stages >= 1 before this path is taken.
+    stages = min(cfg.ray_sort_stages, cfg.max_depth - 1)
 
     a = scene.accel
     lo = jnp.min(a.cluster_lo, axis=0)

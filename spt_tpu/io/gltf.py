@@ -178,7 +178,12 @@ def _load_image(g: _Gltf, base_dir: str, image_index: int):
             off = bv.get("byteOffset", 0)
             pil = Image.open(_io.BytesIO(buf[off:off + bv["byteLength"]]))
         arr = np.asarray(pil.convert("RGB"), np.float32) / 255.0
-    except Exception:
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(f"glTF image {image_index} "
+                      f"({img.get('uri', '<bufferView>')!r}) failed to load "
+                      f"({exc}); material renders untextured")
         return None
     # sRGB -> linear (the exact EOTF; shading is linear throughout)
     return np.where(arr <= 0.04045, arr / 12.92,

@@ -403,12 +403,30 @@ def _pallas_ok(scene: DeviceScene, n_lanes: int) -> bool:
     """Use the Pallas stream-traversal kernels: TPU backend, an accel built,
     and a lane count that tiles into (rows, 128)."""
     if scene.accel is None or n_lanes % 128 != 0:
+        if scene.accel is not None and n_lanes % 128 != 0:
+            _announce_chunked(f"lane count {n_lanes} is not a multiple of 128")
         return False
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
     return platform not in ("cpu", "gpu")
+
+
+_chunked_announced: set = set()
+
+
+def _announce_chunked(reason: str) -> None:
+    """One log line when an accel-built scene falls to the brute-force
+    chunked-broadcast path (a 10x+ slowdown a user should hear about)."""
+    if reason not in _chunked_announced:
+        _chunked_announced.add(reason)
+        import logging
+
+        logging.getLogger("spt_tpu").warning(
+            "Pallas stream-traversal declined (%s); tracing via the "
+            "chunked-broadcast XLA fallback", reason
+        )
 
 
 def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> HitV:

@@ -136,6 +136,67 @@ def _accel_mode(scene: DeviceScene) -> bool:
             and scene.num_spheres <= MAX_ACCEL_SPHERES)
 
 
+def explain_decline(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
+                    pad_ok: bool = False):
+    """Human-readable reason the fused kernels decline this workload, or
+    None when supports(...) is True.  Used to announce silent fallbacks to
+    the staged XLA pipeline (a 10-50x slowdown a user should hear about)."""
+    reasons = []
+    n_prims = scene.num_triangles + scene.num_spheres
+    if not (n_prims <= MAX_PALLAS_PRIMS or _accel_mode(scene)):
+        a = scene.accel
+        if a is None:
+            reasons.append(
+                f"{n_prims} primitives > {MAX_PALLAS_PRIMS} and no accel built"
+            )
+        else:
+            if a.num_clusters * a.cluster_size > MAX_ACCEL_TRIS:
+                reasons.append(
+                    f"{a.num_clusters * a.cluster_size} accel triangles > "
+                    f"MAX_ACCEL_TRIS={MAX_ACCEL_TRIS}"
+                )
+            if scene.num_spheres > MAX_ACCEL_SPHERES:
+                reasons.append(
+                    f"{scene.num_spheres} spheres > "
+                    f"MAX_ACCEL_SPHERES={MAX_ACCEL_SPHERES}"
+                )
+    if scene.materials.count > MAX_PALLAS_MATERIALS:
+        reasons.append(f"{scene.materials.count} materials > "
+                       f"MAX_PALLAS_MATERIALS={MAX_PALLAS_MATERIALS}")
+    if scene.emitters is not None and scene.emitters.count > MAX_PALLAS_EMITTERS:
+        reasons.append(f"{scene.emitters.count} emitters > "
+                       f"MAX_PALLAS_EMITTERS={MAX_PALLAS_EMITTERS}")
+    if scene.textures is not None:
+        if not _accel_mode(scene):
+            reasons.append("textured scene without accel mode "
+                           "(in-kernel sampling needs the cluster tracer)")
+        elif scene.textures.shape[0] > MAX_PALLAS_TEXTURES:
+            reasons.append(f"{scene.textures.shape[0]} textures > "
+                           f"MAX_PALLAS_TEXTURES={MAX_PALLAS_TEXTURES}")
+    if not reasons and not pad_ok:
+        if n_lanes % LANES != 0 or _tile_rows(n_lanes // LANES) <= 0:
+            reasons.append(f"lane count {n_lanes} does not tile into "
+                           f"(rows, {LANES}) blocks")
+    return "; ".join(reasons) if reasons else None
+
+
+def announce_decline(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
+                     pad_ok: bool = False) -> None:
+    """Log (once per distinct reason) why the fused path was declined."""
+    reason = explain_decline(scene, lights, n_lanes, pad_ok)
+    if reason and reason not in _announced:
+        _announced.add(reason)
+        import logging
+
+        logging.getLogger("spt_tpu").warning(
+            "fused Pallas path declined (%s); falling back to the staged "
+            "XLA pipeline, which is far slower on TPU", reason
+        )
+
+
+_announced: set = set()
+
+
 def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
              pad_ok: bool = False) -> bool:
     """Whether the fused kernels can run this workload.

@@ -463,7 +463,14 @@ def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0, tmax=np.float32(np.inf
 
 
 def any_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0, tmax=np.float32(np.inf)):
-    """Pallas cluster-culled occlusion -> (N,) bool."""
+    """Pallas cluster-culled occlusion -> (N,) bool.
+
+    Contract note: lanes with an empty interval (tmax <= tmin) report
+    *blocked*, not unoccluded — the tile helper counts them as blocked up
+    front so the whole-subtile early exit can fire (see any_hit_tile).
+    Every in-tree caller masks such lanes out (shade_core's contrib mask),
+    so only the flag for empty-interval rays is affected.
+    """
     tmax = np.float32(min(float(tmax), 1e30)) if isinstance(tmax, (int, float)) else tmax
     outs, n = _common_call(
         _any_kernel, accel, scene, o, d, tmin, tmax,

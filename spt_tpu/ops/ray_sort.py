@@ -41,12 +41,28 @@ def chunk_size(n: int) -> int:
     more whole-dead subtiles; the deeper network costs less than it saves.
     SPT_SORT_CHUNK overrides for experiments."""
     import os
+    import warnings
 
+    default_prefs = (8192, 4096, 2048)
     env = os.environ.get("SPT_SORT_CHUNK")
-    prefs = (int(env),) if env else (8192, 4096, 2048)
+    prefs = default_prefs
+    if env:
+        try:
+            prefs = (int(env),)
+        except ValueError:
+            warnings.warn(f"SPT_SORT_CHUNK={env!r} is not an integer; "
+                          "using the default chunk preferences")
     for c in prefs:
         if n % c == 0 and n > c:
             return c
+    if env and prefs != default_prefs:
+        warnings.warn(
+            f"SPT_SORT_CHUNK={env} does not divide the lane count {n}; "
+            "falling back to the default chunk preferences"
+        )
+        for c in default_prefs:
+            if n % c == 0 and n > c:
+                return c
     return 0
 
 

@@ -53,9 +53,8 @@ class Material:
         if self.base_color is None:
             self.base_color = np.array([0.8, 0.8, 0.8], np.float32)
         if self.base_color_texture is not None:
-            self.base_color_texture = np.asarray(
-                self.base_color_texture, np.float32
-            ).reshape(self.base_color_texture.shape[0], -1, 3)
+            arr = np.asarray(self.base_color_texture, np.float32)
+            self.base_color_texture = arr.reshape(arr.shape[0], -1, 3)
         if self.emission is None:
             self.emission = np.array([0.0, 0.0, 0.0], np.float32)
         self.base_color = np.asarray(self.base_color, np.float32)

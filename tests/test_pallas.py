@@ -63,6 +63,37 @@ class TestFusedBounce:
         assert pb.supports(scene, lights, 128 * 128)
         assert not pb.supports(scene, lights, 100)  # doesn't tile
 
+    def test_decline_is_announced(self, caplog):
+        # A scene that trips a fused-path cap must say so (VERDICT r2 weak
+        # #3: silent 10-50x perf cliffs).  >16 materials trips
+        # MAX_PALLAS_MATERIALS.
+        import logging
+
+        from spt_tpu.scene.desc import Material, SceneDesc
+
+        desc = SceneDesc()
+        for i in range(pb.MAX_PALLAS_MATERIALS + 1):
+            desc.add_material(Material(base_color=(0.5, 0.5, i * 0.01)))
+        desc.add_sphere((0, 0, 0), 1.0, 0)
+        scene = flatten_scene(desc)
+        lights = default_lights()
+        reason = pb.explain_decline(scene, lights, 128 * 128)
+        assert reason is not None and "materials" in reason
+        pb._announced.clear()
+        with caplog.at_level(logging.WARNING, logger="spt_tpu"):
+            pb.announce_decline(scene, lights, 128 * 128)
+        assert any("fused Pallas path declined" in r.message
+                   for r in caplog.records)
+        # supported scenes produce no reason
+        ok_scene = flatten_scene(build_default_scene())
+        assert pb.explain_decline(ok_scene, lights, 128 * 128) is None
+
+    def test_decline_reason_lane_tiling(self):
+        scene = flatten_scene(build_default_scene())
+        lights = default_lights()
+        reason = pb.explain_decline(scene, lights, 100)
+        assert reason is not None and "tile" in reason
+
 
 class TestClusterTrace:
     @pytest.fixture(scope="class")
