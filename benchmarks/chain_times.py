@@ -40,11 +40,15 @@ r.camera.reset_movement_tracking()
 for _ in range(2):
     r.render_frame(check_camera=False)
 _ = float(np.asarray(r.state.accum[:1]).sum())
+batched = _os.environ.get("SPT_CHAIN_BATCH", "1") == "1"
 ts = []
 for _ in range(3):
     t0 = time.perf_counter()
-    for _ in range(16):
-        r.render_frame(check_camera=False)
+    if batched:
+        r.render_frames(16)  # ONE dispatch (the product path for static cameras)
+    else:
+        for _ in range(16):
+            r.render_frame(check_camera=False)
     _ = float(np.asarray(r.state.accum[:1]).sum())
     ts.append((time.perf_counter() - t0) / 16 * 1e3)
 print(f"depth={depth} lights={lights_on} sort={ray_sort}: "

@@ -172,12 +172,15 @@ class Renderer:
         """Advance by `k` frames in one device dispatch (static camera).
 
         Falls back to per-frame stepping on a multi-chip mesh (the sharded
-        step has its own program), on accel (mesh-traced) scenes — the axon
-        TPU client cannot reliably re-execute the batched program there
-        (backend InvalidArgument/abort on the second execution; see
-        docs/DESIGN.md environment quirks) — or for k <= 1.  Summed stats
-        land in last_stats."""
-        if k <= 1 or self.mesh is not None or self.scene.accel is not None:
+        step has its own program) or for k <= 1.  Summed stats land in
+        last_stats.
+
+        Mesh (accel) scenes batch too: the round-2 axon failure (client
+        abort re-executing the batched mesh program) no longer reproduces —
+        tools/repro_batched_mesh.py runs 4 back-to-back executions of the
+        16-frame chair program cleanly; it stays in-tree as the probe to
+        re-run if the gate ever needs to come back."""
+        if k <= 1 or self.mesh is not None:
             from spt_tpu.integrators.wavefront import WavefrontStats
 
             rays = bounces = None

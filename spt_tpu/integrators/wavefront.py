@@ -328,16 +328,22 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
         flags = (ps.alive.astype(jnp.int32)
                  | (ps.emission_ok.astype(jnp.int32) << 1)
                  | (missed_ever.astype(jnp.int32) << 2))
+        # The first sort's radiance planes are all zero (zeroed above, and
+        # no sorted bounce has run yet) — don't pay to move them.
+        carry_rad = b > 1
         _, sorted_ops = ray_sort.sort_by_key(key, [
             orig_lane,
             ps.origin.x, ps.origin.y, ps.origin.z,
             ps.direction.x, ps.direction.y, ps.direction.z,
             ps.throughput.x, ps.throughput.y, ps.throughput.z,
-            ps.radiance.x, ps.radiance.y, ps.radiance.z,
-            ps.rng, flags,
-        ], chunk)
-        (orig_lane, ox, oy, oz, dx, dy, dz, tx, ty, tz,
-         rx, ry, rz, rng, flags_s) = sorted_ops
+        ] + ([ps.radiance.x, ps.radiance.y, ps.radiance.z] if carry_rad
+             else []) + [ps.rng, flags], chunk)
+        (orig_lane, ox, oy, oz, dx, dy, dz, tx, ty, tz) = sorted_ops[:10]
+        if carry_rad:
+            rx, ry, rz, rng, flags_s = sorted_ops[10:]
+        else:
+            rng, flags_s = sorted_ops[10:]
+            rx = ry = rz = zeros
         ps = transport.PathState(
             origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
             throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),

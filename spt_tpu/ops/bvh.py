@@ -32,6 +32,11 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
+# Clusters per supercluster.  One super's triangle block is
+# SUPER_FAN * K * 96 B (K=64: 96 KiB) — the DMA granule of the
+# HBM-streaming tracer for scenes whose tri_pack exceeds VMEM.
+SUPER_FAN = 16
+
 
 class MeshAccel(NamedTuple):
     """Cluster-sorted triangle soup + per-cluster AABBs (a pytree)."""
@@ -50,14 +55,28 @@ class MeshAccel(NamedTuple):
     # optixAccelBuild bake for their traversers (EmbreeBackend.cpp:181,
     # OptixBackend.cpp:916-1180).
     tri_pack: jnp.ndarray
-    # Front-to-back visit orders, one per ray-direction octant (the
-    # "direction-sorted traversal" classic SIMD tracers use).  Sorting keys
-    # are box centroids dotted with the octant sign vector, so a subtile
-    # whose rays share an octant visits near clusters first and early hits
-    # tighten every lane's bound before far clusters are tested.  Stored as
-    # a column table because Mosaic scalar reads need the dynamic index on
-    # the leading axis: cl_order[(oct * C + i), 0] = i-th cluster to visit.
-    cl_order: jnp.ndarray     # (8 * C, 1) int32
+    # Packed front-to-back traversal keys, one table per ray-direction
+    # octant (the "direction-sorted traversal" classic SIMD tracers use).
+    # cl_okey[oct, c, 0] = (rank << 16) | c, where rank is cluster c's
+    # front-to-back position for that octant (box centroid dotted with the
+    # octant sign vector).  The tracer masks unflagged clusters to INT32_MAX
+    # and repeatedly min-extracts: one vector reduce per OPENED cluster
+    # replaces the old per-cluster scalar compaction scan (which cost ~100ns
+    # x C per trace and dominated mesh frames).  Front-to-back order makes
+    # the any-hit early exit fire sooner; the id rides in the low 16 bits.
+    cl_okey: jnp.ndarray      # (8, C, 1) int32
+    # Supercluster level: AABBs over SUPER_FAN consecutive clusters (C is
+    # padded to a SUPER_FAN multiple; empty padding boxes are inverted so
+    # they never flag).  Used by the HBM-streaming trace path for scenes
+    # whose tri_pack exceeds VMEM: the (C, S, 128) cluster slab pass becomes
+    # a (G, S, 128) super pass plus per-OPENED-super (SUPER_FAN, S, 128)
+    # child passes, so broadcast cost tracks the working set, not the scene
+    # (the role of the upper BVH levels in rtcCommitScene /
+    # optixAccelBuild's outputs, EmbreeBackend.cpp:181,
+    # OptixBackend.cpp:916-1034).
+    sup_lo: jnp.ndarray       # (G, 3) float32
+    sup_hi: jnp.ndarray       # (G, 3) float32
+    sup_okey: jnp.ndarray     # (8, G, 1) int32
 
     @property
     def num_clusters(self) -> int:
@@ -147,16 +166,44 @@ def build_mesh_accel(
     v0s, e1s, e2s, mats, uvs = (v0[order], e1[order], e2[order], mat[order],
                                 uv[order])
 
-    # Octant visit orders (front-to-back by centroid along the octant
-    # direction; octant bit set = negative direction component).
+    # Pad the cluster count to a SUPER_FAN multiple so every supercluster
+    # owns exactly SUPER_FAN consecutive clusters — a fixed-size block the
+    # HBM-streaming tracer can DMA without edge cases.  Padding clusters are
+    # degenerate (inverted AABBs, zero triangles): slab tests never flag
+    # them.
+    pad_c = (-cl_lo.shape[0]) % SUPER_FAN
+    if pad_c:
+        cl_lo = np.concatenate(
+            [cl_lo, np.full((pad_c, 3), 1e30, np.float32)])
+        cl_hi = np.concatenate(
+            [cl_hi, np.full((pad_c, 3), -1e30, np.float32)])
+        zt = np.zeros((pad_c * cluster_size, 3), np.float32)
+        v0s = np.concatenate([v0s, zt])
+        e1s = np.concatenate([e1s, zt])
+        e2s = np.concatenate([e2s, zt])
+        mats = np.concatenate([mats, np.zeros(pad_c * cluster_size, np.int32)])
+        uvs = np.concatenate(
+            [uvs, np.zeros((pad_c * cluster_size, 6), np.float32)])
+
+    # Octant visit keys (front-to-back by centroid along the octant
+    # direction; octant bit set = negative direction component).  Packed as
+    # (rank << 16) | cluster_id so the tracer's min-extraction yields both
+    # the visit order and the id in one reduce (see MeshAccel.cl_okey).
     c_total = cl_lo.shape[0]
+    assert c_total <= (1 << 14), (
+        f"{c_total} clusters overflow the 16-bit id / 15-bit rank packing"
+    )
     cent_cl = np.where(cl_lo <= cl_hi, 0.5 * (cl_lo + cl_hi), 0.0)
-    cl_order = np.zeros((8, c_total), np.int32)
+    cl_okey = np.zeros((8, c_total), np.int32)
+    ids = np.arange(c_total, dtype=np.int32)
     for o in range(8):
         sgn = np.array([-1.0 if (o >> 2) & 1 else 1.0,
                         -1.0 if (o >> 1) & 1 else 1.0,
                         -1.0 if o & 1 else 1.0])
-        cl_order[o] = np.argsort(cent_cl @ sgn, kind="stable")
+        order = np.argsort(cent_cl @ sgn, kind="stable")
+        rank = np.empty(c_total, np.int32)
+        rank[order] = ids
+        cl_okey[o] = (rank << 16) | ids
 
     pack = np.zeros((c_total * cluster_size, 24), np.float32)
     pack[:, 0:3] = v0s
@@ -167,6 +214,24 @@ def build_mesh_accel(
     pack[:, 13:19] = uvs                # texture uv0 | duv1 | duv2
     pack = pack.reshape(c_total, cluster_size, 24)
 
+    # Supercluster level: one AABB over each SUPER_FAN-cluster block.
+    # Inverted padding members drop out of the min/max naturally; an
+    # all-padding super stays inverted and never flags.
+    g_total = c_total // SUPER_FAN
+    sup_lo = cl_lo.reshape(g_total, SUPER_FAN, 3).min(1).astype(np.float32)
+    sup_hi = cl_hi.reshape(g_total, SUPER_FAN, 3).max(1).astype(np.float32)
+    cent_sup = np.where(sup_lo <= sup_hi, 0.5 * (sup_lo + sup_hi), 0.0)
+    sup_okey = np.zeros((8, g_total), np.int32)
+    gids = np.arange(g_total, dtype=np.int32)
+    for o in range(8):
+        sgn = np.array([-1.0 if (o >> 2) & 1 else 1.0,
+                        -1.0 if (o >> 1) & 1 else 1.0,
+                        -1.0 if o & 1 else 1.0])
+        gorder = np.argsort(cent_sup @ sgn, kind="stable")
+        grank = np.empty(g_total, np.int32)
+        grank[gorder] = gids
+        sup_okey[o] = (grank << 16) | gids
+
     return MeshAccel(
         cluster_lo=jnp.asarray(cl_lo.astype(np.float32)),
         cluster_hi=jnp.asarray(cl_hi.astype(np.float32)),
@@ -175,7 +240,10 @@ def build_mesh_accel(
         tri_e2=jnp.asarray(e2s),
         tri_mat=jnp.asarray(mats),
         tri_pack=jnp.asarray(pack),
-        cl_order=jnp.asarray(cl_order.reshape(-1, 1)),
+        cl_okey=jnp.asarray(cl_okey.reshape(8, c_total, 1)),
+        sup_lo=jnp.asarray(sup_lo),
+        sup_hi=jnp.asarray(sup_hi),
+        sup_okey=jnp.asarray(sup_okey.reshape(8, g_total, 1)),
     )
 
 

@@ -413,7 +413,7 @@ def _make_texture_sampler(tex_ref, n_tex: int):
     return sample
 
 
-def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
+def _make_trace_impls(accel_dims, accel_refs,
                       sph_c, sph_r, sph_m, n_sphs, with_uv: bool = False):
     """Build the kernel's (closest(scene, ps), occluded(...)) pair.
 
@@ -436,7 +436,7 @@ def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
         # dead lanes trace with tmax = 0 (see transport.trace_bounce)
         tmax = jnp.where(ps.alive, _np.float32(1e30), _np.float32(0.0))
         res = pallas_trace.closest_hit_tile(
-            accel_refs, scratch_refs, n_clusters, k, n_sphs,
+            accel_refs, n_clusters, k, n_sphs,
             _np.float32(0.0), sph_c, sph_r, sph_m,
             ps.origin, ps.direction, tmax, with_uv=with_uv,
         )
@@ -451,7 +451,7 @@ def _make_trace_impls(accel_dims, accel_refs, scratch_refs,
         tm = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), o.x.shape)
         tm = jnp.minimum(tm, _np.float32(1e30))
         blocked = pallas_trace.any_hit_tile(
-            accel_refs, scratch_refs, n_clusters, k, n_sphs,
+            accel_refs, n_clusters, k, n_sphs,
             _np.float32(tmin), sph_c, sph_r, sph_m, o, d, tm,
         )
         return blocked != 0
@@ -470,12 +470,10 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans, m_texid,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
-            a_cl_lo, a_cl_hi, a_pack, a_cl_ord, a_tex,
+            a_cl_lo, a_cl_hi, a_pack, a_cl_okey, a_tex,
             # outputs
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
-            # accel scratch
-            s_clf, s_cll):
+            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
@@ -483,8 +481,8 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
     is_last = params_ref[0, 1] > 0
     textured = n_tex > 0
     closest_impl, occluded_impl = _make_trace_impls(
-        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
+        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey),
+        sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
     )
     texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
@@ -580,20 +578,15 @@ def _accel_inputs(scene: DeviceScene):
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
         tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
-        accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_order,
+        accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_okey,
                         tex]
         return (a.num_clusters, a.cluster_size), n_tex, accel_tables, tri_tables
     z83 = jnp.zeros((8, 3), jnp.float32)
-    zi = jnp.zeros((8, 1), jnp.int32)
+    zi = jnp.zeros((8, 1, 1), jnp.int32)
     accel_tables = [z83, z83, jnp.zeros((1, 8, 24), jnp.float32), zi, tex]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
                   col(scene.tri_mat)]
     return None, n_tex, accel_tables, tri_tables
-
-
-def _accel_scratch(accel_tables):
-    nc = accel_tables[0].shape[0]
-    return [pltpu.VMEM((nc, 1), jnp.int32), pltpu.SMEM((nc, 1), jnp.int32)]
 
 
 def fused_bounce(
@@ -689,7 +682,6 @@ def fused_bounce(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=_accel_scratch(accel_tables),
     )(params, *state_in, *tables)
 
     def r1(a):
@@ -719,10 +711,9 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   m_texid,
                   l_kind, l_vec, l_color, l_int, l_att,
                   e_v0, e_e1, e_e2, e_le, e_area,
-                  a_cl_lo, a_cl_hi, a_pack, a_cl_ord, a_tex,
+                  a_cl_lo, a_cl_hi, a_pack, a_cl_okey, a_tex,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-                  o_rx, o_ry, o_rz, o_missed, o_bounces,
-                  s_clf, s_cll):
+                  o_rx, o_ry, o_rz, o_missed, o_bounces):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -740,8 +731,8 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     textured = n_tex > 0
 
     closest_impl, occluded_impl = _make_trace_impls(
-        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_ord),
-        (s_clf, s_cll), sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
+        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey),
+        sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
     )
     texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
@@ -906,7 +897,6 @@ def fused_frame(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=_accel_scratch(accel_tables),
     )(params, *state_in, *tables)
 
     def r1(a):

@@ -4,23 +4,25 @@ The traversal design for TPU (see ops/bvh.py for the build): each grid step
 owns one (SUBTILE_ROWS, 128) block of rays and
 
 1. slab-tests EVERY cluster AABB against the whole subtile in one broadcast
-   (C, S, 128) vector pass, reducing to per-cluster open FLAGS in VMEM
-   scratch;
-2. compacts the flagged cluster ids into a VISIT LIST with a short scalar
-   scan, walking ids in front-to-back order for the subtile's dominant
-   direction octant (bvh.MeshAccel.cl_order) — ~10 ns per scanned cluster;
-3. runs a branch-free fori_loop over exactly the listed clusters, testing
-   each cluster's K triangles as ONE dense (K, S, 128) broadcast block from
-   the packed table `accel.tri_pack` (triangles on the leading axis, rays on
-   sublane x lane) — Moller-Trumbore at near-peak VPU throughput, with
-   winner resolution by unconditional masked reductions.
+   (C, S, 128) vector pass, reducing to per-cluster open FLAGS (C, 1);
+2. masks the per-octant PACKED VISIT KEYS (bvh.MeshAccel.cl_okey:
+   rank<<16 | id, front-to-back for the subtile's dominant direction
+   octant) with the flags, and
+3. runs a fori_loop that MIN-EXTRACTS the next key each iteration — one
+   vector reduce per OPENED cluster — and tests that cluster's K triangles
+   as ONE dense (K, S, 128) broadcast block from the packed table
+   `accel.tri_pack` (triangles on the leading axis, rays on sublane x
+   lane) — Moller-Trumbore at near-peak VPU throughput, with winner
+   resolution behind an any-win cond.
 
-The list scan exists because per-cluster scalar branching is NOT free on
-TPU: a lax.cond whose predicate is a vector reduction costs ~0.3-0.5 us in
-vector->scalar sync (measured: K=32 clusters halve the triangle math per
-open yet the chair trace got *slower* because twice as many conds ran).
-One scan converts all of that into a single dynamic loop bound; the open
-loop itself contains zero scalar predicates.
+Min-extraction replaced round 2's scalar compaction scan (one scalar
+load/test/conditional-store per CLUSTER, ~100 ns each, ~2 ms per trace on
+the 96-cluster chair — the single largest cost in the frame).  Per-cluster
+scalar branching is equally wrong (measured round 1: K=32 halved the
+triangle math per open yet traced slower because twice as many conds ran);
+paying one ~0.4 us reduce per *opened* cluster is the cheap corner —
+opens are few (2-3 coherent primaries, ~10 sorted bounces) while C grows
+with the scene.
 
 Analytic spheres (always few: the reference's user geometry,
 EmbreeBackend.cpp:139-178) are an unrolled pass run FIRST, so sphere hits
@@ -62,10 +64,15 @@ def _inv_dir(dx):
     return jnp.where(jnp.abs(dx) > 1e-20, 1.0 / dx, jnp.where(dx >= 0, _BIG, -_BIG))
 
 
-def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref):
+# numpy scalars: weak-typed literals, not captured device constants
+_OKEY_MISS = np.int32(0x7FFFFFFF)
+_OKEY_ID_MASK = np.int32(0xFFFF)
+
+
+def _box_flags(lo, hi, o3, inv3, tmin, bound):
     """Slab-test all B boxes against the whole (S, L) ray subtile in one
-    (B, S, L) broadcast pass; write per-box any-lane-hit flags (B, 1) int32
-    to scratch.  lo/hi: (B, 3) VMEM tables; o3/inv3: (1, S, L) ray planes;
+    (B, S, L) broadcast pass; returns per-box any-lane-hit flags (B, 1)
+    bool.  lo/hi: (B, 3) VMEM tables; o3/inv3: (1, S, L) ray planes;
     bound: (1, S, L) per-lane upper bound (min of tmax and current best).
 
     (A shrinking-bound recheck in the open loop — skip clusters whose
@@ -94,24 +101,20 @@ def _box_flags(lo, hi, o3, inv3, tmin, bound, flags_ref):
     )
     hit = tnear <= tfar                              # (B, S, L)
     any_lane = jnp.any(hit, axis=2)                  # (B, S)
-    flags_ref[:] = jnp.any(any_lane, axis=1, keepdims=True).astype(jnp.int32)
+    return jnp.any(any_lane, axis=1, keepdims=True)  # (B, 1)
 
 
-def _scan_open_list(n_clusters, oct_, cl_order, flags_ref, list_ref):
-    """Compact the flagged cluster ids into list_ref, visiting ids in
-    front-to-back octant order.  Returns the open count (scalar).  Pure
-    scalar-unit work: one load+test+conditional-store per cluster."""
-    def body(i, cnt):
-        c = cl_order[oct_ * n_clusters + i, 0]
-        keep = flags_ref[c, 0] != 0
+def _visit_keys(flags, cl_okey, oct_):
+    """(count, key0): the flagged clusters as a (C, 1) packed-key vector.
 
-        @pl.when(keep)
-        def _():
-            list_ref[cnt, 0] = c
-
-        return cnt + jnp.where(keep, 1, 0)
-
-    return jax.lax.fori_loop(0, n_clusters, body, jnp.int32(0))
+    key[c] = (front-to-back rank << 16) | c for flagged clusters, INT32_MAX
+    otherwise.  The open loops repeatedly min-extract: one vector reduce
+    per OPENED cluster, replacing the old per-cluster scalar compaction
+    scan (which cost ~100 ns x C per trace and dominated mesh frames —
+    ~2 ms of the chair's per-trace cost was this scan)."""
+    count = jnp.sum(flags.astype(jnp.int32))
+    key0 = jnp.where(flags, cl_okey[oct_], _OKEY_MISS)
+    return count, key0
 
 
 def _unpack_col(blk, i, k):
@@ -182,23 +185,19 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
     return (best_t, best_mat, best_kind, ax, ay, az), rinv
 
 
-def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
+def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
                      sph_c, sph_r, sph_m, o, d, tmax, with_uv: bool = False):
     """Full closest-hit for one (S, L) ray tile inside a Pallas kernel:
-    sphere pass + flags + list scan + branch-free cluster loop.
+    sphere pass + flags + min-extraction cluster loop.
 
-    `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_order) VMEM refs;
-    `scratch_refs` = (cl_flags, cl_list): (C, 1) int32 scratch, flags in
-    VMEM (vector-written by the flags pass), the visit list in SMEM (the
-    scan stores scalars, which Mosaic only allows to SMEM).
+    `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_okey) VMEM refs.
     o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
     mat, kind) value planes — plus (uvx, uvy) interpolated texture
     coordinates when `with_uv` (textured scenes; pack cols 13-18 hold
     uv0|duv1|duv2) — with t = _BIG * 1e7 on miss (inf downstream).
     Reused by the standalone trace kernels AND the fused bounce/frame
     kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
-    cl_lo, cl_hi, tri_pack, cl_order = accel_refs
-    cl_flags, cl_list = scratch_refs[0], scratch_refs[1]
+    cl_lo, cl_hi, tri_pack, cl_okey = accel_refs
     s, l = o.x.shape
     oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
             + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
@@ -216,13 +215,16 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
     inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
     bound = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
-    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags)
-    count = _scan_open_list(n_clusters, oct_, cl_order, cl_flags, cl_list)
+    flags = _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound)
+    count, key0 = _visit_keys(flags, cl_okey, oct_)
 
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
-    def open_body(j, carry):
-        return _open_cluster(cl_list[j, 0], carry)
+    def open_body(j, key_and_carry):
+        key, carry = key_and_carry[0], key_and_carry[1:]
+        m = jnp.min(key)
+        carry = _open_cluster(m & _OKEY_ID_MASK, carry)
+        return (jnp.where(key == m, _OKEY_MISS, key),) + carry
 
     def _open_cluster(c, carry):
         best_t = carry[0]
@@ -267,7 +269,7 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
 
         return jax.lax.cond(jnp.any(win), resolve, lambda cr: cr, carry)
 
-    out_carry = jax.lax.fori_loop(0, count, open_body, carry0)
+    out_carry = jax.lax.fori_loop(0, count, open_body, (key0,) + carry0)[1:]
     best_t, best_mat, best_kind, ax, ay, az = out_carry[:6]
 
     hitm = best_kind != isect.KIND_MISS
@@ -289,20 +291,18 @@ def closest_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
 
 def _closest_kernel(n_clusters, k, n_sph, tmin, with_uv,
                     ox, oy, oz, dx, dy, dz, tmaxr,
-                    cl_lo, cl_hi, tri_pack, cl_order,
+                    cl_lo, cl_hi, tri_pack, cl_okey,
                     sph_c, sph_r, sph_m,
-                    *outs_and_scratch):
+                    *outs):
     if with_uv:
         (out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-         out_uvx, out_uvy, cl_flags, cl_list) = outs_and_scratch
+         out_uvx, out_uvy) = outs
     else:
-        (out_t, out_nx, out_ny, out_nz, out_mat, out_kind,
-         cl_flags, cl_list) = outs_and_scratch
+        out_t, out_nx, out_ny, out_nz, out_mat, out_kind = outs
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     res = closest_hit_tile(
-        (cl_lo, cl_hi, tri_pack, cl_order),
-        (cl_flags, cl_list),
+        (cl_lo, cl_hi, tri_pack, cl_okey),
         n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
         with_uv=with_uv,
     )
@@ -330,15 +330,14 @@ def _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
     return blocked
 
 
-def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
+def any_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
                  sph_c, sph_r, sph_m, o, d, tmax):
     """Occlusion for one (S, L) ray tile inside a Pallas kernel: sphere pass
-    + flags + list scan + cluster loop with whole-subtile early exit once
+    + flags + min-extraction cluster loop with whole-subtile early exit once
     every lane is blocked.  Returns (S, L) int32 blocked flags.  Same ref
-    contract as closest_hit_tile.  The visit list is front-to-back, so near
+    contract as closest_hit_tile.  The visit keys are front-to-back, so near
     blockers saturate the subtile sooner and the early exit fires earlier."""
-    cl_lo, cl_hi, tri_pack, cl_order = accel_refs
-    cl_flags, cl_list = scratch_refs[0], scratch_refs[1]
+    cl_lo, cl_hi, tri_pack, cl_okey = accel_refs
     s, l = o.x.shape
     oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
             + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
@@ -353,41 +352,49 @@ def any_hit_tile(accel_refs, scratch_refs, n_clusters, k, n_sph, tmin,
     # occluded.
     blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
 
-    ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
-    o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
-    d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
-    inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
-    bound = tmax.reshape(1, s, l)
-    _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound, cl_flags)
-    count = _scan_open_list(n_clusters, oct_, cl_order, cl_flags, cl_list)
+    def traced(blocked0):
+        ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
+        o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
+        d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
+        inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
+        bound = tmax.reshape(1, s, l)
+        flags = _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound)
+        count, key0 = _visit_keys(flags, cl_okey, oct_)
 
-    # while over the visit list: early exit once every lane is blocked
-    def cond(carry):
-        j, blocked = carry
-        return (j < count) & ~jnp.all(blocked != 0)
+        # while over the visit keys: early exit once every lane is blocked
+        def cond(carry):
+            j, _, blocked = carry
+            return (j < count) & ~jnp.all(blocked != 0)
 
-    def body(carry):
-        j, blocked = carry
-        c = cl_list[j, 0]
-        blk = tri_pack[c]
-        ok, _, _, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
-        return j + 1, blocked | jnp.any(ok, axis=0).astype(jnp.int32)
+        def body(carry):
+            j, key, blocked = carry
+            m = jnp.min(key)
+            blk = tri_pack[m & _OKEY_ID_MASK]
+            ok, _, _, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
+            return (j + 1, jnp.where(key == m, _OKEY_MISS, key),
+                    blocked | jnp.any(ok, axis=0).astype(jnp.int32))
 
-    _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(0), blocked0))
-    return blocked
+        _, _, blocked = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), key0, blocked0))
+        return blocked
+
+    # Whole-subtile skip: a tile whose every lane is dead or non-contributing
+    # (tmax <= tmin — e.g. all primaries missed, so no shadow ray has a real
+    # interval) skips the flags broadcast AND the C-iteration scalar scan
+    # entirely.  On miss-dominated mesh scenes ~85-90 % of subtiles take this
+    # path for every shadow trace.
+    return jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b, traced, blocked0)
 
 
 def _any_kernel(n_clusters, k, n_sph, tmin,
                 ox, oy, oz, dx, dy, dz, tmaxr,
-                cl_lo, cl_hi, tri_pack, cl_order,
+                cl_lo, cl_hi, tri_pack, cl_okey,
                 sph_c, sph_r, sph_m,
-                out_blocked,
-                cl_flags, cl_list):
+                out_blocked):
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     out_blocked[:] = any_hit_tile(
-        (cl_lo, cl_hi, tri_pack, cl_order),
-        (cl_flags, cl_list),
+        (cl_lo, cl_hi, tri_pack, cl_okey),
         n_clusters, k, n_sph, tmin, sph_c, sph_r, sph_m, o, d, tmaxr[:],
     )
 
@@ -405,7 +412,7 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
     tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     state = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z), r2(tmax_arr)]
     tables = [accel.cluster_lo, accel.cluster_hi, accel.tri_pack,
-              accel.cl_order,
+              accel.cl_okey,
               scene.sph_center, scene.sph_radius.reshape(-1, 1),
               scene.sph_mat.reshape(-1, 1)]
 
@@ -427,8 +434,6 @@ def _common_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
         in_specs=[block] * 7 + [table_spec(a) for a in tables],
         out_specs=[block] * out_specs_count,
         out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
-        scratch_shapes=[pltpu.VMEM((accel.num_clusters, 1), jnp.int32),
-                        pltpu.SMEM((accel.num_clusters, 1), jnp.int32)],
     )(*state, *tables)
     return outs, n
 

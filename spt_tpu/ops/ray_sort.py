@@ -94,28 +94,63 @@ def sort_key(direction: Vec3, origin: Vec3, alive, lo, inv_extent) -> jnp.ndarra
     return jnp.where(alive, key, _DEAD_KEY)
 
 
+def _pallas_sort_ok(chunk: int) -> bool:
+    """The VMEM bitonic kernel runs on TPU for power-of-two chunks that
+    tile into (rows, 128) blocks (ops/pallas_sort)."""
+    import os
+
+    if os.environ.get("SPT_NO_PALLAS_SORT"):
+        return False
+    if chunk % 128 != 0 or chunk & (chunk - 1) != 0:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform not in ("cpu", "gpu")
+
+
 def sort_by_key(key, operands, chunk: int):
     """Sort the (N,) operand arrays by `key` within `chunk`-lane chunks.
 
     Returns (lane_id, sorted_operands): lane_id[i] is the pre-sort position
     of the lane now at i (feed to unsort_by_lane).  Bool operands are not
     supported by every backend's sort lowering — cast to int32 first.
+
+    On TPU the sort runs as a VMEM-resident Pallas bitonic network
+    (ops/pallas_sort) — one HBM read + write of the operands instead of one
+    per compare-exchange level.  Bitonic is not stable, but lane identity
+    rides along and every tie (dead lanes, equal octants) is
+    order-irrelevant to the caller.
     """
     n = key.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    if _pallas_sort_ok(chunk):
+        from spt_tpu.ops import pallas_sort
+
+        _, out = pallas_sort.sort_chunks(key, [lane] + list(operands), chunk)
+        return out[0], out[1:]
     k2 = key.reshape(-1, chunk)
-    lane = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32).reshape(-1, chunk), k2.shape
+    ops = (k2, lane.reshape(-1, chunk)) + tuple(
+        a.reshape(-1, chunk) for a in operands
     )
-    ops = (k2, lane) + tuple(a.reshape(-1, chunk) for a in operands)
     out = jax.lax.sort(ops, dimension=1, num_keys=1)
     lane_id = out[1].reshape(n)
     return lane_id, [a.reshape(n) for a in out[2:]]
 
 
 def unsort_by_lane(lane_id, operands, chunk: int):
-    """Inverse of sort_by_key: restore original lane order (lane_id is
-    chunk-local-stable, so one more chunked sort keyed on it suffices)."""
+    """Inverse of sort_by_key: restore original lane order (lane_id is a
+    permutation — chunk-locally all-distinct — so one more chunked sort
+    keyed on it suffices)."""
     n = lane_id.shape[0]
+    if _pallas_sort_ok(chunk):
+        from spt_tpu.ops import pallas_sort
+
+        # lane ids are nonnegative: reinterpret as uint32, order unchanged
+        _, out = pallas_sort.sort_chunks(lane_id.astype(jnp.uint32),
+                                         list(operands), chunk)
+        return out
     ops = (lane_id.reshape(-1, chunk),) + tuple(
         a.reshape(-1, chunk) for a in operands
     )

@@ -1,7 +1,13 @@
 """Component-cost isolation for the cluster tracer: times kernel variants
-that stop after each pipeline stage (flags pass / +scan / +N forced opens).
+that stop after each pipeline stage (flags pass / +scan / +opens / +resolve
+/ the real closest/any-hit tile functions).
 
-Run ON THE TPU from the repo root: python tools/bench_trace_parts.py
+Per-dispatch overhead through the axon relay is ~3 ms — bigger than most of
+these kernels — so each timing jits ONE program that chains R invocations
+back-to-back (the output feeds the next call's tmax so nothing hoists) and
+reports (t(R=9) - t(R=1)) / 8 per invocation, dispatch excluded.
+
+Run ON THE TPU from the repo root: python -m tools.bench_trace_parts
 """
 
 import functools
@@ -17,6 +23,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spt_tpu.utils.cache import enable_default_cache
+
+enable_default_cache()
+
 from spt_tpu.io.gltf import load_gltf
 from spt_tpu.ops import pallas_trace as ptr
 from spt_tpu.ops.vec3 import Vec3
@@ -26,14 +36,14 @@ from tools.bench_trace import make_rays
 LANES = 128
 
 
-def _kern(stage, forced_opens, n_clusters, k,
-          ox, oy, oz, dx, dy, dz,
-          cl_lo, cl_hi, tri_pack, cl_order,
-          out_t, cl_flags, cl_list):
+def _kern(stage, n_clusters, k, n_sph,
+          ox, oy, oz, dx, dy, dz, tmaxr,
+          cl_lo, cl_hi, tri_pack, cl_okey, sph_c, sph_r, sph_m,
+          out_t):
     o = Vec3(ox[:], oy[:], oz[:])
     d = Vec3(dx[:], dy[:], dz[:])
     s, l = o.x.shape
-    tmax = jnp.full((s, l), np.float32(1e30))
+    tmax = tmaxr[:]
     oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
             + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
             + (jnp.sum(d.z) < 0).astype(jnp.int32))
@@ -48,57 +58,67 @@ def _kern(stage, forced_opens, n_clusters, k,
     if stage == "base":
         out_t[:] = best + oct_.astype(jnp.float32)
         return
-    ptr._box_flags(cl_lo, cl_hi, o3, inv3, np.float32(0.0),
-                   tmax.reshape(1, s, l), cl_flags)
-    if stage == "flags":
-        out_t[:] = best + cl_flags[0, 0].astype(jnp.float32)
+    if stage == "closest":
+        res = ptr.closest_hit_tile(
+            (cl_lo, cl_hi, tri_pack, cl_okey),
+            n_clusters, k, n_sph, np.float32(0.0), sph_c, sph_r, sph_m,
+            o, d, tmax)
+        out_t[:] = res[0]
         return
-    count = ptr._scan_open_list(n_clusters, oct_, cl_order, cl_flags, cl_list)
+    if stage == "anyhit":
+        blocked = ptr.any_hit_tile(
+            (cl_lo, cl_hi, tri_pack, cl_okey),
+            n_clusters, k, n_sph, np.float32(0.0), sph_c, sph_r, sph_m,
+            o, d, tmax)
+        out_t[:] = blocked.astype(jnp.float32)
+        return
+    flags = ptr._box_flags(cl_lo, cl_hi, o3, inv3, np.float32(0.0),
+                           tmax.reshape(1, s, l))
+    if stage == "flags":
+        out_t[:] = best + flags.astype(jnp.float32)[0, 0]
+        return
+    count, key0 = ptr._visit_keys(flags, cl_okey, oct_)
     if stage == "scan":
         out_t[:] = best + count.astype(jnp.float32)
         return
 
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
-    def open_body(j, best):
-        c = cl_list[j, 0] if stage != "openfix" else j % n_clusters
+    def open_body(j, carry):
+        key, best = carry
+        m = jnp.min(key)
+        c = m & ptr._OKEY_ID_MASK
+        key = jnp.where(key == m, ptr._OKEY_MISS, key)
         blk = tri_pack[c]
-        ok, t = ptr._tri_block_test(blk, k, o3, d3, np.float32(0.0),
-                                    tmax.reshape(1, s, l))
+        ok, t, _u, _v = ptr._tri_block_test(blk, k, o3, d3, np.float32(0.0),
+                                            tmax.reshape(1, s, l))
         tb = jnp.where(ok, t, np.float32(1e30))
         tm = jnp.min(tb, axis=0)
-        if stage in ("open", "openfix"):
-            return jnp.minimum(best, tm)
-        # full resolve
+        if stage == "open":
+            return key, jnp.minimum(best, tm)
+        # full resolve (same shape as closest_hit_tile's resolve)
         win = tm < best
         eq = ok & (tb == tm.reshape(1, s, l))
         wi = jnp.max(jnp.where(eq, iota_k, -1), axis=0)
         uniq = eq & (iota_k == wi.reshape(1, s, l))
         picked = jnp.sum(jnp.where(uniq, ptr._unpack_col(blk, 9, k), 0.0),
                          axis=0)
-        picked += jnp.sum(jnp.where(uniq, ptr._unpack_col(blk, 10, k), 0.0),
-                          axis=0)
-        picked += jnp.sum(jnp.where(uniq, ptr._unpack_col(blk, 11, k), 0.0),
-                          axis=0)
-        picked += jnp.sum(jnp.where(uniq, ptr._unpack_col(blk, 12, k), 0.0),
-                          axis=0)
-        return jnp.where(win, tm + 0.0 * picked, best)
+        for col in (10, 11, 12):
+            picked += jnp.sum(
+                jnp.where(uniq, ptr._unpack_col(blk, col, k), 0.0), axis=0)
+        return key, jnp.where(win, tm + 0.0 * picked, best)
 
-    n_open = forced_opens if forced_opens else count
-    best = jax.lax.fori_loop(0, n_open, open_body, best)
+    _, best = jax.lax.fori_loop(0, count, open_body, (key0, best))
     out_t[:] = best
 
 
-def run(stage, scene, o, d, forced_opens=0, iters=20, tile_rows=8):
+def build_fn(stage, scene, repeats, tile_rows=8, n=196608):
     a = scene.accel
-    n = o.x.shape[0]
     rows = n // LANES
     shape2 = (rows, LANES)
-
-    def r2(x):
-        return x.reshape(shape2)
-
-    tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_order]
+    tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_okey,
+              scene.sph_center, scene.sph_radius.reshape(-1, 1),
+              scene.sph_mat.reshape(-1, 1)]
     block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
@@ -106,30 +126,58 @@ def run(stage, scene, o, d, forced_opens=0, iters=20, tile_rows=8):
         return pl.BlockSpec(x.shape, (lambda nd: lambda i: (0,) * nd)(x.ndim),
                             memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_kern, stage, forced_opens,
-                             a.num_clusters, a.cluster_size)
-    f = jax.jit(lambda *args: pl.pallas_call(
+    kern = functools.partial(_kern, stage, a.num_clusters, a.cluster_size,
+                             scene.num_spheres)
+    call = lambda *args: pl.pallas_call(
         kern,
         grid=(rows // tile_rows,),
-        in_specs=[block] * 6 + [table_spec(x) for x in tables],
+        in_specs=[block] * 7 + [table_spec(x) for x in tables],
         out_specs=[block],
         out_shape=[jax.ShapeDtypeStruct(shape2, jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((a.num_clusters, 1), jnp.int32),
-                        pltpu.SMEM((a.num_clusters, 1), jnp.int32)],
-    )(*args))
-    args = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z)] + tables
-    r = f(*args)
-    jax.block_until_ready(r)
-    _ = float(np.asarray(r[0][:1]).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(*args)
-    _ = float(np.asarray(r[0][:1]).sum())
-    return (time.perf_counter() - t0) / iters
+    )(*args)[0]
+
+    def chained(ox, oy, oz, dx, dy, dz, tmax0):
+        def body(_, t):
+            # tmax rides the carry so successive calls cannot be hoisted;
+            # min(1e30) keeps the value semantically identical each round.
+            return call(ox, oy, oz, dx, dy, dz,
+                        jnp.minimum(t, np.float32(1e30)), *tables)
+
+        return jax.lax.fori_loop(0, repeats, body, tmax0)
+
+    return jax.jit(chained), shape2
+
+
+def time_stage(stage, scene, o, d, tile_rows=8, trials=3):
+    n = o.x.shape[0]
+
+    def r2(x):
+        return x.reshape(n // LANES, LANES)
+
+    args = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z)]
+    tmax0 = jnp.full((n // LANES, LANES), np.float32(1e30))
+    results = {}
+    for repeats in (1, 9):
+        f, _ = build_fn(stage, scene, repeats, tile_rows)
+        r = f(*args, tmax0)
+        jax.block_until_ready(r)
+        _ = float(np.asarray(r[:1, :1]).sum())
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = f(*args, tmax0)
+            _ = float(np.asarray(r[:1, :1]).sum())
+            ts.append((time.perf_counter() - t0) / 5)
+        results[repeats] = float(np.median(ts))
+    return (results[9] - results[1]) / 8 * 1e3
 
 
 def main():
     n = 196608
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    stages = (["base", "flags", "scan", "open", "full", "closest", "anyhit"]
+              if which == "all" else which.split(","))
     path = "/root/reference/assets/models/rattan_dining_chair/scene.gltf"
     desc = load_gltf(path)
     scene = flatten_scene(desc)
@@ -141,10 +189,9 @@ def main():
         o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
         d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
         res = {}
-        for stage in ("base", "flags", "scan"):
-            res[stage] = run(stage, scene, o, d) * 1e3
-            res[stage + "T64"] = run(stage, scene, o, d, tile_rows=64) * 1e3
-        print(kind, " ".join(f"{k}={v:.2f}ms" for k, v in res.items()))
+        for stage in stages:
+            res[stage] = time_stage(stage, scene, o, d)
+            print(kind, f"{stage}={res[stage]:.3f}ms", flush=True)
 
 
 if __name__ == "__main__":
