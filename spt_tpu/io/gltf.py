@@ -152,9 +152,12 @@ def _computed_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return (n / np.maximum(lens, 1e-12)).astype(np.float32)
 
 
-def _load_image(g: _Gltf, base_dir: str, image_index: int):
+def _load_image(g: _Gltf, base_dir: str, image_index: int,
+                srgb: bool = True):
     """Decode a glTF image (uri file, data uri, or bufferView) -> (H, W, 3)
-    float32 LINEAR color (baseColor images are sRGB-encoded per spec)."""
+    float32 LINEAR color.  baseColor images are sRGB-encoded per spec
+    (srgb=True decodes them); metallicRoughness images are linear data
+    (srgb=False returns raw channel values)."""
     try:
         import io as _io
 
@@ -185,14 +188,20 @@ def _load_image(g: _Gltf, base_dir: str, image_index: int):
                       f"({img.get('uri', '<bufferView>')!r}) failed to load "
                       f"({exc}); material renders untextured")
         return None
+    if not srgb:
+        return arr
     # sRGB -> linear (the exact EOTF; shading is linear throughout)
     return np.where(arr <= 0.04045, arr / 12.92,
                     ((arr + 0.055) / 1.055) ** 2.4).astype(np.float32)
 
 
-def _base_color_texture(g: _Gltf, base_dir: str, gmat: dict):
+def _material_texture(g: _Gltf, base_dir: str, gmat: dict, slot: str,
+                      srgb: bool):
+    """Resolve a pbrMetallicRoughness texture slot ('baseColorTexture' or
+    'metallicRoughnessTexture', GLTFLoader.cpp:219-331 reads the same uris
+    but never samples them) to a decoded image, or None."""
     pbr = gmat.get("pbrMetallicRoughness", {})
-    tex = pbr.get("baseColorTexture")
+    tex = pbr.get(slot)
     if tex is None:
         return None
     textures = g.doc.get("textures", [])
@@ -201,7 +210,16 @@ def _base_color_texture(g: _Gltf, base_dir: str, gmat: dict):
     source = textures[tex["index"]].get("source")
     if source is None:
         return None
-    return _load_image(g, base_dir, source)
+    return _load_image(g, base_dir, source, srgb=srgb)
+
+
+def _base_color_texture(g: _Gltf, base_dir: str, gmat: dict):
+    return _material_texture(g, base_dir, gmat, "baseColorTexture", True)
+
+
+def _metallic_roughness_texture(g: _Gltf, base_dir: str, gmat: dict):
+    return _material_texture(g, base_dir, gmat, "metallicRoughnessTexture",
+                             False)
 
 
 def _convert_material(gmat: dict, texture: np.ndarray = None) -> Material:

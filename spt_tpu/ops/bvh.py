@@ -32,10 +32,17 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-# Clusters per supercluster.  One super's triangle block is
-# SUPER_FAN * K * 96 B (K=64: 96 KiB) — the DMA granule of the
+# Clusters per supercluster.  One super's streamed triangle block is
+# SUPER_FAN * K * 512 B (K=64: 512 KiB) — the DMA granule of the
 # HBM-streaming tracer for scenes whose tri_pack exceeds VMEM.
 SUPER_FAN = 16
+
+# Largest packed triangle table the VMEM tracer keeps resident.  Each
+# (K, 24) cluster block pads to 128 lanes in VMEM, so a triangle costs
+# 512 B resident — 12288 tris = 6 MiB, about the budget next to the ray
+# tiles.  Scenes beyond this carry the 128-padded `tri_stream` table and
+# stream clusters from HBM (ops/pallas_stream; routing in ops/intersect).
+MAX_RESIDENT_TRIS = 12288
 
 
 class MeshAccel(NamedTuple):
@@ -77,6 +84,12 @@ class MeshAccel(NamedTuple):
     sup_lo: jnp.ndarray       # (G, 3) float32
     sup_hi: jnp.ndarray       # (G, 3) float32
     sup_okey: jnp.ndarray     # (8, G, 1) int32
+    # tri_pack zero-padded from 24 to 128 columns — Mosaic DMA slices must
+    # be 128-aligned on the last dim, so this is the table the streaming
+    # tracer actually copies from.  Built only for scenes beyond
+    # MAX_RESIDENT_TRIS (a (1, 1, 128) dummy otherwise): the VMEM tracer
+    # never needs it, and small scenes shouldn't pay the 5.3x HBM copy.
+    tri_stream: jnp.ndarray   # (C, K, 128) float32, or (1, 1, 128) dummy
 
     @property
     def num_clusters(self) -> int:
@@ -109,6 +122,7 @@ def build_mesh_accel(
     mat: np.ndarray,
     cluster_size: int = 64,
     uv: np.ndarray = None,
+    force_stream: bool = False,
 ) -> MeshAccel:
     """Sort triangles along the Morton curve and cut into clusters.
 
@@ -232,6 +246,12 @@ def build_mesh_accel(
         grank[gorder] = gids
         sup_okey[o] = (grank << 16) | gids
 
+    if force_stream or c_total * cluster_size > MAX_RESIDENT_TRIS:
+        tri_stream = np.zeros((c_total, cluster_size, 128), np.float32)
+        tri_stream[:, :, :24] = pack
+    else:
+        tri_stream = np.zeros((1, 1, 128), np.float32)
+
     return MeshAccel(
         cluster_lo=jnp.asarray(cl_lo.astype(np.float32)),
         cluster_hi=jnp.asarray(cl_hi.astype(np.float32)),
@@ -244,6 +264,7 @@ def build_mesh_accel(
         sup_lo=jnp.asarray(sup_lo),
         sup_hi=jnp.asarray(sup_hi),
         sup_okey=jnp.asarray(sup_okey.reshape(8, g_total, 1)),
+        tri_stream=jnp.asarray(tri_stream),
     )
 
 

@@ -429,6 +429,19 @@ def _announce_chunked(reason: str) -> None:
         )
 
 
+def _trace_module(scene: DeviceScene):
+    """Pick the trace kernel family by accel size: VMEM-resident tri table
+    (pallas_trace) up to MAX_RESIDENT_TRIS, HBM-streaming two-level
+    traversal (pallas_stream) beyond — scene size then costs HBM traffic,
+    not VMEM, matching the any-size role of rtcCommitScene /
+    optixAccelBuild (EmbreeBackend.cpp:181, OptixBackend.cpp:916-1034)."""
+    from spt_tpu.ops import pallas_stream, pallas_trace
+
+    if scene.accel.tri_v0.shape[0] > pallas_trace.MAX_RESIDENT_TRIS:
+        return pallas_stream
+    return pallas_trace
+
+
 def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> HitV:
     """Closest-hit trace, Vec3-native (the hot path)."""
     tmin = _scalarize(tmin)
@@ -436,9 +449,8 @@ def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> Hi
     if _use_unrolled(scene):
         return _intersect_unrolled(scene, o, d, tmin, tmax)
     if _pallas_ok(scene, o.x.shape[0] if o.x.ndim else 0):
-        from spt_tpu.ops import pallas_trace
-
-        return pallas_trace.closest_hit(scene.accel, scene, o, d, tmin, tmax)
+        return _trace_module(scene).closest_hit(
+            scene.accel, scene, o, d, tmin, tmax)
     return _intersect_chunked(scene, o, d, tmin, tmax)
 
 
@@ -449,9 +461,8 @@ def occluded_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> jnp
     if _use_unrolled(scene):
         return _occluded_unrolled(scene, o, d, tmin, tmax)
     if _pallas_ok(scene, o.x.shape[0] if o.x.ndim else 0):
-        from spt_tpu.ops import pallas_trace
-
-        return pallas_trace.any_hit(scene.accel, scene, o, d, tmin, tmax)
+        return _trace_module(scene).any_hit(
+            scene.accel, scene, o, d, tmin, tmax)
     return _occluded_chunked(scene, o, d, tmin, tmax)
 
 

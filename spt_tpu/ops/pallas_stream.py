@@ -1,0 +1,286 @@
+"""HBM-streaming two-level trace kernels: reference-scale meshes on TPU.
+
+The VMEM tracer (ops/pallas_trace) keeps the whole packed triangle table
+resident — ~6 MB at 12k triangles, busting VMEM near ~25k.  The reference's
+backends make scene size a non-issue (rtcCommitScene over any mesh,
+EmbreeBackend.cpp:181; GAS builds sized by input, OptixBackend.cpp:916-1034).
+This module is the TPU answer for that scale: `tri_pack` stays in HBM and
+clusters stream through a VMEM scratch block on demand, gated by a second
+accel level.
+
+Per (S, 128) ray subtile:
+
+1. slab-test the SUPERCLUSTER AABBs (bvh.MeshAccel.sup_lo/hi: one box per
+   SUPER_FAN consecutive Morton-ordered clusters) in one (G, S, 128)
+   broadcast — G is C/SUPER_FAN, so this pass costs 1/SUPER_FAN of the flat
+   cluster pass;
+2. min-extract opened supers front-to-back (bvh.MeshAccel.sup_okey packed
+   rank<<16|id keys, per ray-direction octant);
+3. per opened super: ONE async DMA of its (SUPER_FAN, K, 128) triangle
+   block HBM -> VMEM scratch (K=64: 512 KiB, ~0.6 us of HBM bandwidth;
+   Mosaic DMA slices must be 128-aligned on the last dim, hence
+   bvh.MeshAccel.tri_stream, the zero-padded copy of tri_pack), then the
+   usual cluster-level flags + min-extraction + Moller-Trumbore block tests
+   against the scratch-resident block (the opener shared with
+   pallas_trace.make_cluster_opener), with the closest-hit bound tightened
+   between supers.
+
+VMEM cost is O(SUPER_FAN * K) regardless of scene size; HBM traffic tracks
+the rays' working set, not the scene.  Same call contracts as
+pallas_trace.closest_hit / any_hit; ops/intersect routes here when the
+packed table is too large to sit in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spt_tpu.ops.vec3 import Vec3
+from spt_tpu.ops import intersect as isect
+from spt_tpu.ops.bvh import SUPER_FAN
+from spt_tpu.ops.pallas_trace import (
+    LANES,
+    _BIG,
+    _OKEY_ID_MASK,
+    _OKEY_MISS,
+    _box_flags,
+    _divisor,
+    _inv_dir,
+    _sphere_pass_any,
+    _sphere_pass_closest,
+    _tri_block_test,
+    _visit_keys,
+    closest_epilogue,
+    make_cluster_opener,
+)
+
+
+def _ray_planes(o, d, s, l):
+    ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
+    o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
+    d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
+    inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
+    return o3, d3, inv3
+
+
+def _octant(d):
+    return ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
+            + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
+            + (jnp.sum(d.z) < 0).astype(jnp.int32))
+
+
+def _stream_closest_kernel(k, n_sph, tmin, with_uv,
+                           ox, oy, oz, dx, dy, dz, tmaxr,
+                           cl_lo, cl_hi, cl_okey,
+                           sup_lo, sup_hi, sup_okey,
+                           sph_c, sph_r, sph_m,
+                           tri_hbm,
+                           *outs_and_scratch):
+    outs = outs_and_scratch[:-2]
+    scratch, sem = outs_and_scratch[-2:]
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    tmax = tmaxr[:]
+    s, l = o.x.shape
+    f = SUPER_FAN
+    oct_ = _octant(d)
+
+    carry0, rinv = _sphere_pass_closest(
+        n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
+    )
+    if with_uv:
+        zero_sl = jnp.zeros(o.x.shape, jnp.float32)
+        carry0 = carry0 + (zero_sl, zero_sl)
+
+    o3, d3, inv3 = _ray_planes(o, d, s, l)
+    bound0 = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
+    sflags = _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound0)
+    scount, skey0 = _visit_keys(sflags, sup_okey, oct_)
+
+    open_cluster = make_cluster_opener(k, s, l, o3, d3, tmin,
+                                       tmax.reshape(1, s, l), with_uv)
+
+    def open_super(j, key_and_carry):
+        skey, carry = key_and_carry[0], key_and_carry[1:]
+        m = jnp.min(skey)
+        g = m & _OKEY_ID_MASK
+        base = g * f
+        cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)], scratch, sem)
+        cp.start()
+        # Cluster-level cull inside the super, with the bound tightened by
+        # every super already opened (front-to-back order pays off here).
+        bound = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
+        cflags = _box_flags(cl_lo[pl.ds(base, f)], cl_hi[pl.ds(base, f)],
+                            o3, inv3, tmin, bound)
+        ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)], _OKEY_MISS)
+        ccount = jnp.sum(cflags.astype(jnp.int32))
+        cp.wait()
+
+        def open_cl(i, kc):
+            ckey, cr = kc[0], kc[1:]
+            mm = jnp.min(ckey)
+            cr = open_cluster(scratch[(mm & _OKEY_ID_MASK) - base], cr)
+            return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+
+        carry = jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
+        return (jnp.where(skey == m, _OKEY_MISS, skey),) + carry
+
+    out_carry = jax.lax.fori_loop(0, scount, open_super,
+                                  (skey0,) + carry0)[1:]
+    res = closest_epilogue(out_carry, o, d, rinv, with_uv)
+    for r, v in zip(outs, res):
+        r[:] = v
+
+
+def _stream_any_kernel(k, n_sph, tmin,
+                       ox, oy, oz, dx, dy, dz, tmaxr,
+                       cl_lo, cl_hi, cl_okey,
+                       sup_lo, sup_hi, sup_okey,
+                       sph_c, sph_r, sph_m,
+                       tri_hbm,
+                       out_blocked, scratch, sem):
+    o = Vec3(ox[:], oy[:], oz[:])
+    d = Vec3(dx[:], dy[:], dz[:])
+    tmax = tmaxr[:]
+    s, l = o.x.shape
+    f = SUPER_FAN
+    oct_ = _octant(d)
+
+    blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
+    # Empty-interval lanes count as blocked so the early exits can fire
+    # (same contract as pallas_trace.any_hit).
+    blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
+
+    def traced(blocked0):
+        o3, d3, inv3 = _ray_planes(o, d, s, l)
+        bound = tmax.reshape(1, s, l)
+        sflags = _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound)
+        scount, skey0 = _visit_keys(sflags, sup_okey, oct_)
+
+        def scond(carry):
+            j, _, blocked = carry
+            return (j < scount) & ~jnp.all(blocked != 0)
+
+        def sbody(carry):
+            j, skey, blocked = carry
+            m = jnp.min(skey)
+            g = m & _OKEY_ID_MASK
+            base = g * f
+            cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)],
+                                       scratch, sem)
+            cp.start()
+            cflags = _box_flags(cl_lo[pl.ds(base, f)], cl_hi[pl.ds(base, f)],
+                                o3, inv3, tmin, bound)
+            ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)],
+                              _OKEY_MISS)
+            ccount = jnp.sum(cflags.astype(jnp.int32))
+            cp.wait()
+
+            def ccond(cc):
+                i, _, blocked = cc
+                return (i < ccount) & ~jnp.all(blocked != 0)
+
+            def cbody(cc):
+                i, ckey, blocked = cc
+                mm = jnp.min(ckey)
+                blk = scratch[(mm & _OKEY_ID_MASK) - base]
+                ok, _, _, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
+                return (i + 1, jnp.where(ckey == mm, _OKEY_MISS, ckey),
+                        blocked | jnp.any(ok, axis=0).astype(jnp.int32))
+
+            _, _, blocked = jax.lax.while_loop(
+                ccond, cbody, (jnp.int32(0), ckey0, blocked))
+            return j + 1, jnp.where(skey == m, _OKEY_MISS, skey), blocked
+
+        _, _, blocked = jax.lax.while_loop(
+            scond, sbody, (jnp.int32(0), skey0, blocked0))
+        return blocked
+
+    out_blocked[:] = jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b,
+                                  traced, blocked0)
+
+
+def _stream_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
+                 out_shapes, extra_statics=()):
+    n = o.x.shape[0]
+    rows = n // LANES
+    shape2 = (rows, LANES)
+    tile_rows = _divisor(rows)
+
+    def r2(a):
+        return a.reshape(shape2)
+
+    tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    state = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z),
+             r2(tmax_arr)]
+    vmem_tables = [accel.cluster_lo, accel.cluster_hi, accel.cl_okey,
+                   accel.sup_lo, accel.sup_hi, accel.sup_okey,
+                   scene.sph_center, scene.sph_radius.reshape(-1, 1),
+                   scene.sph_mat.reshape(-1, 1)]
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def table_spec(a):
+        return pl.BlockSpec(a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+                            memory_space=pltpu.VMEM)
+
+    k = accel.cluster_size
+    kern = functools.partial(
+        kernel, k, scene.num_spheres, np.float32(tmin), *extra_statics
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(rows // tile_rows,),
+        in_specs=[block] * 7 + [table_spec(a) for a in vmem_tables]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[block] * len(out_shapes),
+        out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
+        scratch_shapes=[
+            pltpu.VMEM((SUPER_FAN, k, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(*state, *vmem_tables, accel.tri_stream)
+    return outs, n
+
+
+def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0,
+                tmax=np.float32(np.inf)):
+    """Streaming cluster-culled closest hit -> isect.HitV.  Same contract
+    as pallas_trace.closest_hit; tri_pack never enters VMEM whole."""
+    tmax = (np.float32(min(float(tmax), 1e30))
+            if isinstance(tmax, (int, float)) else tmax)
+    with_uv = scene.textures is not None
+    f32, i32 = jnp.float32, jnp.int32
+    out_shapes = ([f32, f32, f32, f32, i32, i32]
+                  + ([f32, f32] if with_uv else []))
+    outs, n = _stream_call(
+        _stream_closest_kernel, accel, scene, o, d, tmin, tmax,
+        out_shapes=out_shapes, extra_statics=(with_uv,),
+    )
+    outs = [x.reshape(n) for x in outs]
+    t, nx, ny, nz, mat, kind = outs[:6]
+    t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
+    return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind,
+                      uvx=outs[6] if with_uv else None,
+                      uvy=outs[7] if with_uv else None)
+
+
+def any_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0,
+            tmax=np.float32(np.inf)):
+    """Streaming cluster-culled occlusion -> (N,) bool.  Same contract
+    (including the empty-interval-reports-blocked note) as
+    pallas_trace.any_hit."""
+    tmax = (np.float32(min(float(tmax), 1e30))
+            if isinstance(tmax, (int, float)) else tmax)
+    outs, n = _stream_call(
+        _stream_any_kernel, accel, scene, o, d, tmin, tmax,
+        out_shapes=[jnp.int32],
+    )
+    return outs[0].reshape(n) != 0

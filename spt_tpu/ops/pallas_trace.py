@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.ops import intersect as isect
 
+from spt_tpu.ops.bvh import MAX_RESIDENT_TRIS  # noqa: F401  (routing limit)
+
 LANES = 128
 SUBTILE_ROWS = 8
 
@@ -185,52 +187,19 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
     return (best_t, best_mat, best_kind, ax, ay, az), rinv
 
 
-def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
-                     sph_c, sph_r, sph_m, o, d, tmax, with_uv: bool = False):
-    """Full closest-hit for one (S, L) ray tile inside a Pallas kernel:
-    sphere pass + flags + min-extraction cluster loop.
+def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
+    """Build `open_cluster(blk, carry) -> carry`: Moller-Trumbore one packed
+    (K, 24) cluster block against the subtile and fold any winners into the
+    closest-hit carry (t, mat, kind, ax, ay, az[, uvx, uvy]).
 
-    `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_okey) VMEM refs.
-    o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
-    mat, kind) value planes — plus (uvx, uvy) interpolated texture
-    coordinates when `with_uv` (textured scenes; pack cols 13-18 hold
-    uv0|duv1|duv2) — with t = _BIG * 1e7 on miss (inf downstream).
-    Reused by the standalone trace kernels AND the fused bounce/frame
-    kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
-    cl_lo, cl_hi, tri_pack, cl_okey = accel_refs
-    s, l = o.x.shape
-    oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
-            + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
-            + (jnp.sum(d.z) < 0).astype(jnp.int32))
-
-    carry0, rinv = _sphere_pass_closest(
-        n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
-    )
-    if with_uv:
-        zero_sl = jnp.zeros(o.x.shape, jnp.float32)
-        carry0 = carry0 + (zero_sl, zero_sl)
-
-    ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
-    o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
-    d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
-    inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
-    bound = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
-    flags = _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound)
-    count, key0 = _visit_keys(flags, cl_okey, oct_)
-
+    Shared by the VMEM tracer (blocks read straight from the resident
+    tri_pack) and the HBM-streaming tracer (blocks DMA'd per supercluster,
+    ops/pallas_stream)."""
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
-    def open_body(j, key_and_carry):
-        key, carry = key_and_carry[0], key_and_carry[1:]
-        m = jnp.min(key)
-        carry = _open_cluster(m & _OKEY_ID_MASK, carry)
-        return (jnp.where(key == m, _OKEY_MISS, key),) + carry
-
-    def _open_cluster(c, carry):
+    def open_cluster(blk, carry):
         best_t = carry[0]
-        blk = tri_pack[c]
-        ok, t, bu, bv = _tri_block_test(blk, k, o3, d3, tmin,
-                                        tmax.reshape(1, s, l))
+        ok, t, bu, bv = _tri_block_test(blk, k, o3, d3, tmin, tmax3)
         tb = jnp.where(ok, t, _BIG)
         tm = jnp.min(tb, axis=0)                     # (S, L)
         win = tm < best_t
@@ -269,7 +238,12 @@ def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
 
         return jax.lax.cond(jnp.any(win), resolve, lambda cr: cr, carry)
 
-    out_carry = jax.lax.fori_loop(0, count, open_body, (key0,) + carry0)[1:]
+    return open_cluster
+
+
+def closest_epilogue(out_carry, o, d, rinv, with_uv: bool):
+    """Shared closest-hit tail: sphere normals from centers, miss ->
+    effectively-inf t.  Returns the output value planes."""
     best_t, best_mat, best_kind, ax, ay, az = out_carry[:6]
 
     hitm = best_kind != isect.KIND_MISS
@@ -287,6 +261,52 @@ def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
     if with_uv:
         out = out + (out_carry[6], out_carry[7])
     return out
+
+
+def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
+                     sph_c, sph_r, sph_m, o, d, tmax, with_uv: bool = False):
+    """Full closest-hit for one (S, L) ray tile inside a Pallas kernel:
+    sphere pass + flags + min-extraction cluster loop.
+
+    `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_okey) VMEM refs.
+    o/d: Vec3 of (S, L) values; tmax: (S, L).  Returns the (t, nx, ny, nz,
+    mat, kind) value planes — plus (uvx, uvy) interpolated texture
+    coordinates when `with_uv` (textured scenes; pack cols 13-18 hold
+    uv0|duv1|duv2) — with t = _BIG * 1e7 on miss (inf downstream).
+    Reused by the standalone trace kernels AND the fused bounce/frame
+    kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
+    cl_lo, cl_hi, tri_pack, cl_okey = accel_refs
+    s, l = o.x.shape
+    oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
+            + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
+            + (jnp.sum(d.z) < 0).astype(jnp.int32))
+
+    carry0, rinv = _sphere_pass_closest(
+        n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
+    )
+    if with_uv:
+        zero_sl = jnp.zeros(o.x.shape, jnp.float32)
+        carry0 = carry0 + (zero_sl, zero_sl)
+
+    ix, iy, iz = _inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z)
+    o3 = (o.x.reshape(1, s, l), o.y.reshape(1, s, l), o.z.reshape(1, s, l))
+    d3 = (d.x.reshape(1, s, l), d.y.reshape(1, s, l), d.z.reshape(1, s, l))
+    inv3 = (ix.reshape(1, s, l), iy.reshape(1, s, l), iz.reshape(1, s, l))
+    bound = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
+    flags = _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bound)
+    count, key0 = _visit_keys(flags, cl_okey, oct_)
+
+    open_cluster = make_cluster_opener(k, s, l, o3, d3, tmin,
+                                       tmax.reshape(1, s, l), with_uv)
+
+    def open_body(j, key_and_carry):
+        key, carry = key_and_carry[0], key_and_carry[1:]
+        m = jnp.min(key)
+        carry = open_cluster(tri_pack[m & _OKEY_ID_MASK], carry)
+        return (jnp.where(key == m, _OKEY_MISS, key),) + carry
+
+    out_carry = jax.lax.fori_loop(0, count, open_body, (key0,) + carry0)[1:]
+    return closest_epilogue(out_carry, o, d, rinv, with_uv)
 
 
 def _closest_kernel(n_clusters, k, n_sph, tmin, with_uv,

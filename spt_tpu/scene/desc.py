@@ -48,6 +48,10 @@ class Material:
     # Beyond reference parity: its GLTFLoader reads TEXCOORD_0 but neither
     # backend ever samples a texture (GLTFLoader.cpp:219-331).
     base_color_texture: np.ndarray = None
+    # Optional glTF metallicRoughness texture, (H, W, 3) float32 LINEAR
+    # (G = roughness, B = metallic per the glTF spec); the channel values
+    # MULTIPLY the material's roughness/metallic factors at shade time.
+    metallic_roughness_texture: np.ndarray = None
 
     def __post_init__(self):
         if self.base_color is None:
@@ -55,6 +59,9 @@ class Material:
         if self.base_color_texture is not None:
             arr = np.asarray(self.base_color_texture, np.float32)
             self.base_color_texture = arr.reshape(arr.shape[0], -1, 3)
+        if self.metallic_roughness_texture is not None:
+            arr = np.asarray(self.metallic_roughness_texture, np.float32)
+            self.metallic_roughness_texture = arr.reshape(arr.shape[0], -1, 3)
         if self.emission is None:
             self.emission = np.array([0.0, 0.0, 0.0], np.float32)
         self.base_color = np.asarray(self.base_color, np.float32)

@@ -174,6 +174,93 @@ class TestClusterTrace:
         assert np.isfinite(t_ref).sum() > 200
 
 
+class TestStreamTrace:
+    """HBM-streaming two-level tracer (ops/pallas_stream) vs the chunked
+    brute force and the VMEM tracer — the reference-scale-mesh path
+    (rtcCommitScene any-size role, EmbreeBackend.cpp:181)."""
+
+    @pytest.fixture(scope="class")
+    def stream_scene(self):
+        # same soup as TestClusterTrace but with the streaming table forced
+        # (400 tris alone would not trip MAX_RESIDENT_TRIS)
+        from spt_tpu.scene import SceneDesc
+        from spt_tpu.scene.desc import Material, MeshData
+
+        rng = np.random.default_rng(3)
+        nv = 300
+        pos = rng.uniform(-2, 2, (nv, 3)).astype(np.float32)
+        idx = rng.integers(0, nv, (400, 3)).astype(np.uint32)
+        sc = SceneDesc()
+        sc.add_material(Material())
+        mid = sc.add_mesh(MeshData(positions=pos, indices=idx))
+        sc.add_instance(mid)
+        sc.add_sphere([0.0, 0.0, -4.0], 1.0, 0)
+        dev = flatten_scene(sc)
+        a = dev.accel
+        tri_stream = jnp.zeros(a.tri_pack.shape[:2] + (128,), jnp.float32)
+        tri_stream = tri_stream.at[:, :, :24].set(a.tri_pack)
+        return dev._replace(accel=a._replace(tri_stream=tri_stream))
+
+    def test_closest_matches_chunked(self, stream_scene, rng):
+        import spt_tpu.ops.pallas_stream as pstream
+
+        n = 512
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ov, dv = Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d))
+
+        ref = isect._intersect_chunked(stream_scene, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pstream.closest_hit(stream_scene.accel, stream_scene, ov, dv,
+                                  tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        both_inf = np.isinf(t_ref) & np.isinf(t_pal)
+        close = np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 1e-4
+        assert (both_inf | close).all()
+        hitm = np.isfinite(t_ref)
+        assert hitm.sum() > 50, "fixture should produce plenty of hits"
+        np.testing.assert_array_equal(
+            np.asarray(ref.kind)[hitm], np.asarray(pal.kind)[hitm]
+        )
+
+    def test_anyhit_matches_chunked(self, stream_scene, rng):
+        import spt_tpu.ops.pallas_stream as pstream
+
+        n = 512
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ov, dv = Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d))
+        tmax = np.float32(4.0)
+        ref = isect._occluded_chunked(stream_scene, ov, dv,
+                                      np.float32(1e-4), tmax)
+        pal = pstream.any_hit(stream_scene.accel, stream_scene, ov, dv,
+                              tmin=1e-4, tmax=tmax)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+    def test_routing_by_size(self, stream_scene, monkeypatch):
+        import spt_tpu.ops.pallas_stream as pstream
+
+        assert isect._trace_module(stream_scene) is pt
+        monkeypatch.setattr(pt, "MAX_RESIDENT_TRIS", 100)
+        assert isect._trace_module(stream_scene) is pstream
+
+    def test_build_gates_stream_table(self):
+        from spt_tpu.ops.bvh import build_mesh_accel
+
+        v0 = np.random.default_rng(0).uniform(-1, 1, (64, 3)).astype(np.float32)
+        e1, e2 = v0 * 0.1, v0 * 0.05
+        small = build_mesh_accel(v0, e1, e2, np.zeros(64, np.int32))
+        assert small.tri_stream.shape == (1, 1, 128)  # dummy, no HBM copy
+        forced = build_mesh_accel(v0, e1, e2, np.zeros(64, np.int32),
+                                  force_stream=True)
+        assert forced.tri_stream.shape[2] == 128
+        np.testing.assert_array_equal(
+            np.asarray(forced.tri_stream[:, :, :24]),
+            np.asarray(forced.tri_pack))
+
+
 class TestFusedFrame:
     def test_whole_frame_matches_masked_loop(self):
         import jax.numpy as jnp
