@@ -153,9 +153,17 @@ def main():
 
     r.camera.reset_movement_tracking()
 
-    for _ in range(warmup):
-        advance_camera()
-        r.render_frame(check_camera=animate)
+    # Warm up with the SAME program the timed loop runs.  Static configs
+    # must not warm up per-frame: mixing the single-step and batched mesh
+    # programs in one process trips the axon client's re-execution bug
+    # (InvalidArgument on the second program's execute — the round-2 quirk,
+    # tools/repro_batched_mesh.py), and a second compile would be timed.
+    if animate:
+        for _ in range(warmup):
+            advance_camera()
+            r.render_frame(check_camera=True)
+    else:
+        r.render_frames(max(warmup, 2))
     # Force real materialization: under some TPU runtimes block_until_ready
     # on donated outputs returns before lazy kernel compilation/execution.
     _ = float(np.asarray(r.state.accum[:1]).sum())

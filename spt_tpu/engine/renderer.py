@@ -164,6 +164,7 @@ class Renderer:
         """Advance the progressive render by one frame (cfg.spp samples)."""
         if check_camera and self.camera.has_moved_since_last_check():
             self.state = state_mod.reset(self.state)
+        self._ran_single_step = True
         self.state, self.last_stats = self._step(
             self.scene, self.env, self.lights, self.camera.rays(), self.state
         )
@@ -176,11 +177,16 @@ class Renderer:
         last_stats.
 
         Mesh (accel) scenes batch too: the round-2 axon failure (client
-        abort re-executing the batched mesh program) no longer reproduces —
+        abort re-executing the batched mesh program) no longer reproduces
+        for a process that runs ONLY the batched program —
         tools/repro_batched_mesh.py runs 4 back-to-back executions of the
-        16-frame chair program cleanly; it stays in-tree as the probe to
-        re-run if the gate ever needs to come back."""
-        if k <= 1 or self.mesh is not None:
+        16-frame chair program cleanly.  MIXING the single-step and batched
+        mesh programs in one process still aborts (InvalidArgument on the
+        later program's execute), so once render_frame has run on an accel
+        scene this process stays on per-frame stepping."""
+        mixed_mesh_programs = (self.scene.accel is not None
+                               and getattr(self, "_ran_single_step", False))
+        if k <= 1 or self.mesh is not None or mixed_mesh_programs:
             from spt_tpu.integrators.wavefront import WavefrontStats
 
             rays = bounces = None

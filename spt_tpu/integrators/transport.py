@@ -162,31 +162,59 @@ def shade(
     return new_ps._replace(radiance=radiance)
 
 
-def sample_texture_v(textures, tex_id, uvx, uvy) -> Vec3:
-    """Nearest-neighbor baseColor texture sample, XLA layout-flat gather.
-
-    `textures` is the kernel tiling (n_tex, 4, 8, 128, 3) of TEX_RES^2
-    images (materials.build_texture_table); texel (ty, tx) lives at flat
-    index ty * TEX_RES + tx = (q << 10) | (r << 7) | c.  UVs wrap (glTF
-    REPEAT, the only mode the reference's assets use); V maps directly to
-    image rows (glTF uv origin and the image array origin are both top-left).
-    Lanes without a texture (tex_id < 0) return 1 so base_color passes
-    through.
-    """
-    from spt_tpu.materials import TEX_RES
-
-    res = jnp.float32(TEX_RES)
+def _bilinear_setup(uvx, uvy, res: int):
+    """Shared bilinear footprint: wrap UVs (glTF REPEAT, the only mode the
+    reference's assets use), sample at texel centers.  Returns
+    ((x0, x1, y0, y1) int32 texel coords, (wx, wy) fractional weights)."""
     fu = uvx - jnp.floor(uvx)
     fv = uvy - jnp.floor(uvy)
-    tx = jnp.clip((fu * res).astype(jnp.int32), 0, TEX_RES - 1)
-    ty = jnp.clip((fv * res).astype(jnp.int32), 0, TEX_RES - 1)
-    flat = ty * TEX_RES + tx
+    sx = fu * res - 0.5
+    sy = fv * res - 0.5
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    wx = sx - x0.astype(jnp.float32)
+    wy = sy - y0.astype(jnp.float32)
+    # wrap (x0 can be -1, x0+1 can be res)
+    x0w = jnp.where(x0 < 0, x0 + res, x0)
+    y0w = jnp.where(y0 < 0, y0 + res, y0)
+    x1 = jnp.where(x0 + 1 >= res, 0, x0 + 1)
+    y1 = jnp.where(y0 + 1 >= res, 0, y0 + 1)
+    return (x0w, x1, y0w, y1), (wx, wy)
+
+
+def sample_texture_v(textures, tex_id, uvx, uvy):
+    """Bilinear texture sample, XLA layout-flat gather.
+
+    `textures` is the packed kernel tiling (n_tex, TEX_TILES, 2, 8, 128)
+    int32 of TEX_RES^2 images (materials.build_texture_table): plane 0 the
+    sqrt-encoded 10/10/10 baseColor, plane 1 the 16/16
+    (roughness, metallic) multipliers.  Texel (ty, tx) lives at flat index
+    ty * TEX_RES + tx = (q << 10) | (r << 7) | c; V maps directly to image
+    rows (glTF uv origin and the image array origin are both top-left).
+    Returns (rgb Vec3, roughness_mult, metallic_mult); lanes without a
+    texture (tex_id < 0) return all-1 multipliers so the material factors
+    pass through.
+    """
+    from spt_tpu.materials import TEX_RES, unpack_color, unpack_mr
+
+    (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, TEX_RES)
     tid = jnp.maximum(tex_id, 0)
-    tex_flat = textures.reshape(textures.shape[0], -1, 3)
-    rgb = tex_flat[tid, flat]                     # (N, 3) gather
-    has = (tex_id >= 0)[:, None]
-    rgb = jnp.where(has, rgb, 1.0)
-    return Vec3(rgb[:, 0], rgb[:, 1], rgb[:, 2])
+    n_tex = textures.shape[0]
+    col_flat = textures[:, :, 0].reshape(n_tex, -1)
+    mr_flat = textures[:, :, 1].reshape(n_tex, -1)
+
+    acc = [jnp.zeros_like(uvx) for _ in range(5)]
+    for xi, wxi in ((x0, 1.0 - wx), (x1, wx)):
+        for yi, wyi in ((y0, 1.0 - wy), (y1, wy)):
+            flat = yi * TEX_RES + xi
+            w = wxi * wyi
+            r, g, b = unpack_color(col_flat[tid, flat])
+            ro, me = unpack_mr(mr_flat[tid, flat])
+            for i, v in enumerate((r, g, b, ro, me)):
+                acc[i] = acc[i] + w * v
+    has = tex_id >= 0
+    vals = [jnp.where(has, a, 1.0) for a in acc]
+    return Vec3(vals[0], vals[1], vals[2]), vals[3], vals[4]
 
 
 def shade_core(
@@ -223,13 +251,21 @@ def shade_core(
     mat = gather_materials(scene.materials, hit.mat_id)
     if scene.textures is not None and hit.uvx is not None:
         # Mask miss lanes out of the lookup (their gathered material is
-        # arbitrary): a tex_id of -1 samples nothing and returns 1, and the
-        # kernel sampler's whole-tile skip can then fire on sky/dead tiles.
-        tex = (texture_fn or sample_texture_v)(
+        # arbitrary): a tex_id of -1 samples nothing and returns all-1
+        # multipliers, and the kernel sampler's whole-tile skip can then
+        # fire on sky/dead tiles.
+        tex_rgb, tex_rough, tex_metal = (texture_fn or sample_texture_v)(
             scene.textures, jnp.where(hit.hit_mask, mat.tex_id, -1),
             hit.uvx, hit.uvy
         )
-        mat = mat._replace(base_color=mat.base_color * tex)
+        # glTF: texture channels MULTIPLY the material factors (baseColor *
+        # baseColorFactor; roughness = G * roughnessFactor; metallic =
+        # B * metallicFactor).
+        mat = mat._replace(
+            base_color=mat.base_color * tex_rgb,
+            roughness=jnp.clip(mat.roughness * tex_rough, 0.01, 1.0),
+            metallic=jnp.clip(mat.metallic * tex_metal, 0.0, 1.0),
+        )
     up = Vec3.full((0.0, 1.0, 0.0), shape)
     ng = v3.normalize_or(hit.normal, up)
     n, entering = v3.faceforward(ng, ps.direction)

@@ -222,7 +222,8 @@ def _metallic_roughness_texture(g: _Gltf, base_dir: str, gmat: dict):
                              False)
 
 
-def _convert_material(gmat: dict, texture: np.ndarray = None) -> Material:
+def _convert_material(gmat: dict, texture: np.ndarray = None,
+                      mr_texture: np.ndarray = None) -> Material:
     pbr = gmat.get("pbrMetallicRoughness", {})
     base = np.array(pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32)[:3]
     metallic = float(pbr.get("metallicFactor", 1.0))
@@ -253,6 +254,7 @@ def _convert_material(gmat: dict, texture: np.ndarray = None) -> Material:
         transparency=float(transmission),
         mat_type=mat_type,
         base_color_texture=texture,
+        metallic_roughness_texture=mr_texture,
     )
 
 
@@ -267,7 +269,9 @@ def load_gltf(path: str, scene_desc: Optional[SceneDesc] = None) -> SceneDesc:
     mat_base = len(sd.materials)
     gmats = doc.get("materials", [])
     for gm in gmats:
-        sd.add_material(_convert_material(gm, _base_color_texture(g, base_dir, gm)))
+        sd.add_material(_convert_material(
+            gm, _base_color_texture(g, base_dir, gm),
+            _metallic_roughness_texture(g, base_dir, gm)))
     if not gmats:
         sd.add_material(Material())
 

@@ -46,38 +46,106 @@ class DeviceMaterials(NamedTuple):
         return self.base_color.shape[0]
 
 
-# Device texture resolution: every baseColor texture is resampled to this
-# square size.  64x64 = 4096 texels = four (8, 128) VMEM tiles, the unit the
-# in-kernel sampler's tpu.dynamic_gather can address (ops/pallas_bounce).
-TEX_RES = 64
+# Device texture resolution: every texture is resampled to this square
+# size.  128x128 = 16384 texels = 16 (8, 128) VMEM tiles per plane, the
+# unit the in-kernel sampler's gathers address (ops/pallas_bounce).
+TEX_RES = 128
+# (8, 128) tiles per texture plane
+TEX_TILES = TEX_RES * TEX_RES // 1024
 
 
 def _resample_texture(img: np.ndarray, res: int = TEX_RES) -> np.ndarray:
-    """(H, W, 3) -> (res, res, 3) by uniform-grid point sampling."""
-    h, w = img.shape[0], img.shape[1]
+    """(H, W, C) -> (res, res, C): area-average when downsampling (the
+    chair's 2048^2 baseColor keeps its mean color per cell instead of one
+    arbitrary texel), point sample where a cell gets no source texel."""
+    img = np.asarray(img, np.float32)
+    h, w, ch = img.shape
     yi = np.minimum((np.arange(res) + 0.5) / res * h, h - 1).astype(np.int64)
     xi = np.minimum((np.arange(res) + 0.5) / res * w, w - 1).astype(np.int64)
-    return img[yi][:, xi].astype(np.float32)
+    point = img[yi][:, xi]
+    if h <= res and w <= res:
+        return point.astype(np.float32)
+    by = np.minimum(np.arange(h) * res // h, res - 1)
+    bx = np.minimum(np.arange(w) * res // w, res - 1)
+    acc = np.zeros((res, res, ch), np.float64)
+    cnt = np.zeros((res, res, 1), np.float64)
+    np.add.at(acc, (by[:, None], bx[None, :]), img)
+    np.add.at(cnt, (by[:, None], bx[None, :]), 1.0)
+    return np.where(cnt > 0, acc / np.maximum(cnt, 1.0),
+                    point).astype(np.float32)
+
+
+def _pack_color(rgb: np.ndarray) -> np.ndarray:
+    """(.., 3) [0,1] floats -> packed int32, 10 bits/channel, sqrt-encoded
+    (decode x^2: gamma-2-ish allocation keeps dark-texel precision).  One
+    packed word = ONE in-kernel gather per tap instead of three."""
+    q = np.round(np.sqrt(np.clip(rgb, 0.0, 1.0)) * 1023.0).astype(np.uint32)
+    return (q[..., 0] << 20) | (q[..., 1] << 10) | q[..., 2]
+
+
+def _pack_mr(mr: np.ndarray) -> np.ndarray:
+    """(.., 2) [0,1] (roughness, metallic) multipliers -> packed uint32,
+    16 bits each.  The no-MR-texture neutral fill is (1, 1) = 0xFFFFFFFF."""
+    q = np.round(np.clip(mr, 0.0, 1.0) * 65535.0).astype(np.uint32)
+    return (q[..., 0] << 16) | q[..., 1]
+
+
+def _tile(plane: np.ndarray) -> np.ndarray:
+    """(TEX_RES, TEX_RES) uint32 -> (TEX_TILES, 8, 128): texel (ty, tx) at
+    flat = ty * TEX_RES + tx -> (flat >> 10, (flat >> 7) & 7, flat & 127)."""
+    return plane.reshape(-1).reshape(TEX_TILES, 8, 128)
 
 
 def build_texture_table(materials: Sequence["Material"]):
-    """(tex_id (M,) int32, textures (n_tex, 4, 8, 128, 3) f32 | None).
+    """(tex_id (M,) int32, textures (n_tex, TEX_TILES, 2, 8, 128) int32 |
+    None).
 
-    Texture layout is the kernel-addressable tiling of a TEX_RES^2 image:
-    texel (ty, tx) -> flat = ty * TEX_RES + tx -> (flat >> 10, (flat >> 7)
-    & 7, flat & 127).  The XLA sampler indexes the same layout."""
+    Plane 0 of each tile pair is the packed baseColor (_pack_color); plane 1
+    packs the (roughness, metallic) multipliers from the glTF
+    metallicRoughness texture (G = roughness, B = metallic per spec), or the
+    neutral (1, 1) when the material has none.  The XLA sampler
+    (transport.sample_texture_v) and the kernel sampler (ops/pallas_bounce)
+    index the same layout and decode identically."""
     tex_id = np.full(max(len(materials), 1), -1, np.int32)
     imgs = []
     for i, m in enumerate(materials):
         img = getattr(m, "base_color_texture", None)
-        if img is None:
+        mr = getattr(m, "metallic_roughness_texture", None)
+        if img is None and mr is None:
             continue
         tex_id[i] = len(imgs)
-        t = _resample_texture(img).reshape(-1, 3)        # (4096, 3)
-        imgs.append(t.reshape(4, 8, 128, 3))
+        if img is not None:
+            color = _pack_color(_resample_texture(img))
+        else:
+            color = np.full((TEX_RES, TEX_RES), _pack_color(
+                np.ones(3, np.float32)), np.uint32)
+        if mr is not None:
+            # glTF metallicRoughness: G = roughness, B = metallic
+            mr_rs = _resample_texture(mr)
+            packed_mr = _pack_mr(mr_rs[..., [1, 2]])
+        else:
+            packed_mr = np.full((TEX_RES, TEX_RES), np.uint32(0xFFFFFFFF))
+        imgs.append(np.stack([_tile(color), _tile(packed_mr)], 1))
     if not imgs:
         return jnp.asarray(tex_id), None
-    return jnp.asarray(tex_id), jnp.asarray(np.stack(imgs), jnp.float32)
+    packed = np.stack(imgs).view(np.int32)
+    return jnp.asarray(tex_id), jnp.asarray(packed)
+
+
+def unpack_color(p):
+    """Packed int32 plane -> (r, g, b) float arrays (inverse _pack_color).
+    Works on jnp or np values; bit ops only, so it lowers in Pallas too."""
+    r = ((p >> 20) & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+    g = ((p >> 10) & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+    b = (p & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+    return r * r, g * g, b * b
+
+
+def unpack_mr(p):
+    """Packed int32 plane -> (roughness_mult, metallic_mult) floats."""
+    rough = ((p >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+    metal = (p & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+    return rough, metal
 
 
 def build_device_materials(materials: Sequence["Material"]) -> DeviceMaterials:

