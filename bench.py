@@ -153,17 +153,18 @@ def main():
 
     r.camera.reset_movement_tracking()
 
-    # Warm up with the SAME program the timed loop runs.  Static configs
-    # must not warm up per-frame: mixing the single-step and batched mesh
-    # programs in one process trips the axon client's re-execution bug
-    # (InvalidArgument on the second program's execute — the round-2 quirk,
-    # tools/repro_batched_mesh.py), and a second compile would be timed.
+    # Warm up with the SAME program the timed loop runs — same chain length
+    # too.  Static configs must not warm up per-frame OR with a different
+    # k: running two distinct mesh-scene programs in one process trips the
+    # axon client's re-execution bug (InvalidArgument on the later
+    # program's execute — the round-2 quirk, tools/repro_batched_mesh.py),
+    # and a second compile would be timed.
     if animate:
         for _ in range(warmup):
             advance_camera()
             r.render_frame(check_camera=True)
     else:
-        r.render_frames(max(warmup, 2))
+        r.render_frames(iters)
     # Force real materialization: under some TPU runtimes block_until_ready
     # on donated outputs returns before lazy kernel compilation/execution.
     _ = float(np.asarray(r.state.accum[:1]).sum())
