@@ -20,6 +20,10 @@ from spt_tpu.lights import LightManager
 import os as _os
 W, H = (int(x) for x in _os.environ.get("SPT_RES", "512x384").split("x"))
 desc = load_gltf("/root/reference/assets/models/rattan_dining_chair/scene.gltf")
+if _os.environ.get("SPT_NOTEX", "0") == "1":
+    for m in desc.materials:
+        m.base_color_texture = None
+        m.metallic_roughness_texture = None
 lo, hi = bounding_box(desc)
 center = (lo + hi) / 2
 extent = float(np.linalg.norm(hi - lo))
@@ -37,10 +41,17 @@ cam = Camera(position=center + np.array([0.0, 0.35, 1.1]) * extent,
 kw = {} if lights_on else {"lights": LightManager().device()}
 r = Renderer(desc, cfg, camera=cam, **kw)
 r.camera.reset_movement_tracking()
-for _ in range(2):
-    r.render_frame(check_camera=False)
-_ = float(np.asarray(r.state.accum[:1]).sum())
 batched = _os.environ.get("SPT_CHAIN_BATCH", "1") == "1"
+# Warm with the SAME program the timed loop runs: running the single-step
+# AND the batched mesh program in one process trips the runtime
+# re-execution abort, and the renderer gates batching off after a
+# single-step run on an accel scene.
+if batched:
+    r.render_frames(16)
+else:
+    for _ in range(2):
+        r.render_frame(check_camera=False)
+_ = float(np.asarray(r.state.accum[:1]).sum())
 ts = []
 for _ in range(3):
     t0 = time.perf_counter()

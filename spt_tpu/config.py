@@ -125,6 +125,19 @@ class RenderConfig:
     # octant key and dying lanes scatter).  Clamped to max_depth - 1.
     ray_sort_stages: int = 2
 
+    # Condense the tail of the sorted mesh frame: chunked sorting packs live
+    # lanes to the head of EVERY sort chunk, so by the last sort stage the
+    # frame is ~24 partially-live tiles no matter how few paths survive.
+    # When every live lane sits within the first `condense_width` positions
+    # of its chunk (checked at runtime; guaranteed-by-construction bound:
+    # the previous sort packed them and deaths only shrink the head), the
+    # chunk heads are gathered into a 2-4x narrower array, re-sorted across
+    # chunks, and the remaining bounces run there — live lanes end up in
+    # the minimum number of tiles.  Falls back to the full-width path via
+    # lax.cond when the bound does not hold.
+    condense: bool = True
+    condense_width: int = 4096
+
     # Compute dtype for shading math. Intersection always runs fp32.
     dtype: str = "float32"
 

@@ -270,6 +270,30 @@ def _ray_sort_ok(cfg, scene, n: int) -> bool:
             and ray_sort.chunk_size(n) > 0)
 
 
+def _condense_plan(cfg, n: int, chunk: int):
+    """Static plan for the final-stage condense: (wc, m, mp, sort_chunk)
+    or None when the feature cannot engage.
+
+    wc: head width gathered per chunk; m: condensed lane count; mp: m padded
+    to a power of two (the condensed sort and fused frame width);
+    sort_chunk: the condensed sort's chunk (capped at 32768 so the VMEM
+    bitonic kernel's operand stack fits)."""
+    if not getattr(cfg, "condense", True):
+        return None
+    n_chunks = n // chunk
+    wc = min(int(getattr(cfg, "condense_width", 4096)), chunk // 2)
+    if wc < 1024 or wc % 128:
+        return None
+    m = n_chunks * wc
+    mp = 1 << (m - 1).bit_length()
+    if mp >= n:
+        return None  # no reduction: the plain path is strictly cheaper
+    sort_chunk = min(mp, 32768)
+    if mp % sort_chunk or (mp // 128) % 8:
+        return None
+    return wc, m, mp, sort_chunk
+
+
 def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     """The depth loop with coherence sorts between early bounces (see
     ops/ray_sort).  Lane order is restored before returning, so the image
@@ -279,8 +303,8 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
 
     Structure (cfg.ray_sort_stages = S, clamped to max_depth - 1):
 
-        fused_bounce(b=0)  ->  sort  ->  fused_bounce(b=1)  ->  sort  ->
-        ... S sorts ...  ->  fused_frame(start_bounce=S)
+        fused_bounce(b=0)  ->  sort  ->  fused_bounce(b=1)  ->  ...
+        ->  [condense] sort  ->  fused_frame(start_bounce=S)
 
     A single sort goes stale after one bounce: the next diffuse direction
     decorrelates from the octant key, and lanes that die scatter inside the
@@ -289,12 +313,23 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     bounce re-packs survivors (fewer live tiles) and refreshes octants while
     the live count is still worth it.
 
+    The FINAL stage additionally condenses (cfg.condense): chunked sorting
+    packs live lanes to the head of EVERY chunk, so by the last stage the
+    frame is ~n_chunks partially-live tiles no matter how few paths remain.
+    When every live lane sits within the first `wc` positions of its chunk
+    (runtime check; by construction the previous sort packed them there and
+    deaths only shrink the head), the chunk heads are gathered into a 2-4x
+    narrower array, re-sorted ACROSS chunks, and the remaining bounces run
+    at that width — live lanes occupy the minimum number of kernel tiles.
+    A lax.cond falls back to the full-width path otherwise.
+
     Sort traffic is minimal: bounce-0 radiance stays behind in pixel order;
     radiance from sorted bounces accumulates in sorted order; the deferred
     env term is applied in SORTED order.  Because chunked sorts never move a
     lane across its chunk, the ORIGINAL lane id rides every forward sort and
     ONE final chunked sort keyed on it restores pixel order, carrying only
-    the 3 radiance planes.
+    the 3 radiance planes (the condensed tail un-condenses itself first, so
+    its cross-chunk moves are invisible to that final unsort).
 
     Returns ((N,) radiance Vec3 WITH env applied, rays) — unlike
     fused_frame, nothing else is owed.
@@ -322,57 +357,149 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     orig_lane = jnp.arange(n, dtype=jnp.int32)
     rays_list = [live0]
 
-    for b in range(1, stages + 1):
+    def pack_flags(ps, missed_ever):
+        return (ps.alive.astype(jnp.int32)
+                | (ps.emission_ok.astype(jnp.int32) << 1)
+                | (missed_ever.astype(jnp.int32) << 2))
+
+    def sort_state(ps, missed_ever, orig_lane, chunk_, carry_rad):
+        """One coherence sort of the full path state + orig_lane; returns
+        (ps, missed_ever, orig_lane).  The first sort's radiance planes are
+        all zero — don't pay to move them (carry_rad)."""
         key = ray_sort.sort_key(ps.direction, ps.origin, ps.alive, lo,
                                 inv_extent)
-        flags = (ps.alive.astype(jnp.int32)
-                 | (ps.emission_ok.astype(jnp.int32) << 1)
-                 | (missed_ever.astype(jnp.int32) << 2))
-        # The first sort's radiance planes are all zero (zeroed above, and
-        # no sorted bounce has run yet) — don't pay to move them.
-        carry_rad = b > 1
         _, sorted_ops = ray_sort.sort_by_key(key, [
             orig_lane,
             ps.origin.x, ps.origin.y, ps.origin.z,
             ps.direction.x, ps.direction.y, ps.direction.z,
             ps.throughput.x, ps.throughput.y, ps.throughput.z,
         ] + ([ps.radiance.x, ps.radiance.y, ps.radiance.z] if carry_rad
-             else []) + [ps.rng, flags], chunk)
+             else []) + [ps.rng, pack_flags(ps, missed_ever)], chunk_)
         (orig_lane, ox, oy, oz, dx, dy, dz, tx, ty, tz) = sorted_ops[:10]
         if carry_rad:
             rx, ry, rz, rng, flags_s = sorted_ops[10:]
         else:
             rng, flags_s = sorted_ops[10:]
-            rx = ry = rz = zeros
+            rx = ry = rz = jnp.zeros_like(ox)
         ps = transport.PathState(
             origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
             throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
             rng=rng, alive=(flags_s & 1) != 0,
             emission_ok=(flags_s & 2) != 0,
         )
-        missed_ever = (flags_s & 4) != 0
+        return ps, (flags_s & 4) != 0, orig_lane
+
+    for b in range(1, stages):
+        ps, missed_ever, orig_lane = sort_state(ps, missed_ever, orig_lane,
+                                                chunk, carry_rad=b > 1)
         rays_list.append(jnp.sum(ps.alive.astype(jnp.int32)))
-        if b < stages:
-            ps, missed = pallas_bounce.fused_bounce(
-                cfg, scene, lights, ps, b, b == cfg.max_depth - 1
+        ps, missed = pallas_bounce.fused_bounce(
+            cfg, scene, lights, ps, b, b == cfg.max_depth - 1
+        )
+        missed_ever = missed_ever | missed
+
+    # --- final stage: [condense +] sort + fused_frame + deferred env ------
+    rays_list.append(jnp.sum(ps.alive.astype(jnp.int32)))
+    carry_rad = stages > 1
+
+    def finish_plain(ps, missed_ever, orig_lane):
+        ps, missed_ever, orig_lane = sort_state(ps, missed_ever, orig_lane,
+                                                chunk, carry_rad)
+        radiance, direction, throughput, missed, rays_f = (
+            pallas_bounce.fused_frame(cfg, scene, lights, ps,
+                                      start_bounce=stages)
+        )
+        missed_ever = missed_ever | missed
+        env_c = environment_color_v(env, direction)
+        zero3 = Vec3(zeros, zeros, zeros)
+        radiance = radiance + v3.where(missed_ever, throughput * env_c,
+                                       zero3)
+        return radiance, orig_lane, rays_f
+
+    plan = _condense_plan(cfg, n, chunk)
+    if plan is None:
+        radiance, orig_lane, rays_f = finish_plain(ps, missed_ever,
+                                                   orig_lane)
+    else:
+        wc, m, mp, sort_chunk = plan
+        n_chunks = n // chunk
+        pos = jnp.arange(n, dtype=jnp.int32) % chunk
+
+        def finish_condensed(ps, missed_ever, orig_lane):
+            def head(x):
+                h = x.reshape(n_chunks, chunk)[:, :wc].reshape(m)
+                return jnp.pad(h, (0, mp - m)) if mp > m else h
+
+            flags_h = head(pack_flags(ps, missed_ever))
+            o_h = Vec3(head(ps.origin.x), head(ps.origin.y),
+                       head(ps.origin.z))
+            d_h = Vec3(head(ps.direction.x), head(ps.direction.y),
+                       head(ps.direction.z))
+            key = ray_sort.sort_key(d_h, o_h, (flags_h & 1) != 0, lo,
+                                    inv_extent)
+            # the condensed array's own lane ids ride this sort; the
+            # un-condense below restores gather order, so orig_lane (and
+            # the final full-width unsort) never sees the cross-chunk moves
+            cl_lane, sorted_ops = ray_sort.sort_by_key(key, [
+                o_h.x, o_h.y, o_h.z, d_h.x, d_h.y, d_h.z,
+                head(ps.throughput.x), head(ps.throughput.y),
+                head(ps.throughput.z),
+                head(ps.radiance.x), head(ps.radiance.y),
+                head(ps.radiance.z),
+                head(ps.rng), flags_h,
+            ], sort_chunk)
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz,
+             rx, ry, rz, rng_s, flags_s) = sorted_ops
+            ps_c = transport.PathState(
+                origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
+                throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
+                rng=rng_s, alive=(flags_s & 1) != 0,
+                emission_ok=(flags_s & 2) != 0,
             )
-            missed_ever = missed_ever | missed
+            radiance_c, dir_c, thr_c, missed_c, rays_f = (
+                pallas_bounce.fused_frame(cfg, scene, lights, ps_c,
+                                          start_bounce=stages)
+            )
+            missed_all = ((flags_s & 4) != 0) | missed_c
+            env_cc = environment_color_v(env, dir_c)
+            zc = jnp.zeros_like(ox)
+            radiance_c = radiance_c + v3.where(missed_all, thr_c * env_cc,
+                                               Vec3(zc, zc, zc))
+            # un-condense (restore gather order), then scatter into the
+            # heads of the full-width radiance
+            out = ray_sort.unsort_by_lane(cl_lane, [radiance_c.x,
+                                                    radiance_c.y,
+                                                    radiance_c.z],
+                                          sort_chunk)
 
-    radiance, direction, throughput, missed, rays_f = (
-        pallas_bounce.fused_frame(cfg, scene, lights, ps,
-                                  start_bounce=stages)
-    )
-    missed_ever = missed_ever | missed
+            def scatter(full, cond_vals):
+                f2 = full.reshape(n_chunks, chunk)
+                return f2.at[:, :wc].set(
+                    cond_vals[:m].reshape(n_chunks, wc)).reshape(n)
 
-    env_c = environment_color_v(env, direction)
-    zero3 = Vec3(zeros, zeros, zeros)
-    radiance = radiance + v3.where(missed_ever, throughput * env_c, zero3)
+            # non-gathered lanes are dead (gather-safety predicate): their
+            # radiance is already in ps.radiance and only the deferred env
+            # term is owed
+            head_mask = pos < wc
+            env_f = environment_color_v(env, ps.direction)
+            zero3 = Vec3(zeros, zeros, zeros)
+            radiance = ps.radiance + v3.where(
+                missed_ever & ~head_mask, ps.throughput * env_f, zero3)
+            radiance = Vec3(scatter(radiance.x, out[0]),
+                            scatter(radiance.y, out[1]),
+                            scatter(radiance.z, out[2]))
+            return radiance, orig_lane, rays_f
+
+        # gather-safety: every live lane within the first wc of its chunk
+        safe = jnp.max(jnp.where(ps.alive, pos, -1)) < wc
+        radiance, orig_lane, rays_f = jax.lax.cond(
+            safe, finish_condensed, finish_plain, ps, missed_ever, orig_lane)
 
     out = ray_sort.unsort_by_lane(orig_lane, [radiance.x, radiance.y,
                                               radiance.z], chunk)
     radiance = rad0 + Vec3(out[0], out[1], out[2])
     rays = jnp.stack(
-        [rays_list[b] if b < len(rays_list) else rays_f[b]
+        [rays_list[b] if b <= stages else rays_f[b]
          for b in range(cfg.max_depth)]
     )
     return radiance, rays

@@ -424,3 +424,53 @@ class TestRaySort:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(
             np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
+
+    def test_condensed_tail_matches_unsorted(self, monkeypatch):
+        # Sparse scene (one small mesh, most primaries miss): by the final
+        # sort stage nearly every lane is dead, so the runtime gather-safety
+        # predicate holds and the CONDENSED branch (head gather -> global
+        # re-sort -> narrow fused_frame -> un-condense/scatter) is the one
+        # that executes.  The image must match the plain unsorted fused
+        # frame exactly as in test_sorted_fused_frame_matches_unsorted.
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+        from spt_tpu.ops.bvh import build_mesh_accel
+        from spt_tpu.scene import build_test_triangle_scene
+
+        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=4)
+        scene = flatten_scene(build_test_triangle_scene())
+        accel = build_mesh_accel(np.asarray(scene.tri_v0),
+                                 np.asarray(scene.tri_e1),
+                                 np.asarray(scene.tri_e2),
+                                 np.asarray(scene.tri_mat), cluster_size=8)
+        scene = scene._replace(accel=accel)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 1)
+        assert pb._accel_mode(scene)
+        n = cfg.width * cfg.height
+        from spt_tpu.ops import ray_sort
+        plan = wf._condense_plan(cfg, n, ray_sort.chunk_size(n))
+        assert plan is not None, "condense plan must engage at 16384 lanes"
+        wc, m, mp, sort_chunk = plan
+        assert mp < n and mp % sort_chunk == 0
+
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = Camera(position=(0.0, 1.0, 6.0), target=(0.0, 0.5, 0.0),
+                     fov_degrees=45.0, aspect_ratio=1.0).rays()
+
+        assert wf._ray_sort_ok(cfg, scene, n)
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32),
+            fused=True)
+
+        cfg_ns = RenderConfig(width=128, height=128, spp=1, max_depth=4,
+                              ray_sort=False)
+        ps2 = transport.gen_primary(cfg_ns, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg_ns, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32),
+            fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))

@@ -84,6 +84,41 @@ def _kern(stage, n_clusters, k, n_sph,
 
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
 
+    if stage == "openread":
+        # extraction + dynamic block read only: no triangle math
+        def read_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            return key, best + blk[0, 0]
+
+        _, best = jax.lax.fori_loop(0, count, read_body, (key0, best))
+        out_t[:] = best
+        return
+
+    if stage == "openx2":
+        # two min-extractions + two block tests per iteration
+        def x2_body(j, carry):
+            key, best = carry
+            for _ in range(2):
+                m = jnp.min(key)
+                c = jnp.minimum(m & ptr._OKEY_ID_MASK, n_clusters - 1)
+                key = jnp.where(key == m, ptr._OKEY_MISS, key)
+                blk = tri_pack[c]
+                ok, t, _u, _v = ptr._tri_block_test(
+                    blk, k, o3, d3, np.float32(0.0), tmax.reshape(1, s, l))
+                tb = jnp.where(ok & (m != ptr._OKEY_MISS), t,
+                               np.float32(1e30))
+                best = jnp.minimum(best, jnp.min(tb, axis=0))
+            return key, best
+
+        _, best = jax.lax.fori_loop(0, (count + 1) // 2, x2_body,
+                                    (key0, best))
+        out_t[:] = best
+        return
+
     def open_body(j, carry):
         key, best = carry
         m = jnp.min(key)
@@ -138,24 +173,29 @@ def build_fn(stage, scene, repeats, tile_rows=8, n=196608):
 
     def chained(ox, oy, oz, dx, dy, dz, tmax0):
         def body(_, t):
-            # tmax rides the carry so successive calls cannot be hoisted;
-            # min(1e30) keeps the value semantically identical each round.
-            return call(ox, oy, oz, dx, dy, dz,
-                        jnp.minimum(t, np.float32(1e30)), *tables)
+            # the output feeds the next tmax so successive calls cannot be
+            # hoisted, but the VALUE is tmax0 every round (+ 0*out, which
+            # XLA cannot fold away for floats), so each round does
+            # identical work and per-lane deadness (tmax0 = 0) persists.
+            out = call(ox, oy, oz, dx, dy, dz, t, *tables)
+            return tmax0 + 0.0 * out
 
         return jax.lax.fori_loop(0, repeats, body, tmax0)
 
     return jax.jit(chained), shape2
 
 
-def time_stage(stage, scene, o, d, tile_rows=8, trials=3):
+def time_stage(stage, scene, o, d, tile_rows=8, trials=3, tmax_np=None):
     n = o.x.shape[0]
 
     def r2(x):
         return x.reshape(n // LANES, LANES)
 
     args = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z)]
-    tmax0 = jnp.full((n // LANES, LANES), np.float32(1e30))
+    if tmax_np is None:
+        tmax0 = jnp.full((n // LANES, LANES), np.float32(1e30))
+    else:
+        tmax0 = r2(jnp.asarray(tmax_np, jnp.float32))
     results = {}
     for repeats in (1, 9):
         f, _ = build_fn(stage, scene, repeats, tile_rows)
@@ -184,14 +224,74 @@ def main():
     a = scene.accel
     print(f"tris={scene.num_triangles} clusters={a.num_clusters} "
           f"K={a.cluster_size}")
-    for kind in ("primary", "bounce"):
-        o_np, d_np = make_rays(kind, n, desc, scene)
+    for kind in ("primary", "bounce", "sortedb1"):
+        if kind == "sortedb1":
+            o_np, d_np, tmax_np = make_sorted_b1(n, desc, scene)
+            live = int((tmax_np > 0).sum())
+            live_tiles = int((tmax_np.reshape(-1, 8 * LANES) > 0)
+                             .any(1).sum())
+            print(f"sortedb1 live={live} live_tiles={live_tiles}/"
+                  f"{n // (8 * LANES)}", flush=True)
+        else:
+            o_np, d_np = make_rays(kind, n, desc, scene)
+            tmax_np = None
         o = Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
         d = Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+        if tmax_np is None:
+            print(kind, f"total_opens={count_opens(scene, o_np, d_np):d}",
+                  flush=True)
         res = {}
         for stage in stages:
-            res[stage] = time_stage(stage, scene, o, d)
+            res[stage] = time_stage(stage, scene, o, d, tmax_np=tmax_np)
             print(kind, f"{stage}={res[stage]:.3f}ms", flush=True)
+
+
+def make_sorted_b1(n, desc, scene, chunk=8192):
+    """Realistic sorted bounce-1 rays: cosine-scatter from primary hits,
+    dead (miss) lanes tmax = 0, lanes sorted by the production sort key
+    within `chunk`-lane chunks (numpy argsort stands in for the bitonic)."""
+    from spt_tpu.ops import ray_sort
+
+    o_np, d_np = make_rays("bounce", n, desc, scene)
+    op, dp = make_rays("primary", n, desc, scene)
+    o = Vec3(*(jnp.asarray(op[:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(dp[:, i]) for i in range(3)))
+    hit = ptr.closest_hit(scene.accel, scene, o, d)
+    alive = np.isfinite(np.asarray(hit.t))
+    a = scene.accel
+    lo = np.asarray(a.cluster_lo).min(0)
+    hi = np.asarray(a.cluster_hi).max(0)
+    inv = 1.0 / np.maximum(hi - lo, 1e-9)
+    key = np.asarray(ray_sort.sort_key(
+        Vec3(*(jnp.asarray(d_np[:, i]) for i in range(3))),
+        Vec3(*(jnp.asarray(o_np[:, i]) for i in range(3))),
+        jnp.asarray(alive), jnp.asarray(lo.astype(np.float32)),
+        jnp.asarray(inv.astype(np.float32))))
+    order = np.argsort(key.reshape(-1, chunk), axis=1, kind="stable")
+    order = (order + np.arange(0, n, chunk)[:, None]).reshape(-1)
+    tmax = np.where(alive, np.float32(1e30), np.float32(0.0))
+    return o_np[order], d_np[order], tmax[order]
+
+
+def count_opens(scene, o_np, d_np, tile=8 * LANES):
+    """Exact number of cluster opens the kernel will run: per 8x128 subtile,
+    count clusters whose AABB any lane's slab test passes (numpy replica of
+    _box_flags with tmax=inf)."""
+    a = scene.accel
+    lo = np.asarray(a.cluster_lo)         # (C, 3)
+    hi = np.asarray(a.cluster_hi)
+    inv = np.where(np.abs(d_np) > 1e-20, 1.0 / d_np,
+                   np.where(d_np >= 0, 1e30, -1e30))
+    total = 0
+    for i in range(0, o_np.shape[0], tile):
+        o = o_np[i:i + tile]
+        iv = inv[i:i + tile]
+        t0 = (lo[:, None] - o[None]) * iv[None]       # (C, T, 3)
+        t1 = (hi[:, None] - o[None]) * iv[None]
+        tnear = np.minimum(t0, t1).max(-1)
+        tfar = np.maximum(t0, t1).min(-1)
+        total += int((np.maximum(tnear, 0.0) <= tfar).any(-1).sum())
+    return total
 
 
 if __name__ == "__main__":
