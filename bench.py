@@ -123,11 +123,14 @@ def main():
     from spt_tpu.utils.cache import enable_default_cache
 
     enable_default_cache()
+    # 16-frame chains: the one host sync a chain needs costs ~45 ms through
+    # the relay, so shorter chains inflate the reported per-frame time
+    # (8 frames: +~6 ms/frame of pure measurement artifact).
     width, height = 1920, 1080
-    warmup, iters = 2, 8
+    warmup, iters = 2, 16
     scene_name = "default"
     if "--quick" in sys.argv:
-        width, height, iters = 640, 480, 4
+        width, height, iters = 640, 480, 8
     if "--scene" in sys.argv:
         scene_name = sys.argv[sys.argv.index("--scene") + 1]
         if scene_name == "gltf":

@@ -119,6 +119,43 @@ def _kern(stage, n_clusters, k, n_sph,
         out_t[:] = best
         return
 
+    if stage == "openp":
+        # plane-based M-T stand-in: same op structure as a precomputed
+        # (n, d0, gu, cu, gv, cv) test — gradient columns are FAKED from the
+        # existing pack (wrong results, right cost) to size the win before
+        # changing the builder layout.
+        def openp_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            u = ptr._unpack_col
+            nx, ny, nz = u(blk, 9, k), u(blk, 10, k), u(blk, 11, k)
+            d0 = u(blk, 0, k)
+            gux, guy, guz = u(blk, 3, k), u(blk, 4, k), u(blk, 5, k)
+            cu = u(blk, 1, k)
+            gvx, gvy, gvz = u(blk, 6, k), u(blk, 7, k), u(blk, 8, k)
+            cv = u(blk, 2, k)
+            den = nx * d3[0] + ny * d3[1] + nz * d3[2]
+            num = d0 - (nx * o3[0] + ny * o3[1] + nz * o3[2])
+            t = num / jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+            px = o3[0] + t * d3[0]
+            py = o3[1] + t * d3[1]
+            pz = o3[2] + t * d3[2]
+            bu = gux * px + guy * py + guz * pz + cu
+            bv = gvx * px + gvy * py + gvz * pz + cv
+            ok = ((jnp.abs(den) > 1e-12) & (bu >= 0.0) & (bv >= 0.0)
+                  & (bu + bv <= 1.0) & (t > 0.0)
+                  & (t < tmax.reshape(1, s, l)))
+            tb = jnp.where(ok, t, np.float32(1e30))
+            return key, jnp.minimum(best, jnp.min(tb, axis=0))
+
+        _, best = jax.lax.fori_loop(0, count, openp_body,
+                                    (key0, best))
+        out_t[:] = best
+        return
+
     def open_body(j, carry):
         key, best = carry
         m = jnp.min(key)
