@@ -612,14 +612,25 @@ def render_wavefront(
     acc = jnp.zeros((cfg.width * rows, 3), jnp.float32)
     rays = jnp.zeros((cfg.max_depth,), jnp.int32)
     bounces = jnp.int32(0)
-    for s in range(cfg.spp):
+
+    def one_sample(s, carry):
+        acc, rays, bounces = carry
         rad, stats = wavefront_sample(
             cfg, scene, env, lights, camera, frame_index, s, row0, rows,
             compact=compact,
         )
-        acc = acc + rad
-        rays = rays + stats.rays_per_bounce
-        bounces = jnp.maximum(bounces, stats.bounces_run)
+        return (acc + rad, rays + stats.rays_per_bounce,
+                jnp.maximum(bounces, stats.bounces_run))
+
+    if cfg.spp > 1:
+        # Rolled sample loop: the program contains ONE wavefront sample
+        # regardless of spp (an spp-4 CLI default used to quadruple program
+        # size and compile time).  sample_index reaches the RNG seeding as
+        # a traced scalar; nothing else depends on it.
+        acc, rays, bounces = jax.lax.fori_loop(
+            0, cfg.spp, one_sample, (acc, rays, bounces))
+    else:
+        acc, rays, bounces = one_sample(0, (acc, rays, bounces))
     img = (acc / cfg.spp).reshape(rows, cfg.width, 3)
     return img, WavefrontStats(rays_per_bounce=rays, bounces_run=bounces)
 

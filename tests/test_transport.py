@@ -473,3 +473,30 @@ class TestGltfSceneOracle:
         assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
         # the mesh is actually visible (hits happen)
         assert not np.allclose(img, img[0, 0])
+
+
+class TestSppProgramSize:
+    def test_spp_does_not_bloat_program(self):
+        """The sample loop is rolled (lax.fori_loop): an spp-4 program must
+        lower to roughly the same StableHLO size as spp-1 (it used to be
+        ~4x — the loop was a Python unroll, quadrupling compile time at the
+        CLI default spp)."""
+        import jax
+
+        from spt_tpu.camera import default_camera
+        from spt_tpu.integrators.wavefront import render_wavefront
+        from spt_tpu.scene import build_default_scene
+
+        scene = flatten_scene(build_default_scene())
+        env = make_procedural_environment()
+        lights = default_lights()
+
+        def lowered_len(spp):
+            cfg = RenderConfig(width=64, height=64, spp=spp, max_depth=3)
+            cam = default_camera(cfg.width, cfg.height).rays()
+            f = jax.jit(lambda sc, e, li, ca: render_wavefront(
+                cfg, sc, e, li, ca, frame_index=0))
+            return len(f.lower(scene, env, lights, cam).as_text())
+
+        l1, l4 = lowered_len(1), lowered_len(4)
+        assert l4 < 1.5 * l1, (l1, l4)
