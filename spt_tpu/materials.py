@@ -65,6 +65,11 @@ def _resample_texture(img: np.ndarray, res: int = TEX_RES) -> np.ndarray:
     point = img[yi][:, xi]
     if h <= res and w <= res:
         return point.astype(np.float32)
+    if h % res == 0 and w % res == 0:
+        # exact blocked mean (the common case: power-of-two source like the
+        # chair's 2048^2); ~100x faster than the scatter-add path
+        return img.reshape(res, h // res, res, w // res, ch).mean(
+            (1, 3)).astype(np.float32)
     by = np.minimum(np.arange(h) * res // h, res - 1)
     bx = np.minimum(np.arange(w) * res // w, res - 1)
     acc = np.zeros((res, res, ch), np.float64)

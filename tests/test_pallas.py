@@ -294,7 +294,7 @@ class TestFusedFrame:
         from spt_tpu.integrators import wavefront as wf
         from spt_tpu.ops.bvh import build_mesh_accel
 
-        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=3)
+        cfg = RenderConfig(width=64, height=32, spp=1, max_depth=2)
         scene = flatten_scene(build_default_scene())
         accel = build_mesh_accel(np.asarray(scene.tri_v0),
                                  np.asarray(scene.tri_e1),
@@ -310,11 +310,11 @@ class TestFusedFrame:
         ps = transport.gen_primary(cfg, cam, 0)
         want, sw = wf._wavefront_masked(
             cfg, scene._replace(accel=None), env, lights, ps,
-            jnp.zeros((3,), jnp.int32), fused=False)
+            jnp.zeros((cfg.max_depth,), jnp.int32), fused=False)
         ps2 = transport.gen_primary(cfg, cam, 0)
         got, sg = wf._wavefront_masked(
-            cfg, scene, env, lights, ps2, jnp.zeros((3,), jnp.int32),
-            fused=True)
+            cfg, scene, env, lights, ps2,
+            jnp.zeros((cfg.max_depth,), jnp.int32), fused=True)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(
@@ -395,7 +395,7 @@ class TestRaySort:
         from spt_tpu.integrators import wavefront as wf
         from spt_tpu.ops.bvh import build_mesh_accel
 
-        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=4)
+        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=3)
         scene = flatten_scene(build_default_scene())
         accel = build_mesh_accel(np.asarray(scene.tri_v0),
                                  np.asarray(scene.tri_e1),
@@ -414,11 +414,11 @@ class TestRaySort:
             cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32),
             fused=True)
 
-        cfg_ns = RenderConfig(width=128, height=128, spp=1, max_depth=4,
+        cfg_ns = RenderConfig(width=128, height=64, spp=1, max_depth=3,
                               ray_sort=False)
         ps2 = transport.gen_primary(cfg_ns, cam, 0)
         got, sg = wf._wavefront_masked(
-            cfg_ns, scene, env, lights, ps2, jnp.zeros((4,), jnp.int32),
+            cfg_ns, scene, env, lights, ps2, jnp.zeros((3,), jnp.int32),
             fused=True)
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=1e-4, atol=1e-5)

@@ -22,7 +22,7 @@ from spt_tpu.scene import build_cornell_box_scene, build_default_scene, flatten_
 import reference_cpu as ref
 
 
-CFG = RenderConfig(width=40, height=30, spp=1, max_depth=5)
+CFG = RenderConfig(width=40, height=30, spp=1, max_depth=3)
 
 
 @pytest.fixture(scope="module")
