@@ -125,18 +125,18 @@ class RenderConfig:
     # octant key and dying lanes scatter).  Clamped to max_depth - 1.
     ray_sort_stages: int = 2
 
-    # Condense the tail of the sorted mesh frame: chunked sorting packs live
-    # lanes to the head of EVERY sort chunk, so by the last sort stage the
-    # frame is ~24 partially-live tiles no matter how few paths survive.
-    # When every live lane sits within the first `condense_width` positions
-    # of its chunk (checked at runtime; guaranteed-by-construction bound:
-    # the previous sort packed them and deaths only shrink the head), the
-    # chunk heads are gathered into a 2-4x narrower array, re-sorted across
-    # chunks, and the remaining bounces run there — live lanes end up in
-    # the minimum number of tiles.  Falls back to the full-width path via
-    # lax.cond when the bound does not hold.
+    # Condense the sorted mesh frame after the primary bounce: chunked
+    # sorting packs live lanes to the head of EVERY sort chunk (and the
+    # tile-interleaved chunking balances survivor counts across chunks), so
+    # when every live lane sits within the first `wc` positions of its
+    # chunk (checked at runtime), the chunk heads are gathered into a
+    # ~32k-lane array and re-sorted ACROSS chunks — all post-primary
+    # bounces then run on globally octant-sorted, minimally-many tiles.
+    # Falls back to the full-width path via lax.cond when the bound does
+    # not hold.  condense_width = 0 sizes the head automatically
+    # (~32768 / n_chunks); > 0 overrides the per-chunk head width.
     condense: bool = True
-    condense_width: int = 4096
+    condense_width: int = 0
 
     # Compute dtype for shading math. Intersection always runs fp32.
     dtype: str = "float32"

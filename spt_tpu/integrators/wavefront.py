@@ -271,17 +271,28 @@ def _ray_sort_ok(cfg, scene, n: int) -> bool:
 
 
 def _condense_plan(cfg, n: int, chunk: int):
-    """Static plan for the final-stage condense: (wc, m, mp, sort_chunk)
+    """Static plan for the post-primary condense: (wc, m, mp, sort_chunk)
     or None when the feature cannot engage.
 
     wc: head width gathered per chunk; m: condensed lane count; mp: m padded
-    to a power of two (the condensed sort and fused frame width);
-    sort_chunk: the condensed sort's chunk (capped at 32768 so the VMEM
-    bitonic kernel's operand stack fits)."""
+    to a power of two (the condensed sorts' and kernels' width); sort_chunk:
+    the condensed sorts' chunk (capped at 32768 so the VMEM bitonic kernel's
+    operand stack fits).  wc targets a total width near 32768 with ~1.5x
+    headroom: row-dealt chunks spread survivors evenly, so a narrow head
+    suffices and the condensed array sorts in 1-2 chunks — globally
+    coherent tiles.  cfg.condense_width > 0 overrides wc."""
     if not getattr(cfg, "condense", True):
         return None
     n_chunks = n // chunk
-    wc = min(int(getattr(cfg, "condense_width", 4096)), chunk // 2)
+    cfg_w = int(getattr(cfg, "condense_width", 0))
+    if cfg_w > 0:
+        wc = min(cfg_w, chunk // 2)
+    else:
+        # ~1.5x headroom over a 32k condensed width: the row-dealt chunks
+        # balance survivors to ~mean +- 15 %, so a head sized at ~1.5x the
+        # expected share keeps the runtime gather-safety check true for
+        # any global hit rate the condense can actually help with.
+        wc = min(max(1024, (49152 // n_chunks) // 128 * 128), chunk // 2)
     if wc < 1024 or wc % 128:
         return None
     m = n_chunks * wc
@@ -295,7 +306,7 @@ def _condense_plan(cfg, n: int, chunk: int):
 
 
 def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
-    """The depth loop with coherence sorts between early bounces (see
+    """The depth loop with coherence sorts between bounces (see
     ops/ray_sort).  Lane order is restored before returning, so the image
     matches the unsorted fused frame to float tolerance (sorting only
     regroups lanes; all shading is lane-local — differences are sum-order
@@ -303,33 +314,43 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
 
     Structure (cfg.ray_sort_stages = S, clamped to max_depth - 1):
 
-        fused_bounce(b=0)  ->  sort  ->  fused_bounce(b=1)  ->  ...
-        ->  [condense] sort  ->  fused_frame(start_bounce=S)
+        fused_bounce(b=0)                    # full width, pixel order
+        -> row-deal -> sort                  # full width, chunk-local
+        -> condense                          # gather chunk heads, narrow sort
+        -> fused_bounce(1) -> sort -> ... -> fused_frame(start_bounce=S)
+        -> un-condense -> scatter -> unsort -> un-interleave
 
-    A single sort goes stale after one bounce: the next diffuse direction
-    decorrelates from the octant key, and lanes that die scatter inside the
-    live region, so bounces 2+ cost ~6 ms each vs 2.5 ms for the freshly
-    sorted bounce 1 (measured, chair 512x384).  Re-sorting before each early
-    bounce re-packs survivors (fewer live tiles) and refreshes octants while
-    the live count is still worth it.
+    Chunked sorting cannot group lanes ACROSS chunks, and a sort chunk is a
+    contiguous run of image tiles, so after bounce 0 every chunk holds a
+    different number of survivors (the mesh fills some image tiles and not
+    others) and each chunk's survivors mix all direction octants at the tile
+    scale the tracer culls at — measured on the chair, bounce-1 tiles in
+    chunk-fragmented order open ~73 of 96 clusters.  Two static (gather-free)
+    moves fix both problems:
 
-    The FINAL stage additionally condenses (cfg.condense): chunked sorting
-    packs live lanes to the head of EVERY chunk, so by the last stage the
-    frame is ~n_chunks partially-live tiles no matter how few paths remain.
-    When every live lane sits within the first `wc` positions of its chunk
-    (runtime check; by construction the previous sort packed them there and
-    deaths only shrink the head), the chunk heads are gathered into a 2-4x
-    narrower array, re-sorted ACROSS chunks, and the remaining bounces run
-    at that width — live lanes occupy the minimum number of kernel tiles.
-    A lax.cond falls back to the full-width path otherwise.
+    * INTERLEAVE: a row-granular transpose — a free, statically-known
+      permutation that never crosses the 128-lane dimension — deals vreg
+      rows round-robin to the sort chunks, so every chunk receives ~the
+      same number of survivors (n_live/n_chunks).
+    * CONDENSE: with survivors balanced, each chunk's live lanes fit in a
+      `wc`-wide head after the first sort (runtime-checked; lax.cond falls
+      back to the full-width plain path otherwise).  The heads are gathered
+      into a ~32k-lane array and re-sorted ACROSS chunks, so every later
+      bounce runs on globally octant-sorted, minimally-many tiles and every
+      later sort is ~6x narrower.
+
+    Round 2 condensed only the final fused_frame stage; measurement showed
+    bounce 1 — the widest post-primary live set — was the open-bound stage,
+    so the condense now happens immediately after the primary bounce.
 
     Sort traffic is minimal: bounce-0 radiance stays behind in pixel order;
     radiance from sorted bounces accumulates in sorted order; the deferred
     env term is applied in SORTED order.  Because chunked sorts never move a
-    lane across its chunk, the ORIGINAL lane id rides every forward sort and
-    ONE final chunked sort keyed on it restores pixel order, carrying only
-    the 3 radiance planes (the condensed tail un-condenses itself first, so
-    its cross-chunk moves are invisible to that final unsort).
+    lane across its chunk, the (interleaved-space) lane id rides the first
+    sort and ONE final chunked sort keyed on it restores interleaved order —
+    the condensed tail un-condenses itself first, so its cross-chunk moves
+    are invisible to that final unsort — and the un-interleave is the
+    inverse static transpose.
 
     Returns ((N,) radiance Vec3 WITH env applied, rays) — unlike
     fused_frame, nothing else is owed.
@@ -353,79 +374,112 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     rad0 = ps.radiance  # bounce-0 NEE/emission, pixel order
     zeros = jnp.zeros_like(ps.rng, jnp.float32)
     ps = ps._replace(radiance=Vec3(zeros, zeros, zeros))
-    missed_ever = missed0
-    orig_lane = jnp.arange(n, dtype=jnp.int32)
-    rays_list = [live0]
 
     def pack_flags(ps, missed_ever):
         return (ps.alive.astype(jnp.int32)
                 | (ps.emission_ok.astype(jnp.int32) << 1)
                 | (missed_ever.astype(jnp.int32) << 2))
 
-    def sort_state(ps, missed_ever, orig_lane, chunk_, carry_rad):
-        """One coherence sort of the full path state + orig_lane; returns
-        (ps, missed_ever, orig_lane).  The first sort's radiance planes are
+    # --- row-dealt chunking (static transpose; see docstring).  Dealing at
+    # 128-lane rows (one vreg row: the transpose never crosses the lane
+    # dimension) instead of whole 1024-lane kernel tiles matters: tiles are
+    # 32x32 image squares and the mesh fills whole tiles, so a tile-granular
+    # deal still leaves ~2x survivor imbalance across chunks (measured on
+    # the chair: per-chunk max 1785 vs mean 871 at tile grain, 997 at row
+    # grain) — and the condense head must cover the worst chunk. -----------
+    deal = 128
+    n_chunks = n // chunk
+    g = chunk // deal
+
+    def interleave(x):
+        return x.reshape(g, n_chunks, deal).transpose(1, 0, 2).reshape(n)
+
+    def uninterleave(x):
+        return x.reshape(n_chunks, g, deal).transpose(1, 0, 2).reshape(n)
+
+    flags0 = interleave(pack_flags(ps, missed0))
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rng0) = [interleave(p) for p in (
+        ps.origin.x, ps.origin.y, ps.origin.z,
+        ps.direction.x, ps.direction.y, ps.direction.z,
+        ps.throughput.x, ps.throughput.y, ps.throughput.z, ps.rng)]
+    ps = transport.PathState(
+        origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
+        throughput=Vec3(tx, ty, tz), radiance=Vec3(zeros, zeros, zeros),
+        rng=rng0, alive=(flags0 & 1) != 0, emission_ok=(flags0 & 2) != 0,
+    )
+    missed_ever = (flags0 & 4) != 0
+    orig_lane = jnp.arange(n, dtype=jnp.int32)  # interleaved-space ids
+
+    def sort_state(ps, missed_ever, lane, chunk_, carry_rad):
+        """One coherence sort of the full path state + lane; returns
+        (ps, missed_ever, lane).  The first sort's radiance planes are
         all zero — don't pay to move them (carry_rad)."""
         key = ray_sort.sort_key(ps.direction, ps.origin, ps.alive, lo,
                                 inv_extent)
         _, sorted_ops = ray_sort.sort_by_key(key, [
-            orig_lane,
+            lane,
             ps.origin.x, ps.origin.y, ps.origin.z,
             ps.direction.x, ps.direction.y, ps.direction.z,
             ps.throughput.x, ps.throughput.y, ps.throughput.z,
         ] + ([ps.radiance.x, ps.radiance.y, ps.radiance.z] if carry_rad
              else []) + [ps.rng, pack_flags(ps, missed_ever)], chunk_)
-        (orig_lane, ox, oy, oz, dx, dy, dz, tx, ty, tz) = sorted_ops[:10]
+        (lane, sox, soy, soz, sdx, sdy, sdz, stx, sty, stz) = sorted_ops[:10]
         if carry_rad:
             rx, ry, rz, rng, flags_s = sorted_ops[10:]
         else:
             rng, flags_s = sorted_ops[10:]
-            rx = ry = rz = jnp.zeros_like(ox)
+            rx = ry = rz = jnp.zeros_like(sox)
         ps = transport.PathState(
-            origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
-            throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
+            origin=Vec3(sox, soy, soz), direction=Vec3(sdx, sdy, sdz),
+            throughput=Vec3(stx, sty, stz), radiance=Vec3(rx, ry, rz),
             rng=rng, alive=(flags_s & 1) != 0,
             emission_ok=(flags_s & 2) != 0,
         )
-        return ps, (flags_s & 4) != 0, orig_lane
+        return ps, (flags_s & 4) != 0, lane
 
-    for b in range(1, stages):
-        ps, missed_ever, orig_lane = sort_state(ps, missed_ever, orig_lane,
-                                                chunk, carry_rad=b > 1)
-        rays_list.append(jnp.sum(ps.alive.astype(jnp.int32)))
-        ps, missed = pallas_bounce.fused_bounce(
-            cfg, scene, lights, ps, b, b == cfg.max_depth - 1
-        )
-        missed_ever = missed_ever | missed
+    ps, missed_ever, orig_lane = sort_state(ps, missed_ever, orig_lane,
+                                            chunk, carry_rad=False)
 
-    # --- final stage: [condense +] sort + fused_frame + deferred env ------
-    rays_list.append(jnp.sum(ps.alive.astype(jnp.int32)))
-    carry_rad = stages > 1
-
-    def finish_plain(ps, missed_ever, orig_lane):
-        ps, missed_ever, orig_lane = sort_state(ps, missed_ever, orig_lane,
-                                                chunk, carry_rad)
+    def rest_of_frame(ps, missed_ever, lane, chunk_):
+        """Bounces 1..S-1 with a re-sort after each, then fused_frame — at
+        whatever width `ps` has.  Returns (radiance WITH the deferred env
+        applied, lane threaded through every sort here, rays (max_depth,)
+        int32 with entry 0 left zero for the caller)."""
+        rays_tail = []
+        for b in range(1, stages):
+            rays_tail.append(jnp.sum(ps.alive.astype(jnp.int32)))
+            ps, missed = pallas_bounce.fused_bounce(
+                cfg, scene, lights, ps, b, b == cfg.max_depth - 1)
+            missed_ever = missed_ever | missed
+            ps, missed_ever, lane = sort_state(ps, missed_ever, lane,
+                                               chunk_, carry_rad=True)
+        rays_tail.append(jnp.sum(ps.alive.astype(jnp.int32)))
         radiance, direction, throughput, missed, rays_f = (
             pallas_bounce.fused_frame(cfg, scene, lights, ps,
                                       start_bounce=stages)
         )
         missed_ever = missed_ever | missed
         env_c = environment_color_v(env, direction)
-        zero3 = Vec3(zeros, zeros, zeros)
+        z = jnp.zeros_like(radiance.x)
         radiance = radiance + v3.where(missed_ever, throughput * env_c,
-                                       zero3)
-        return radiance, orig_lane, rays_f
+                                       Vec3(z, z, z))
+        rays = jnp.stack([jnp.zeros((), jnp.int32)] + rays_tail
+                         + [rays_f[b] for b in range(stages + 1,
+                                                     cfg.max_depth)])
+        return radiance, lane, rays
 
     plan = _condense_plan(cfg, n, chunk)
     if plan is None:
-        radiance, orig_lane, rays_f = finish_plain(ps, missed_ever,
-                                                   orig_lane)
+        radiance, orig_lane, rays_rest = rest_of_frame(ps, missed_ever,
+                                                       orig_lane, chunk)
     else:
         wc, m, mp, sort_chunk = plan
-        n_chunks = n // chunk
         pos = jnp.arange(n, dtype=jnp.int32) % chunk
 
-        def finish_condensed(ps, missed_ever, orig_lane):
+        def finish_plain(ps, missed_ever, lane):
+            return rest_of_frame(ps, missed_ever, lane, chunk)
+
+        def finish_condensed(ps, missed_ever, lane):
             def head(x):
                 h = x.reshape(n_chunks, chunk)[:, :wc].reshape(m)
                 return jnp.pad(h, (0, mp - m)) if mp > m else h
@@ -437,34 +491,26 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
                        head(ps.direction.z))
             key = ray_sort.sort_key(d_h, o_h, (flags_h & 1) != 0, lo,
                                     inv_extent)
-            # the condensed array's own lane ids ride this sort; the
-            # un-condense below restores gather order, so orig_lane (and
-            # the final full-width unsort) never sees the cross-chunk moves
+            # cl_lane (the condensed array's own lane ids) rides every
+            # condensed sort; the un-condense below restores gather order,
+            # so `lane` (and the final full-width unsort) never sees the
+            # cross-chunk moves
             cl_lane, sorted_ops = ray_sort.sort_by_key(key, [
                 o_h.x, o_h.y, o_h.z, d_h.x, d_h.y, d_h.z,
                 head(ps.throughput.x), head(ps.throughput.y),
-                head(ps.throughput.z),
-                head(ps.radiance.x), head(ps.radiance.y),
-                head(ps.radiance.z),
-                head(ps.rng), flags_h,
+                head(ps.throughput.z), head(ps.rng), flags_h,
             ], sort_chunk)
-            (ox, oy, oz, dx, dy, dz, tx, ty, tz,
-             rx, ry, rz, rng_s, flags_s) = sorted_ops
+            (cox, coy, coz, cdx, cdy, cdz,
+             ctx, cty, ctz, rng_s, flags_s) = sorted_ops
+            zc = jnp.zeros_like(cox)
             ps_c = transport.PathState(
-                origin=Vec3(ox, oy, oz), direction=Vec3(dx, dy, dz),
-                throughput=Vec3(tx, ty, tz), radiance=Vec3(rx, ry, rz),
+                origin=Vec3(cox, coy, coz), direction=Vec3(cdx, cdy, cdz),
+                throughput=Vec3(ctx, cty, ctz), radiance=Vec3(zc, zc, zc),
                 rng=rng_s, alive=(flags_s & 1) != 0,
                 emission_ok=(flags_s & 2) != 0,
             )
-            radiance_c, dir_c, thr_c, missed_c, rays_f = (
-                pallas_bounce.fused_frame(cfg, scene, lights, ps_c,
-                                          start_bounce=stages)
-            )
-            missed_all = ((flags_s & 4) != 0) | missed_c
-            env_cc = environment_color_v(env, dir_c)
-            zc = jnp.zeros_like(ox)
-            radiance_c = radiance_c + v3.where(missed_all, thr_c * env_cc,
-                                               Vec3(zc, zc, zc))
+            radiance_c, cl_lane, rays = rest_of_frame(
+                ps_c, (flags_s & 4) != 0, cl_lane, sort_chunk)
             # un-condense (restore gather order), then scatter into the
             # heads of the full-width radiance
             out = ray_sort.unsort_by_lane(cl_lane, [radiance_c.x,
@@ -477,31 +523,28 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
                 return f2.at[:, :wc].set(
                     cond_vals[:m].reshape(n_chunks, wc)).reshape(n)
 
-            # non-gathered lanes are dead (gather-safety predicate): their
-            # radiance is already in ps.radiance and only the deferred env
-            # term is owed
+            # non-gathered lanes are dead (gather-safety predicate) with
+            # zero accumulated radiance — only the deferred env term is owed
             head_mask = pos < wc
             env_f = environment_color_v(env, ps.direction)
             zero3 = Vec3(zeros, zeros, zeros)
-            radiance = ps.radiance + v3.where(
-                missed_ever & ~head_mask, ps.throughput * env_f, zero3)
+            radiance = v3.where(missed_ever & ~head_mask,
+                                ps.throughput * env_f, zero3)
             radiance = Vec3(scatter(radiance.x, out[0]),
                             scatter(radiance.y, out[1]),
                             scatter(radiance.z, out[2]))
-            return radiance, orig_lane, rays_f
+            return radiance, lane, rays
 
         # gather-safety: every live lane within the first wc of its chunk
         safe = jnp.max(jnp.where(ps.alive, pos, -1)) < wc
-        radiance, orig_lane, rays_f = jax.lax.cond(
+        radiance, orig_lane, rays_rest = jax.lax.cond(
             safe, finish_condensed, finish_plain, ps, missed_ever, orig_lane)
 
     out = ray_sort.unsort_by_lane(orig_lane, [radiance.x, radiance.y,
                                               radiance.z], chunk)
-    radiance = rad0 + Vec3(out[0], out[1], out[2])
-    rays = jnp.stack(
-        [rays_list[b] if b <= stages else rays_f[b]
-         for b in range(cfg.max_depth)]
-    )
+    radiance = rad0 + Vec3(uninterleave(out[0]), uninterleave(out[1]),
+                           uninterleave(out[2]))
+    rays = jnp.concatenate([live0.reshape(1), rays_rest[1:]])
     return radiance, rays
 
 

@@ -54,7 +54,7 @@ from spt_tpu.ops.pallas_trace import (
     _inv_dir,
     _sphere_pass_any,
     _sphere_pass_closest,
-    _tri_block_test,
+    tri_block_any,
     _visit_keys,
     closest_epilogue,
     make_cluster_opener,
@@ -190,9 +190,8 @@ def _stream_any_kernel(k, n_sph, tmin,
                 i, ckey, blocked = cc
                 mm = jnp.min(ckey)
                 blk = scratch[(mm & _OKEY_ID_MASK) - base]
-                ok, _, _, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
                 return (i + 1, jnp.where(ckey == mm, _OKEY_MISS, ckey),
-                        blocked | jnp.any(ok, axis=0).astype(jnp.int32))
+                        tri_block_any(blk, k, o3, d3, tmin, bound, blocked))
 
             _, _, blocked = jax.lax.while_loop(
                 ccond, cbody, (jnp.int32(0), ckey0, blocked))

@@ -123,15 +123,44 @@ def _unpack_col(blk, i, k):
     return blk[:, i:i + 1].reshape(k, 1, 1)
 
 
-def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
-    """Moller-Trumbore of one packed cluster against the whole subtile:
-    (K, 1, 1) triangle columns x (1, S, L) ray planes -> (K, S, L).
+_SUB_K = 8
 
-    Returns (ok, t): the per-(triangle, lane) acceptance mask and distance.
-    Packed layout: bvh.MeshAccel.tri_pack."""
-    v0x, v0y, v0z = (_unpack_col(blk, i, k) for i in (0, 1, 2))
-    e1x, e1y, e1z = (_unpack_col(blk, i, k) for i in (3, 4, 5))
-    e2x, e2y, e2z = (_unpack_col(blk, i, k) for i in (6, 7, 8))
+
+def _sub_k(k: int) -> int:
+    """Sub-block row count for the triangle block test (SPT_TRACE_SUBK
+    overrides for experiments; must divide K, else the full block is one
+    sub-block).
+
+    Why sub-blocks: the full (K, S, L) Moller-Trumbore materializes ~16
+    (64, 8, 128) f32 intermediates — 4 MB of VMEM spill traffic per opened
+    cluster, which measured as the binding cost (~1.6 us/open at ~4 TB/s;
+    changing the flop count was a wash).  Testing KB=8 rows at a time keeps
+    each intermediate at vreg scale so the chain stays in registers, and
+    only the (S, L) running minimum crosses sub-blocks."""
+    import os
+
+    try:
+        kb = int(os.environ.get("SPT_TRACE_SUBK", _SUB_K))
+    except ValueError:
+        kb = _SUB_K
+    if kb <= 0 or k % kb:
+        return k
+    return kb
+
+
+def _unpack_sub(blk, i, k0, kb):
+    return blk[k0:k0 + kb, i:i + 1].reshape(kb, 1, 1)
+
+
+def _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3):
+    """Moller-Trumbore of packed rows [k0, k0+kb) against the whole subtile:
+    (KB, 1, 1) triangle columns x (1, S, L) ray planes -> (KB, S, L).
+
+    Returns (ok, t, u, v): per-(triangle, lane) acceptance, distance and
+    barycentrics.  Packed layout: bvh.MeshAccel.tri_pack."""
+    v0x, v0y, v0z = (_unpack_sub(blk, i, k0, kb) for i in (0, 1, 2))
+    e1x, e1y, e1z = (_unpack_sub(blk, i, k0, kb) for i in (3, 4, 5))
+    e2x, e2y, e2z = (_unpack_sub(blk, i, k0, kb) for i in (6, 7, 8))
     ox, oy, oz = o3
     dx, dy, dz = d3
     hx = dy * e2z - dz * e2y
@@ -152,6 +181,59 @@ def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
         & (t > tmin) & (t < tmax3)
     )
     return ok, t, u, v
+
+
+def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
+    """Whole-cluster Moller-Trumbore -> (K, S, L) planes (materializes the
+    full block; prefer the sub-blocked folds below on the hot paths)."""
+    return _tri_sub_test(blk, 0, k, o3, d3, tmin, tmax3)
+
+
+def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
+    """Sub-blocked closest-distance pass over one packed cluster.
+
+    Returns (tm, wi[, pu, pv]): per-lane (S, L) minimum hit distance (_BIG
+    when no row hits), the winning packed row index (-1 none; ties resolve
+    to the highest row, matching the old whole-block argmax), and the
+    winner's barycentrics when `with_uv`.  Each sub-block's ~16 (KB, S, L)
+    intermediates stay at vreg scale instead of spilling a (K, S, L) chain
+    through VMEM — see _sub_k."""
+    kb = _sub_k(k)
+    iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s, l), 0)
+    tm = jnp.full((s, l), _BIG)
+    wi = jnp.full((s, l), -1, jnp.int32)
+    pu = pv = None
+    if with_uv:
+        pu = jnp.zeros((s, l), jnp.float32)
+        pv = jnp.zeros((s, l), jnp.float32)
+    for k0 in range(0, k, kb):
+        ok, t, bu, bv = _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3)
+        tb = jnp.where(ok, t, _BIG)
+        tm_s = jnp.min(tb, axis=0)
+        # ties within the sub-block: highest row wins (old behavior); ties
+        # ACROSS sub-blocks: improvement is strict, so the first sub-block
+        # with the minimum keeps it — the hit attributes of equal-t rows
+        # are interchangeable downstream.
+        eq = tb == tm_s.reshape(1, s, l)
+        wi_s = jnp.max(jnp.where(eq, iota_kb + k0, -1), axis=0)
+        improved = tm_s < tm
+        if with_uv:
+            uniq = eq & ((iota_kb + k0) == wi_s.reshape(1, s, l))
+            pu = jnp.where(improved, jnp.sum(jnp.where(uniq, bu, 0.0), 0), pu)
+            pv = jnp.where(improved, jnp.sum(jnp.where(uniq, bv, 0.0), 0), pv)
+        wi = jnp.where(improved, wi_s, wi)
+        tm = jnp.where(improved, tm_s, tm)
+    return (tm, wi, pu, pv) if with_uv else (tm, wi)
+
+
+def tri_block_any(blk, k, o3, d3, tmin, tmax3, blocked):
+    """Sub-blocked any-hit pass: ORs each sub-block's row-reduced acceptance
+    into `blocked` ((S, L) int32) without materializing (K, S, L)."""
+    kb = _sub_k(k)
+    for k0 in range(0, k, kb):
+        ok, _, _, _ = _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3)
+        blocked = blocked | jnp.any(ok, axis=0).astype(jnp.int32)
+    return blocked
 
 
 def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
@@ -195,29 +277,30 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
     Shared by the VMEM tracer (blocks read straight from the resident
     tri_pack) and the HBM-streaming tracer (blocks DMA'd per supercluster,
     ops/pallas_stream)."""
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, s, l), 0)
+    kb = _sub_k(k)
+    iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s, l), 0)
 
     def open_cluster(blk, carry):
         best_t = carry[0]
-        ok, t, bu, bv = _tri_block_test(blk, k, o3, d3, tmin, tmax3)
-        tb = jnp.where(ok, t, _BIG)
-        tm = jnp.min(tb, axis=0)                     # (S, L)
+        res = tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv)
+        tm, wi = res[0], res[1]
         win = tm < best_t
 
         # Winner resolution behind a cond: most opened clusters improve no
-        # lane (especially for incoherent bounce rays), and the ~13 masked
-        # K-passes of attribute picking cost ~3x the vector->scalar sync of
-        # the any() predicate (both measured).
+        # lane (especially for incoherent bounce rays), and the masked
+        # column-picking passes cost ~3x the vector->scalar sync of the
+        # any() predicate (both measured).
         def resolve(carry):
             best_t, best_mat, best_kind, ax, ay, az = carry[:6]
-            # unique winner row per lane: max index among t == tm candidates
-            eq = ok & (tb == tm.reshape(1, s, l))
-            wi = jnp.max(jnp.where(eq, iota_k, -1), axis=0)
-            uniq = eq & (iota_k == wi.reshape(1, s, l))
+            wi3 = wi.reshape(1, s, l)
 
             def pick(i):
-                col = _unpack_col(blk, i, k)
-                return jnp.sum(jnp.where(uniq, col, 0.0), axis=0)
+                acc = jnp.zeros((s, l), jnp.float32)
+                for k0 in range(0, k, kb):
+                    msk = (iota_kb + k0) == wi3
+                    col = _unpack_sub(blk, i, k0, kb)
+                    acc = acc + jnp.sum(jnp.where(msk, col, 0.0), axis=0)
+                return acc
 
             best_mat = jnp.where(win, pick(12).astype(jnp.int32), best_mat)
             ax = jnp.where(win, pick(9), ax)
@@ -228,8 +311,7 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
             out = (best_t, best_mat, best_kind, ax, ay, az)
             if with_uv:
                 uvx, uvy = carry[6], carry[7]
-                pu = jnp.sum(jnp.where(uniq, bu, 0.0), axis=0)
-                pv = jnp.sum(jnp.where(uniq, bv, 0.0), axis=0)
+                pu, pv = res[2], res[3]
                 texu = pick(13) + pu * pick(15) + pv * pick(17)
                 texv = pick(14) + pu * pick(16) + pv * pick(18)
                 out = out + (jnp.where(win, texu, uvx),
@@ -390,9 +472,8 @@ def any_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
             j, key, blocked = carry
             m = jnp.min(key)
             blk = tri_pack[m & _OKEY_ID_MASK]
-            ok, _, _, _ = _tri_block_test(blk, k, o3, d3, tmin, bound)
             return (j + 1, jnp.where(key == m, _OKEY_MISS, key),
-                    blocked | jnp.any(ok, axis=0).astype(jnp.int32))
+                    tri_block_any(blk, k, o3, d3, tmin, bound, blocked))
 
         _, _, blocked = jax.lax.while_loop(
             cond, body, (jnp.int32(0), key0, blocked0))
