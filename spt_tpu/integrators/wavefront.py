@@ -277,21 +277,24 @@ def _condense_plan(cfg, n: int, chunk: int):
     wc: head width gathered per chunk; m: condensed lane count; mp: m padded
     to a power of two (the condensed sorts' and kernels' width); sort_chunk:
     the condensed sorts' chunk (capped at 32768 so the VMEM bitonic kernel's
-    operand stack fits).  wc targets a total width near 32768 with ~1.5x
+    operand stack fits).  wc targets a total width near 49152 with ~2x
     headroom: row-dealt chunks spread survivors evenly, so a narrow head
     suffices and the condensed array sorts in 1-2 chunks — globally
-    coherent tiles.  cfg.condense_width > 0 overrides wc."""
+    coherent tiles (A/B: an 8192 condensed chunk saves ~1.2 ms of network
+    depth but costs ~2 ms of traversal coherence; SPT_CONDENSE_CHUNK
+    re-runs that experiment).  cfg.condense_width > 0 overrides wc."""
     if not getattr(cfg, "condense", True):
         return None
+    import os
+    cap = int(os.environ.get("SPT_CONDENSE_CHUNK", "32768"))
     n_chunks = n // chunk
     cfg_w = int(getattr(cfg, "condense_width", 0))
     if cfg_w > 0:
         wc = min(cfg_w, chunk // 2)
     else:
-        # ~1.5x headroom over a 32k condensed width: the row-dealt chunks
-        # balance survivors to ~mean +- 15 %, so a head sized at ~1.5x the
-        # expected share keeps the runtime gather-safety check true for
-        # any global hit rate the condense can actually help with.
+        # ~2x headroom over the expected per-chunk share of survivors (the
+        # row-dealt chunks balance to ~mean +- 15 %), floored at 1024 so
+        # the head is whole kernel tiles.
         wc = min(max(1024, (49152 // n_chunks) // 128 * 128), chunk // 2)
     if wc < 1024 or wc % 128:
         return None
@@ -299,7 +302,7 @@ def _condense_plan(cfg, n: int, chunk: int):
     mp = 1 << (m - 1).bit_length()
     if mp >= n:
         return None  # no reduction: the plain path is strictly cheaper
-    sort_chunk = min(mp, 32768)
+    sort_chunk = min(mp, cap)
     if mp % sort_chunk or (mp // 128) % 8:
         return None
     return wc, m, mp, sort_chunk
@@ -371,9 +374,17 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
 
     ps, missed0 = pallas_bounce.fused_bounce(cfg, scene, lights, ps, 0,
                                              cfg.max_depth == 1)
-    rad0 = ps.radiance  # bounce-0 NEE/emission, pixel order
+    # Settle primary misses HERE, in pixel order: their env term needs only
+    # the (unchanged) primary direction and throughput, and applying it
+    # before the sort means every lane that is dead from the first sort on
+    # owes NOTHING — the condensed tail can zero-fill outside the gathered
+    # heads and the sorts never carry a missed-at-bounce-0 flag.
     zeros = jnp.zeros_like(ps.rng, jnp.float32)
-    ps = ps._replace(radiance=Vec3(zeros, zeros, zeros))
+    zero3 = Vec3(zeros, zeros, zeros)
+    env0 = environment_color_v(env, ps.direction)
+    rad0 = ps.radiance + v3.where(missed0, ps.throughput * env0, zero3)
+    ps = ps._replace(radiance=zero3)
+    missed0 = jnp.zeros_like(missed0)
 
     def pack_flags(ps, missed_ever):
         return (ps.alive.astype(jnp.int32)
@@ -518,21 +529,15 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
                                                     radiance_c.z],
                                           sort_chunk)
 
-            def scatter(full, cond_vals):
-                f2 = full.reshape(n_chunks, chunk)
+            def scatter(cond_vals):
+                # non-gathered lanes are dead (gather-safety predicate)
+                # with zero radiance and a settled env term — zero-fill
+                f2 = jnp.zeros((n_chunks, chunk), cond_vals.dtype)
                 return f2.at[:, :wc].set(
                     cond_vals[:m].reshape(n_chunks, wc)).reshape(n)
 
-            # non-gathered lanes are dead (gather-safety predicate) with
-            # zero accumulated radiance — only the deferred env term is owed
-            head_mask = pos < wc
-            env_f = environment_color_v(env, ps.direction)
-            zero3 = Vec3(zeros, zeros, zeros)
-            radiance = v3.where(missed_ever & ~head_mask,
-                                ps.throughput * env_f, zero3)
-            radiance = Vec3(scatter(radiance.x, out[0]),
-                            scatter(radiance.y, out[1]),
-                            scatter(radiance.z, out[2]))
+            radiance = Vec3(scatter(out[0]), scatter(out[1]),
+                            scatter(out[2]))
             return radiance, lane, rays
 
         # gather-safety: every live lane within the first wc of its chunk
