@@ -34,8 +34,9 @@ ray_sort = sys.argv[3] == "1"
 
 import os
 stages = int(os.environ.get("SPT_STAGES", "2"))
+condense = os.environ.get("SPT_CONDENSE", "1") == "1"
 cfg = RenderConfig(width=W, height=H, spp=1, max_depth=depth, ray_sort=ray_sort,
-                   ray_sort_stages=stages)
+                   ray_sort_stages=stages, condense=condense)
 cam = Camera(position=center + np.array([0.0, 0.35, 1.1]) * extent,
              target=center, fov_degrees=60.0, aspect_ratio=W / H)
 kw = {} if lights_on else {"lights": LightManager().device()}

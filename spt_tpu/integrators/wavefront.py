@@ -367,6 +367,27 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     # _ray_sort_ok guarantees ray_sort_stages >= 1 before this path is taken.
     stages = min(cfg.ray_sort_stages, cfg.max_depth - 1)
 
+    # Measurement hook (benchmarks/stage_times.py): SPT_SORT_ABLATE=<stage>
+    # truncates the traced program right after that stage, returning a
+    # dummy radiance that DEPENDS on the stage's output (so nothing above
+    # it is dead-code-eliminated).  Prefix deltas give exact per-stage
+    # device costs.  Stages, in pipeline order: bounce0 sort1 condense
+    # bounce1 sort2 frame uncondense (unset = the real frame).
+    import os
+    ablate = os.environ.get("SPT_SORT_ABLATE", "")
+
+    class _AblateStop(Exception):
+        pass
+
+    def _ablate_out(x):
+        """Truncate tracing here: raise the dummy (radiance, rays) result
+        (a raise unwinds out of the nested pipeline closures; the catch
+        sits at the lax.cond bypass below)."""
+        x = x[:n] if x.shape[0] >= n else jnp.pad(x, (0, n - x.shape[0]))
+        rays = (jnp.zeros((cfg.max_depth,), jnp.int32)
+                + x[0].astype(jnp.int32))
+        raise _AblateStop((Vec3(x, x, x), rays))
+
     a = scene.accel
     lo = jnp.min(a.cluster_lo, axis=0)
     extent = jnp.max(a.cluster_hi, axis=0) - lo
@@ -384,6 +405,11 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     env0 = environment_color_v(env, ps.direction)
     rad0 = ps.radiance + v3.where(missed0, ps.throughput * env0, zero3)
     ps = ps._replace(radiance=zero3)
+    if ablate == "bounce0":
+        try:
+            _ablate_out(rad0.x + ps.direction.x)
+        except _AblateStop as stop:
+            return stop.args[0]
     missed0 = jnp.zeros_like(missed0)
 
     def pack_flags(ps, missed_ever):
@@ -450,6 +476,11 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
 
     ps, missed_ever, orig_lane = sort_state(ps, missed_ever, orig_lane,
                                             chunk, carry_rad=False)
+    if ablate == "sort1":
+        try:
+            _ablate_out(ps.direction.x + orig_lane.astype(jnp.float32))
+        except _AblateStop as stop:
+            return stop.args[0]
 
     def rest_of_frame(ps, missed_ever, lane, chunk_):
         """Bounces 1..S-1 with a re-sort after each, then fused_frame — at
@@ -462,8 +493,12 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
             ps, missed = pallas_bounce.fused_bounce(
                 cfg, scene, lights, ps, b, b == cfg.max_depth - 1)
             missed_ever = missed_ever | missed
+            if ablate == f"bounce{b}":
+                _ablate_out(ps.direction.x)
             ps, missed_ever, lane = sort_state(ps, missed_ever, lane,
                                                chunk_, carry_rad=True)
+            if ablate == f"sort{b + 1}":
+                _ablate_out(ps.direction.x + lane.astype(jnp.float32))
         rays_tail.append(jnp.sum(ps.alive.astype(jnp.int32)))
         radiance, direction, throughput, missed, rays_f = (
             pallas_bounce.fused_frame(cfg, scene, lights, ps,
@@ -474,6 +509,8 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
         z = jnp.zeros_like(radiance.x)
         radiance = radiance + v3.where(missed_ever, throughput * env_c,
                                        Vec3(z, z, z))
+        if ablate == "frame":
+            _ablate_out(radiance.x)
         rays = jnp.stack([jnp.zeros((), jnp.int32)] + rays_tail
                          + [rays_f[b] for b in range(stages + 1,
                                                      cfg.max_depth)])
@@ -481,8 +518,11 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
 
     plan = _condense_plan(cfg, n, chunk)
     if plan is None:
-        radiance, orig_lane, rays_rest = rest_of_frame(ps, missed_ever,
-                                                       orig_lane, chunk)
+        try:
+            radiance, orig_lane, rays_rest = rest_of_frame(ps, missed_ever,
+                                                           orig_lane, chunk)
+        except _AblateStop as stop:
+            return stop.args[0]
     else:
         wc, m, mp, sort_chunk = plan
         pos = jnp.arange(n, dtype=jnp.int32) % chunk
@@ -513,6 +553,8 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
             ], sort_chunk)
             (cox, coy, coz, cdx, cdy, cdz,
              ctx, cty, ctz, rng_s, flags_s) = sorted_ops
+            if ablate == "condense":
+                _ablate_out(cdx + cl_lane.astype(jnp.float32))
             zc = jnp.zeros_like(cox)
             ps_c = transport.PathState(
                 origin=Vec3(cox, coy, coz), direction=Vec3(cdx, cdy, cdz),
@@ -538,12 +580,25 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
 
             radiance = Vec3(scatter(out[0]), scatter(out[1]),
                             scatter(out[2]))
+            if ablate == "uncondense":
+                _ablate_out(radiance.x)
             return radiance, lane, rays
 
-        # gather-safety: every live lane within the first wc of its chunk
-        safe = jnp.max(jnp.where(ps.alive, pos, -1)) < wc
-        radiance, orig_lane, rays_rest = jax.lax.cond(
-            safe, finish_condensed, finish_plain, ps, missed_ever, orig_lane)
+        if ablate:
+            # measurement: bypass the safety cond so the truncation raise
+            # unwinds cleanly (the condensed branch is the one measured)
+            try:
+                radiance, orig_lane, rays_rest = finish_condensed(
+                    ps, missed_ever, orig_lane)
+            except _AblateStop as stop:
+                return stop.args[0]
+        else:
+            # gather-safety: every live lane within the first wc of its
+            # chunk
+            safe = jnp.max(jnp.where(ps.alive, pos, -1)) < wc
+            radiance, orig_lane, rays_rest = jax.lax.cond(
+                safe, finish_condensed, finish_plain, ps, missed_ever,
+                orig_lane)
 
     out = ray_sort.unsort_by_lane(orig_lane, [radiance.x, radiance.y,
                                               radiance.z], chunk)

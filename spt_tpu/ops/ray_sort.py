@@ -70,8 +70,19 @@ def sort_key(direction: Vec3, origin: Vec3, alive, lo, inv_extent) -> jnp.ndarra
     """uint32 sort key: dead lanes last; live lanes by direction octant then
     origin morton (the octant dominates the open-count win; morton is free).
 
+    SPT_SORT_KEY picks the bit layout for A/B experiments:
+      octant (default)  octant[3] | morton[27]
+      morton            morton[30] (direction ignored)
+      hybrid            morton_hi[9] | octant[3] | morton_lo[18]
+    The tracer culls clusters per 1024-lane tile, so the key decides
+    whether a tile's lanes share a direction cone (octant) or an origin
+    neighborhood (morton) — which one minimizes opens is scene-dependent
+    and measured, not assumed.
+
     `lo`/`inv_extent`: scene bounds (3,) f32 arrays for origin quantization.
     """
+    import os
+
     octant = ((direction.x < 0).astype(jnp.uint32) * 4
               + (direction.y < 0).astype(jnp.uint32) * 2
               + (direction.z < 0).astype(jnp.uint32))
@@ -90,7 +101,15 @@ def sort_key(direction: Vec3, origin: Vec3, alive, lo, inv_extent) -> jnp.ndarra
     morton = (spread(q(origin.x, 0))
               | (spread(q(origin.y, 1)) << 1)
               | (spread(q(origin.z, 2)) << 2))
-    key = (octant << jnp.uint32(27)) | (morton >> jnp.uint32(5))
+    mode = os.environ.get("SPT_SORT_KEY", "octant")
+    if mode == "morton":
+        key = morton
+    elif mode == "hybrid":
+        key = (((morton >> jnp.uint32(21)) << jnp.uint32(21))
+               | (octant << jnp.uint32(18))
+               | ((morton >> jnp.uint32(3)) & jnp.uint32(0x3FFFF)))
+    else:
+        key = (octant << jnp.uint32(27)) | (morton >> jnp.uint32(5))
     return jnp.where(alive, key, _DEAD_KEY)
 
 

@@ -37,7 +37,7 @@ def interpret_mode(monkeypatch):
 
 class TestFusedBounce:
     def test_matches_shade_core(self):
-        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=6)
+        cfg = RenderConfig(width=64, height=128, spp=1, max_depth=6)
         scene = flatten_scene(build_default_scene())
         lights = default_lights()
         cam = default_camera(cfg.width, cfg.height).rays()
@@ -267,7 +267,7 @@ class TestFusedFrame:
         from spt_tpu.env import make_procedural_environment
         from spt_tpu.integrators import wavefront as wf
 
-        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=4)
+        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=4)
         scene = flatten_scene(build_default_scene())
         env = make_procedural_environment()
         lights = default_lights()
@@ -328,7 +328,7 @@ class TestFusedFrame:
         from spt_tpu.lights import LightManager
         from spt_tpu.scene import build_cornell_box_scene
 
-        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=4)
+        cfg = RenderConfig(width=96, height=96, spp=1, max_depth=4)
         scene = flatten_scene(build_cornell_box_scene())
         env = make_procedural_environment()
         lights = LightManager().device()
@@ -390,12 +390,12 @@ class TestRaySort:
     def test_sorted_fused_frame_matches_unsorted(self, monkeypatch):
         # The sorted mesh frame must produce the same image as the plain
         # fused frame: sorting only regroups lanes; all shading is
-        # lane-local.  128x128 = 16384 lanes so the 8192-chunk engages.
+        # lane-local.  64x64 = 4096 lanes so the 2048-chunk engages.
         from spt_tpu.env import make_procedural_environment
         from spt_tpu.integrators import wavefront as wf
         from spt_tpu.ops.bvh import build_mesh_accel
 
-        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=3)
+        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=3)
         scene = flatten_scene(build_default_scene())
         accel = build_mesh_accel(np.asarray(scene.tri_v0),
                                  np.asarray(scene.tri_e1),
@@ -414,7 +414,7 @@ class TestRaySort:
             cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32),
             fused=True)
 
-        cfg_ns = RenderConfig(width=128, height=64, spp=1, max_depth=3,
+        cfg_ns = RenderConfig(width=64, height=64, spp=1, max_depth=3,
                               ray_sort=False)
         ps2 = transport.gen_primary(cfg_ns, cam, 0)
         got, sg = wf._wavefront_masked(
@@ -437,7 +437,7 @@ class TestRaySort:
         from spt_tpu.ops.bvh import build_mesh_accel
         from spt_tpu.scene import build_test_triangle_scene
 
-        cfg = RenderConfig(width=128, height=128, spp=1, max_depth=4)
+        cfg = RenderConfig(width=128, height=64, spp=1, max_depth=4)
         scene = flatten_scene(build_test_triangle_scene())
         accel = build_mesh_accel(np.asarray(scene.tri_v0),
                                  np.asarray(scene.tri_e1),
@@ -449,7 +449,7 @@ class TestRaySort:
         n = cfg.width * cfg.height
         from spt_tpu.ops import ray_sort
         plan = wf._condense_plan(cfg, n, ray_sort.chunk_size(n))
-        assert plan is not None, "condense plan must engage at 16384 lanes"
+        assert plan is not None, "condense plan must engage at 8192 lanes"
         wc, m, mp, sort_chunk = plan
         assert mp < n and mp % sort_chunk == 0
 
@@ -464,7 +464,7 @@ class TestRaySort:
             cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32),
             fused=True)
 
-        cfg_ns = RenderConfig(width=128, height=128, spp=1, max_depth=4,
+        cfg_ns = RenderConfig(width=128, height=64, spp=1, max_depth=4,
                               ray_sort=False)
         ps2 = transport.gen_primary(cfg_ns, cam, 0)
         got, sg = wf._wavefront_masked(

@@ -203,7 +203,7 @@ class TestTexturedFusedFrame:
         monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 1)
         assert pb._accel_mode(scene)
 
-        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=2)
+        cfg = RenderConfig(width=32, height=32, spp=1, max_depth=2)
         lm = LightManager()
         lm.add_directional_light((0.2, -0.4, -1.0), (1.0, 1.0, 1.0), 2.0)
         lights = lm.device()
@@ -223,8 +223,8 @@ class TestTexturedFusedFrame:
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    rtol=1e-4, atol=1e-5)
         # and the texture is actually visible: image has quadrant structure
-        img = np.asarray(got).reshape(64, 64, 3)
-        assert not np.allclose(img[20, 20], img[20, 45], atol=1e-3)
+        img = np.asarray(got).reshape(32, 32, 3)
+        assert not np.allclose(img[10, 10], img[10, 22], atol=1e-3)
 
 
 class TestPackedTextureTable:

@@ -159,7 +159,7 @@ class TestCompactedWavefront:
         # math, but a different XLA program, so float tolerance (exact on
         # TPU, small fma drift on the CPU test backend).
         scene, env, lights, cam = setup
-        cfg = CFG.replace(width=160, height=120)  # above the compaction floor
+        cfg = CFG.replace(width=128, height=80)  # above the compaction floor
         a, sa = render_wavefront(cfg, scene, env, lights, cam.rays(), 0, compact=False)
         b, sb = render_wavefront(cfg, scene, env, lights, cam.rays(), 0, compact=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
@@ -175,7 +175,7 @@ class TestCompactedWavefront:
         scene = flatten_scene(build_cornell_box_scene())
         env = make_procedural_environment()
         lights = LightManager().device()
-        cfg = RenderConfig(width=200, height=100, spp=1, max_depth=3)
+        cfg = RenderConfig(width=128, height=96, spp=1, max_depth=3)
         # camera inside the box so nearly every lane survives bounce 0
         cam = Camera(position=(0, 2.75, 2.5), target=(0, 2.75, 0.0),
                      fov_degrees=70.0, aspect_ratio=cfg.width / cfg.height)

@@ -98,6 +98,145 @@ def _kern(stage, n_clusters, k, n_sph,
         out_t[:] = best
         return
 
+    if stage == "opens":
+        # sub-blocked M-T (the production tri_block_min path)
+        def opens_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            tm, _wi = ptr.tri_block_min(blk, k, s, l, o3, d3,
+                                        np.float32(0.0),
+                                        tmax.reshape(1, s, l), False)
+            return key, jnp.minimum(best, tm)
+
+        _, best = jax.lax.fori_loop(0, count, opens_body, (key0, best))
+        out_t[:] = best
+        return
+
+    if stage == "openst":
+        # tm-only sub-blocked M-T: no winner-index/uv bookkeeping per open
+        # (sizes moving ALL winner resolution behind the resolve cond)
+        kb = ptr._sub_k(k)
+
+        def openst_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            tm = jnp.full((s, l), np.float32(1e30))
+            for k0 in range(0, k, kb):
+                ok, t, _u, _v = ptr._tri_sub_test(
+                    blk, k0, kb, o3, d3, np.float32(0.0),
+                    tmax.reshape(1, s, l))
+                tm = jnp.minimum(tm, jnp.min(
+                    jnp.where(ok, t, np.float32(1e30)), axis=0))
+            return key, jnp.minimum(best, tm)
+
+        _, best = jax.lax.fori_loop(0, count, openst_body, (key0, best))
+        out_t[:] = best
+        return
+
+    if stage == "openps":
+        # sub-blocked plane-based stand-in (FAKED columns, right cost):
+        # retry of the plane-vs-M-T A/B now that sub-blocking removed the
+        # VMEM spills the first A/B was bound by.
+        kb = ptr._sub_k(k)
+
+        def openps_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            u = ptr._unpack_sub
+            tm = jnp.full((s, l), np.float32(1e30))
+            for k0 in range(0, k, kb):
+                nx, ny, nz = (u(blk, i, k0, kb) for i in (9, 10, 11))
+                d0 = u(blk, 0, k0, kb)
+                gux, guy, guz = (u(blk, i, k0, kb) for i in (3, 4, 5))
+                cu = u(blk, 1, k0, kb)
+                gvx, gvy, gvz = (u(blk, i, k0, kb) for i in (6, 7, 8))
+                cv = u(blk, 2, k0, kb)
+                den = nx * d3[0] + ny * d3[1] + nz * d3[2]
+                num = d0 - (nx * o3[0] + ny * o3[1] + nz * o3[2])
+                t = num / jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+                px = o3[0] + t * d3[0]
+                py = o3[1] + t * d3[1]
+                pz = o3[2] + t * d3[2]
+                bu = gux * px + guy * py + guz * pz + cu
+                bv = gvx * px + gvy * py + gvz * pz + cv
+                ok = ((jnp.abs(den) > 1e-12) & (bu >= 0.0) & (bv >= 0.0)
+                      & (bu + bv <= 1.0) & (t > 0.0)
+                      & (t < tmax.reshape(1, s, l)))
+                tb = jnp.where(ok, t, np.float32(1e30))
+                tm = jnp.minimum(tm, jnp.min(tb, axis=0))
+            return key, jnp.minimum(best, tm)
+
+        _, best = jax.lax.fori_loop(0, count, openps_body, (key0, best))
+        out_t[:] = best
+        return
+
+    if stage in ("openmx", "openmxs"):
+        # plane-based test with the six (tri x ray) dot products as TWO
+        # dot_generals on the MXU: rows [n | gu | gv] (3K, 3) against the
+        # ray direction and origin planes (3, S*L).  FAKED coefficient
+        # columns (right cost, wrong results) — sizing the MXU offload
+        # before changing the builder layout.  openmxs sub-blocks at KB=16.
+        kb = k if stage == "openmx" else 16
+        sl = s * l
+        d_mat = jnp.concatenate(
+            [v.reshape(1, sl) for v in d3], axis=0)          # (3, SL)
+        o_mat = jnp.concatenate(
+            [v.reshape(1, sl) for v in o3], axis=0)          # (3, SL)
+
+        import os
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[
+                    os.environ.get("SPT_MX_PREC", "highest")]
+
+        def dot(g, m_):
+            return jax.lax.dot_general(
+                g, m_, (((1,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32)          # (KB, SL)
+
+        def openmx_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            tm2 = jnp.full((sl,), np.float32(1e30))
+            for k0 in range(0, k, kb):
+                # fake coefficient rows from existing contiguous columns
+                gn = blk[k0:k0 + kb, 0:3]
+                gu = blk[k0:k0 + kb, 3:6]
+                gv = blk[k0:k0 + kb, 6:9]
+                den = dot(gn, d_mat)
+                gud, gvd = dot(gu, d_mat), dot(gv, d_mat)
+                nod = dot(gn, o_mat)
+                guo, gvo = dot(gu, o_mat), dot(gv, o_mat)
+                d0 = blk[k0:k0 + kb, 0:1]
+                cu = blk[k0:k0 + kb, 1:2]
+                cv = blk[k0:k0 + kb, 2:3]
+                t = (d0 - nod) / jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+                bu = guo + cu + t * gud
+                bv = gvo + cv + t * gvd
+                ok = ((jnp.abs(den) > 1e-12) & (bu >= 0.0) & (bv >= 0.0)
+                      & (bu + bv <= 1.0) & (t > 0.0)
+                      & (t < tmax.reshape(1, sl)))
+                tb = jnp.where(ok, t, np.float32(1e30))
+                tm2 = jnp.minimum(tm2, jnp.min(tb, axis=0))
+            return key, jnp.minimum(best, tm2.reshape(s, l))
+
+        _, best = jax.lax.fori_loop(0, count, openmx_body, (key0, best))
+        out_t[:] = best
+        return
+
     if stage == "openx2":
         # two min-extractions + two block tests per iteration
         def x2_body(j, carry):
