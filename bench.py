@@ -123,11 +123,13 @@ def main():
     from spt_tpu.utils.cache import enable_default_cache
 
     enable_default_cache()
-    # 16-frame chains: the one host sync a chain needs costs ~45 ms through
-    # the relay, so shorter chains inflate the reported per-frame time
-    # (8 frames: +~6 ms/frame of pure measurement artifact).
+    # 128-frame chains: the one host sync a chain needs costs ~45 ms through
+    # the relay, so shorter chains inflate the reported per-frame time with
+    # pure measurement artifact (16-frame chains: +2.4 ms/frame on the
+    # default scene, 279 vs 380 Mrays/s; the curve plateaus at 128 — the
+    # frame step is a lax.fori_loop, so chain length is free in compile).
     width, height = 1920, 1080
-    warmup, iters = 2, 16
+    warmup, iters = 2, 128
     scene_name = "default"
     if "--quick" in sys.argv:
         width, height, iters = 640, 480, 8
@@ -135,6 +137,8 @@ def main():
         scene_name = sys.argv[sys.argv.index("--scene") + 1]
         if scene_name == "gltf":
             width, height = 512, 384
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
 
     # Config #5: the 1920x1080 progressive wavefront with an animated camera —
     # the camera orbits each frame, so every frame resets accumulation

@@ -196,10 +196,11 @@ def procedural_sky_v(d: "v3.Vec3") -> "v3.Vec3":
     return sky * 0.8
 
 
-def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
-    """Bilinear equirect lookup (device_programs.cu:374-387), Vec3 form.
-    The four texel gathers are unavoidable; everything else is lane math."""
-    h, w = image.shape[0], image.shape[1]
+def _equirect_taps(h: int, w: int, d: "v3.Vec3"):
+    """Texel-center bilinear tap setup (device_programs.cu:374-387): wrap
+    in u, per-tap clamp in v.  Shared by the XLA sampler below and the
+    Pallas kernel (ops/pallas_env) so both tap identical texels.
+    Returns (x0i, x1i, y0i, y1i, fx, fy)."""
     theta = jnp.arctan2(d.z, d.x)
     phi = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
     u = (theta + jnp.pi) / (2.0 * jnp.pi)
@@ -216,6 +217,14 @@ def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
     y0f = y0.astype(jnp.int32)
     y0i = jnp.clip(y0f, 0, h - 1)
     y1i = jnp.clip(y0f + 1, 0, h - 1)
+    return x0i, x1i, y0i, y1i, fx, fy
+
+
+def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
+    """Bilinear equirect lookup (device_programs.cu:374-387), Vec3 form.
+    The four texel gathers are unavoidable; everything else is lane math."""
+    h, w = image.shape[0], image.shape[1]
+    x0i, x1i, y0i, y1i, fx, fy = _equirect_taps(h, w, d)
 
     c00 = image[y0i, x0i]
     c01 = image[y0i, x1i]
@@ -227,11 +236,34 @@ def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
     return v3.Vec3.from_array(out)
 
 
-def environment_color_v(env: Environment, direction: "v3.Vec3") -> "v3.Vec3":
-    """getEnvironmentColor (EnvironmentManager.cpp:9-33), Vec3 form."""
+def environment_color_v(env: Environment, direction: "v3.Vec3",
+                        need=None) -> "v3.Vec3":
+    """getEnvironmentColor (EnvironmentManager.cpp:9-33), Vec3 form.
+
+    `need` (optional (N,) bool): the lanes whose result the caller will
+    actually use (e.g. missed_ever masks).  With a TPU and a tileable HDR
+    map the texel gathers then run as the Pallas tile sampler
+    (ops/pallas_env) — the XLA per-lane gather path measures 70.9 ms for
+    ONE 1080p evaluation against the 1024x2048 bench map, which was the
+    entire HDR bench config's frame time.  Lanes outside `need` return an
+    arbitrary texture term (the caller masks it); the procedural-sky side
+    is full-width either way."""
     d = v3.safe_normalize(direction)
     sky = procedural_sky_v(d)
-    tex = sample_equirect_v(env.image, d)
+    h, w = env.image.shape[0], env.image.shape[1]
+    use_pallas = False
+    if d.x.ndim == 1:
+        from spt_tpu.ops.pallas_env import pallas_env_ok
+
+        use_pallas = pallas_env_ok(env.image.shape, d.x.shape[0])
+    if use_pallas:
+        from spt_tpu.ops.pallas_env import sample_equirect_pallas
+
+        if need is None:
+            need = jnp.ones(d.x.shape, bool)
+        tex = sample_equirect_pallas(env.image, d, need)
+    else:
+        tex = sample_equirect_v(env.image, d)
     tex = v3.Vec3(
         jnp.minimum(tex.x, env.max_clamp) * env.intensity,
         jnp.minimum(tex.y, env.max_clamp) * env.intensity,

@@ -155,7 +155,7 @@ def shade(
     resolution to XLA.
     """
     new_ps, missed = shade_core(cfg, scene, lights, ps, hit, bounce, is_last)
-    env_c = environment_color_v(env, ps.direction)
+    env_c = environment_color_v(env, ps.direction, need=missed)
     radiance = new_ps.radiance + v3.where(
         missed, ps.throughput * env_c, Vec3.full((0, 0, 0), (ps.num_paths,))
     )

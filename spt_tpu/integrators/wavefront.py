@@ -153,7 +153,7 @@ def _bounce(cfg, scene, env, lights, ps, bounce, is_last, fused: bool = False):
     new_ps, missed = _bounce_core(cfg, scene, lights, ps, bounce, is_last, fused)
     from spt_tpu.env import environment_color_v
 
-    env_c = environment_color_v(env, ps.direction)
+    env_c = environment_color_v(env, ps.direction, need=missed)
     zero3 = Vec3.full((0, 0, 0), ps.rng.shape)
     radiance = new_ps.radiance + v3.where(missed, ps.throughput * env_c, zero3)
     return new_ps._replace(radiance=radiance)
@@ -402,7 +402,7 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     # heads and the sorts never carry a missed-at-bounce-0 flag.
     zeros = jnp.zeros_like(ps.rng, jnp.float32)
     zero3 = Vec3(zeros, zeros, zeros)
-    env0 = environment_color_v(env, ps.direction)
+    env0 = environment_color_v(env, ps.direction, need=missed0)
     rad0 = ps.radiance + v3.where(missed0, ps.throughput * env0, zero3)
     ps = ps._replace(radiance=zero3)
     if ablate == "bounce0":
@@ -505,7 +505,7 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
                                       start_bounce=stages)
         )
         missed_ever = missed_ever | missed
-        env_c = environment_color_v(env, direction)
+        env_c = environment_color_v(env, direction, need=missed_ever)
         z = jnp.zeros_like(radiance.x)
         radiance = radiance + v3.where(missed_ever, throughput * env_c,
                                        Vec3(z, z, z))
@@ -651,7 +651,7 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
             radiance, direction, throughput, missed_ever, rays = (
                 pallas_bounce.fused_frame(cfg, scene, lights, ps)
             )
-            env_c = environment_color_v(env, direction)
+            env_c = environment_color_v(env, direction, need=missed_ever)
             zero3 = Vec3.full((0, 0, 0), missed_ever.shape)
             radiance = radiance + v3.where(missed_ever, throughput * env_c,
                                            zero3)
@@ -680,7 +680,7 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
     bounce, ps, rays, missed_ever = jax.lax.while_loop(
         cond, body, (jnp.int32(0), ps, rays0, missed0)
     )
-    env_c = environment_color_v(env, ps.direction)
+    env_c = environment_color_v(env, ps.direction, need=missed_ever)
     zero3 = Vec3.full((0, 0, 0), ps.rng.shape)
     radiance = ps.radiance + v3.where(missed_ever, ps.throughput * env_c, zero3)
     rad = radiance.to_array()
