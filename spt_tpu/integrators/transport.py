@@ -200,16 +200,19 @@ def sample_texture_v(textures, tex_id, uvx, uvy):
     (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, TEX_RES)
     tid = jnp.maximum(tex_id, 0)
     n_tex = textures.shape[0]
-    col_flat = textures[:, :, 0].reshape(n_tex, -1)
-    mr_flat = textures[:, :, 1].reshape(n_tex, -1)
+    # fully-flat 1-D takes: ~30 % faster than 2-D [tid, flat] gathers on
+    # TPU (the equirect measurement, docs/DESIGN.md)
+    tex_sz = TEX_RES * TEX_RES
+    col_flat = textures[:, :, 0].reshape(n_tex * tex_sz)
+    mr_flat = textures[:, :, 1].reshape(n_tex * tex_sz)
 
     acc = [jnp.zeros_like(uvx) for _ in range(5)]
     for xi, wxi in ((x0, 1.0 - wx), (x1, wx)):
         for yi, wyi in ((y0, 1.0 - wy), (y1, wy)):
-            flat = yi * TEX_RES + xi
+            flat = tid * tex_sz + yi * TEX_RES + xi
             w = wxi * wyi
-            r, g, b = unpack_color(col_flat[tid, flat])
-            ro, me = unpack_mr(mr_flat[tid, flat])
+            r, g, b = unpack_color(jnp.take(col_flat, flat))
+            ro, me = unpack_mr(jnp.take(mr_flat, flat))
             for i, v in enumerate((r, g, b, ro, me)):
                 acc[i] = acc[i] + w * v
     has = tex_id >= 0
