@@ -119,9 +119,29 @@ def build_workload(scene_name: str, width: int, height: int):
                     camera=default_camera(width, height))
 
 
+def run_all():
+    """One JSON line per BASELINE config, each in its own subprocess (the
+    axon client can abort when one process runs several distinct large
+    programs — docs/DESIGN.md)."""
+    import os
+    import subprocess
+
+    for scene in ("default", "cornell", "gltf", "hdr", "anim"):
+        cmd = [sys.executable, os.path.abspath(__file__), "--scene", scene]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=900)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        print(lines[-1] if lines else
+              json.dumps({"metric": f"FAILED_{scene}",
+                          "stderr": out.stderr[-500:]}), flush=True)
+
+
 def main():
     from spt_tpu.utils.cache import enable_default_cache
 
+    if "--all" in sys.argv:
+        run_all()
+        return
     enable_default_cache()
     # 128-frame chains: the one host sync a chain needs costs ~45 ms through
     # the relay, so shorter chains inflate the reported per-frame time with

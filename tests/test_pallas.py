@@ -387,6 +387,58 @@ class TestRaySort:
                 + (np.asarray(d.z) < 0)).astype(np.uint32)
         np.testing.assert_array_equal((k[al] >> 27) & 7, oct_[al])
 
+    def test_sort_key_variants(self, monkeypatch):
+        # SPT_SORT_KEY layouts (A/B knob): every variant keeps the dead-last
+        # contract and only permutes live-lane order
+        from spt_tpu.ops import ray_sort
+
+        n = 256
+        rng = np.random.default_rng(8)
+        d = Vec3(*(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                   for _ in range(3)))
+        o = Vec3(*(jnp.asarray(rng.normal(size=n).astype(np.float32))
+                   for _ in range(3)))
+        alive = jnp.asarray(rng.random(n) < 0.5)
+        lo = jnp.asarray(np.float32([-3, -3, -3]))
+        inv = jnp.asarray(np.float32([1 / 6, 1 / 6, 1 / 6]))
+        al = np.asarray(alive)
+        for mode in ("morton", "hybrid", "octant"):
+            monkeypatch.setenv("SPT_SORT_KEY", mode)
+            k = np.asarray(ray_sort.sort_key(d, o, alive, lo, inv))
+            assert (k[al] < 0xFFFFFFFF).all(), mode
+            assert (k[~al] == 0xFFFFFFFF).all(), mode
+
+    def test_ablation_hook_truncates(self, monkeypatch):
+        # SPT_SORT_ABLATE (the stage_times.py measurement hook) must keep
+        # tracing a valid program at every stage — including the nested
+        # raise/catch that bypasses the condense safety cond.
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+        from spt_tpu.ops.bvh import build_mesh_accel
+        from spt_tpu.scene import build_test_triangle_scene
+
+        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=4)
+        scene = flatten_scene(build_test_triangle_scene())
+        accel = build_mesh_accel(np.asarray(scene.tri_v0),
+                                 np.asarray(scene.tri_e1),
+                                 np.asarray(scene.tri_e2),
+                                 np.asarray(scene.tri_mat), cluster_size=8)
+        scene = scene._replace(accel=accel)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 1)
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = Camera(position=(0.0, 1.0, 6.0), target=(0.0, 0.5, 0.0),
+                     fov_degrees=45.0, aspect_ratio=1.0).rays()
+        assert wf._ray_sort_ok(cfg, scene, cfg.width * cfg.height)
+        for stage in ("bounce0", "sort1", "condense", "bounce1", "sort2",
+                      "frame", "uncondense"):
+            monkeypatch.setenv("SPT_SORT_ABLATE", stage)
+            ps = transport.gen_primary(cfg, cam, 0)
+            rad, rays = wf._fused_mesh_sorted_frame(cfg, scene, env, lights,
+                                                    ps)
+            assert rad.x.shape == (cfg.width * cfg.height,), stage
+            assert rays.shape == (cfg.max_depth,), stage
+
     def test_sorted_fused_frame_matches_unsorted(self, monkeypatch):
         # The sorted mesh frame must produce the same image as the plain
         # fused frame: sorting only regroups lanes; all shading is
