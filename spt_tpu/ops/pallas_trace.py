@@ -149,20 +149,28 @@ def _sub_k(k: int) -> int:
 
 
 def _unpack_sub(blk, i, k0, kb):
-    return blk[k0:k0 + kb, i:i + 1].reshape(kb, 1, 1)
+    return blk[k0:k0 + kb, i:i + 1]
 
 
-def _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3):
+def _flat2(planes):
+    """(1, S, L) ray planes -> (1, S*L): the sub-block test runs on flat
+    2-D shapes — Mosaic lowers (KB, 1) x (1, S*L) broadcasts ~26 % faster
+    than the equivalent (KB, 1, 1) x (1, S, L) 3-D forms (measured,
+    tools/bench_trace_parts opens vs opens2d)."""
+    return tuple(p.reshape(1, p.shape[-2] * p.shape[-1]) for p in planes)
+
+
+def _tri_sub_test(blk, k0, kb, o2, d2, tmin, tmax2):
     """Moller-Trumbore of packed rows [k0, k0+kb) against the whole subtile:
-    (KB, 1, 1) triangle columns x (1, S, L) ray planes -> (KB, S, L).
+    (KB, 1) triangle columns x (1, S*L) flat ray planes -> (KB, S*L).
 
     Returns (ok, t, u, v): per-(triangle, lane) acceptance, distance and
     barycentrics.  Packed layout: bvh.MeshAccel.tri_pack."""
     v0x, v0y, v0z = (_unpack_sub(blk, i, k0, kb) for i in (0, 1, 2))
     e1x, e1y, e1z = (_unpack_sub(blk, i, k0, kb) for i in (3, 4, 5))
     e2x, e2y, e2z = (_unpack_sub(blk, i, k0, kb) for i in (6, 7, 8))
-    ox, oy, oz = o3
-    dx, dy, dz = d3
+    ox, oy, oz = o2
+    dx, dy, dz = d2
     hx = dy * e2z - dz * e2y
     hy = dz * e2x - dx * e2z
     hz = dx * e2y - dy * e2x
@@ -178,7 +186,7 @@ def _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3):
     ok = (
         (jnp.abs(a) > _MT_EPS)
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t > tmin) & (t < tmax3)
+        & (t > tmin) & (t < tmax2)
     )
     return ok, t, u, v
 
@@ -186,7 +194,12 @@ def _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3):
 def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
     """Whole-cluster Moller-Trumbore -> (K, S, L) planes (materializes the
     full block; prefer the sub-blocked folds below on the hot paths)."""
-    return _tri_sub_test(blk, 0, k, o3, d3, tmin, tmax3)
+    s, l = o3[0].shape[-2], o3[0].shape[-1]
+    o2, d2 = _flat2(o3), _flat2(d3)
+    (tmax2,) = _flat2((tmax3,))
+    ok, t, u, v = _tri_sub_test(blk, 0, k, o2, d2, tmin, tmax2)
+    return (ok.reshape(k, s, l), t.reshape(k, s, l),
+            u.reshape(k, s, l), v.reshape(k, s, l))
 
 
 def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
@@ -195,45 +208,62 @@ def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
     Returns (tm, wi[, pu, pv]): per-lane (S, L) minimum hit distance (_BIG
     when no row hits), the winning packed row index (-1 none; ties resolve
     to the highest row, matching the old whole-block argmax), and the
-    winner's barycentrics when `with_uv`.  Each sub-block's ~16 (KB, S, L)
+    winner's barycentrics when `with_uv`.  Each sub-block's ~16
     intermediates stay at vreg scale instead of spilling a (K, S, L) chain
-    through VMEM — see _sub_k."""
+    through VMEM (see _sub_k), and all math runs on flat (KB, S*L) 2-D
+    shapes (see _flat2)."""
     kb = _sub_k(k)
-    iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s, l), 0)
-    tm = jnp.full((s, l), _BIG)
-    wi = jnp.full((s, l), -1, jnp.int32)
+    sl = s * l
+    o2, d2 = _flat2(o3), _flat2(d3)
+    (tmax2,) = _flat2((tmax3,))
+    iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, sl), 0)
+    tm = jnp.full((1, sl), _BIG)
+    wi = jnp.full((1, sl), -1, jnp.int32)
     pu = pv = None
     if with_uv:
-        pu = jnp.zeros((s, l), jnp.float32)
-        pv = jnp.zeros((s, l), jnp.float32)
+        pu = jnp.zeros((1, sl), jnp.float32)
+        pv = jnp.zeros((1, sl), jnp.float32)
     for k0 in range(0, k, kb):
-        ok, t, bu, bv = _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3)
+        ok, t, bu, bv = _tri_sub_test(blk, k0, kb, o2, d2, tmin, tmax2)
         tb = jnp.where(ok, t, _BIG)
-        tm_s = jnp.min(tb, axis=0)
+        tm_s = jnp.min(tb, axis=0, keepdims=True)
         # ties within the sub-block: highest row wins (old behavior); ties
         # ACROSS sub-blocks: improvement is strict, so the first sub-block
         # with the minimum keeps it — the hit attributes of equal-t rows
         # are interchangeable downstream.
-        eq = tb == tm_s.reshape(1, s, l)
-        wi_s = jnp.max(jnp.where(eq, iota_kb + k0, -1), axis=0)
+        eq = tb == tm_s
+        wi_s = jnp.max(jnp.where(eq, iota_kb + k0, -1), axis=0,
+                       keepdims=True)
         improved = tm_s < tm
         if with_uv:
-            uniq = eq & ((iota_kb + k0) == wi_s.reshape(1, s, l))
-            pu = jnp.where(improved, jnp.sum(jnp.where(uniq, bu, 0.0), 0), pu)
-            pv = jnp.where(improved, jnp.sum(jnp.where(uniq, bv, 0.0), 0), pv)
+            uniq = eq & ((iota_kb + k0) == wi_s)
+            pu = jnp.where(improved,
+                           jnp.sum(jnp.where(uniq, bu, 0.0), 0,
+                                   keepdims=True), pu)
+            pv = jnp.where(improved,
+                           jnp.sum(jnp.where(uniq, bv, 0.0), 0,
+                                   keepdims=True), pv)
         wi = jnp.where(improved, wi_s, wi)
         tm = jnp.where(improved, tm_s, tm)
-    return (tm, wi, pu, pv) if with_uv else (tm, wi)
+    out = (tm.reshape(s, l), wi.reshape(s, l))
+    if with_uv:
+        out = out + (pu.reshape(s, l), pv.reshape(s, l))
+    return out
 
 
 def tri_block_any(blk, k, o3, d3, tmin, tmax3, blocked):
     """Sub-blocked any-hit pass: ORs each sub-block's row-reduced acceptance
-    into `blocked` ((S, L) int32) without materializing (K, S, L)."""
+    into `blocked` ((S, L) int32) without materializing the full block;
+    flat 2-D math (see _flat2)."""
     kb = _sub_k(k)
+    s, l = blocked.shape
+    o2, d2 = _flat2(o3), _flat2(d3)
+    (tmax2,) = _flat2((tmax3,))
+    acc = blocked.reshape(1, s * l)
     for k0 in range(0, k, kb):
-        ok, _, _, _ = _tri_sub_test(blk, k0, kb, o3, d3, tmin, tmax3)
-        blocked = blocked | jnp.any(ok, axis=0).astype(jnp.int32)
-    return blocked
+        ok, _, _, _ = _tri_sub_test(blk, k0, kb, o2, d2, tmin, tmax2)
+        acc = acc | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+    return acc.reshape(s, l)
 
 
 def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
@@ -278,7 +308,7 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
     tri_pack) and the HBM-streaming tracer (blocks DMA'd per supercluster,
     ops/pallas_stream)."""
     kb = _sub_k(k)
-    iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s, l), 0)
+    iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s * l), 0)
 
     def open_cluster(blk, carry):
         best_t = carry[0]
@@ -292,15 +322,16 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
         # any() predicate (both measured).
         def resolve(carry):
             best_t, best_mat, best_kind, ax, ay, az = carry[:6]
-            wi3 = wi.reshape(1, s, l)
+            wi2 = wi.reshape(1, s * l)
 
             def pick(i):
-                acc = jnp.zeros((s, l), jnp.float32)
+                acc = jnp.zeros((1, s * l), jnp.float32)
                 for k0 in range(0, k, kb):
-                    msk = (iota_kb + k0) == wi3
+                    msk = (iota_kb + k0) == wi2
                     col = _unpack_sub(blk, i, k0, kb)
-                    acc = acc + jnp.sum(jnp.where(msk, col, 0.0), axis=0)
-                return acc
+                    acc = acc + jnp.sum(jnp.where(msk, col, 0.0), axis=0,
+                                        keepdims=True)
+                return acc.reshape(s, l)
 
             best_mat = jnp.where(win, pick(12).astype(jnp.int32), best_mat)
             ax = jnp.where(win, pick(9), ax)

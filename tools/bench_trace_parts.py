@@ -120,22 +120,73 @@ def _kern(stage, n_clusters, k, n_sph,
         # (sizes moving ALL winner resolution behind the resolve cond)
         kb = ptr._sub_k(k)
 
+        o2f, d2f = ptr._flat2(o3), ptr._flat2(d3)
+        (tmax2f,) = ptr._flat2((tmax.reshape(1, s, l),))
+
         def openst_body(j, carry):
             key, best = carry
             m = jnp.min(key)
             c = m & ptr._OKEY_ID_MASK
             key = jnp.where(key == m, ptr._OKEY_MISS, key)
             blk = tri_pack[c]
-            tm = jnp.full((s, l), np.float32(1e30))
+            tm = jnp.full((1, s * l), np.float32(1e30))
             for k0 in range(0, k, kb):
                 ok, t, _u, _v = ptr._tri_sub_test(
-                    blk, k0, kb, o3, d3, np.float32(0.0),
-                    tmax.reshape(1, s, l))
+                    blk, k0, kb, o2f, d2f, np.float32(0.0), tmax2f)
                 tm = jnp.minimum(tm, jnp.min(
-                    jnp.where(ok, t, np.float32(1e30)), axis=0))
-            return key, jnp.minimum(best, tm)
+                    jnp.where(ok, t, np.float32(1e30)), axis=0,
+                    keepdims=True))
+            return key, jnp.minimum(best, tm.reshape(s, l))
 
         _, best = jax.lax.fori_loop(0, count, openst_body, (key0, best))
+        out_t[:] = best
+        return
+
+    if stage == "opens2d":
+        # sub-blocked M-T with (KB, S*L) 2-D shapes instead of (KB, 8, 128)
+        # 3-D — does Mosaic lower the flat layout's broadcasts better?
+        kb = ptr._sub_k(k)
+        sl = s * l
+        o2 = tuple(v.reshape(1, sl) for v in o3)
+        d2 = tuple(v.reshape(1, sl) for v in d3)
+        tmax2 = tmax.reshape(1, sl)
+
+        def u2(blk, i, k0):
+            return blk[k0:k0 + kb, i:i + 1]
+
+        def opens2d_body(j, carry):
+            key, best = carry
+            m = jnp.min(key)
+            c = m & ptr._OKEY_ID_MASK
+            key = jnp.where(key == m, ptr._OKEY_MISS, key)
+            blk = tri_pack[c]
+            tm = jnp.full((1, sl), np.float32(1e30))
+            for k0 in range(0, k, kb):
+                v0x, v0y, v0z = (u2(blk, i, k0) for i in (0, 1, 2))
+                e1x, e1y, e1z = (u2(blk, i, k0) for i in (3, 4, 5))
+                e2x, e2y, e2z = (u2(blk, i, k0) for i in (6, 7, 8))
+                ox, oy, oz = o2
+                dx, dy, dz = d2
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / jnp.where(jnp.abs(a) > 1e-12, a, 1.0)
+                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t > np.float32(0.0)) & (t < tmax2))
+                tm = jnp.minimum(tm, jnp.min(
+                    jnp.where(ok, t, np.float32(1e30)), axis=0,
+                    keepdims=True))
+            return key, jnp.minimum(best, tm.reshape(s, l))
+
+        _, best = jax.lax.fori_loop(0, count, opens2d_body, (key0, best))
         out_t[:] = best
         return
 
@@ -144,6 +195,8 @@ def _kern(stage, n_clusters, k, n_sph,
         # retry of the plane-vs-M-T A/B now that sub-blocking removed the
         # VMEM spills the first A/B was bound by.
         kb = ptr._sub_k(k)
+        op, dp = ptr._flat2(o3), ptr._flat2(d3)
+        (tmaxp,) = ptr._flat2((tmax.reshape(1, s, l),))
 
         def openps_body(j, carry):
             key, best = carry
@@ -152,7 +205,7 @@ def _kern(stage, n_clusters, k, n_sph,
             key = jnp.where(key == m, ptr._OKEY_MISS, key)
             blk = tri_pack[c]
             u = ptr._unpack_sub
-            tm = jnp.full((s, l), np.float32(1e30))
+            tm = jnp.full((1, s * l), np.float32(1e30))
             for k0 in range(0, k, kb):
                 nx, ny, nz = (u(blk, i, k0, kb) for i in (9, 10, 11))
                 d0 = u(blk, 0, k0, kb)
@@ -160,20 +213,19 @@ def _kern(stage, n_clusters, k, n_sph,
                 cu = u(blk, 1, k0, kb)
                 gvx, gvy, gvz = (u(blk, i, k0, kb) for i in (6, 7, 8))
                 cv = u(blk, 2, k0, kb)
-                den = nx * d3[0] + ny * d3[1] + nz * d3[2]
-                num = d0 - (nx * o3[0] + ny * o3[1] + nz * o3[2])
+                den = nx * dp[0] + ny * dp[1] + nz * dp[2]
+                num = d0 - (nx * op[0] + ny * op[1] + nz * op[2])
                 t = num / jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
-                px = o3[0] + t * d3[0]
-                py = o3[1] + t * d3[1]
-                pz = o3[2] + t * d3[2]
+                px = op[0] + t * dp[0]
+                py = op[1] + t * dp[1]
+                pz = op[2] + t * dp[2]
                 bu = gux * px + guy * py + guz * pz + cu
                 bv = gvx * px + gvy * py + gvz * pz + cv
                 ok = ((jnp.abs(den) > 1e-12) & (bu >= 0.0) & (bv >= 0.0)
-                      & (bu + bv <= 1.0) & (t > 0.0)
-                      & (t < tmax.reshape(1, s, l)))
+                      & (bu + bv <= 1.0) & (t > 0.0) & (t < tmaxp))
                 tb = jnp.where(ok, t, np.float32(1e30))
-                tm = jnp.minimum(tm, jnp.min(tb, axis=0))
-            return key, jnp.minimum(best, tm)
+                tm = jnp.minimum(tm, jnp.min(tb, axis=0, keepdims=True))
+            return key, jnp.minimum(best, tm.reshape(s, l))
 
         _, best = jax.lax.fori_loop(0, count, openps_body, (key0, best))
         out_t[:] = best
