@@ -254,7 +254,6 @@ def environment_color_v(env: Environment, direction: "v3.Vec3",
     is full-width either way."""
     d = v3.safe_normalize(direction)
     sky = procedural_sky_v(d)
-    h, w = env.image.shape[0], env.image.shape[1]
     use_pallas = False
     if d.x.ndim == 1:
         from spt_tpu.ops.pallas_env import pallas_env_ok
