@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate the camera DEG degrees around the target "
                         "each frame (animated-camera benchmark; progressive "
                         "accumulation resets on motion, GLRenderer.cpp:145-161)")
-    p.add_argument("--integrator", choices=["masked", "compact", "regen"],
+    p.add_argument("--integrator",
+                   choices=["masked", "compact", "regen", "megakernel"],
                    default="masked",
                    help="wavefront lane scheduling: masked lanes (default, "
                         "fastest on TPU), compacted queues, or per-lane path "

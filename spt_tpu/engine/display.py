@@ -100,6 +100,13 @@ def run_viewer(renderer, max_fps: float = 30.0) -> None:
                 renderer.camera.process_mouse(0.0, 15.0)
             elif key == "DOWN":
                 renderer.camera.process_mouse(0.0, -15.0)
+            elif key == "g":
+                # integrator toggle: the reference's G backend switch
+                # (GLRenderer.cpp:263-277) — resets accumulation
+                name = renderer.toggle_integrator()
+                sys.stdout.write(f"\x1b[2J\x1b[H\x1b[0mintegrator: {name} "
+                                 "(compiling...)\n")
+                sys.stdout.flush()
 
             renderer.render_frame()
             frames += 1

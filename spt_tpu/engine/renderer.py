@@ -43,8 +43,22 @@ def _frame_step(
 ):
     """One progressive frame: render cfg.spp samples at the state's
     frame_index and fold them into the accumulation."""
-    img, stats = render_wavefront(cfg, scene, env, lights, camera,
-                                  frame_index=rstate.frame_index)
+    if cfg.integrator == "megakernel":
+        # the reference's CPU-backend role (PathTracer::renderImage) behind
+        # the same progressive engine; per-bounce telemetry is a wavefront
+        # concept, so stats report primaries only
+        from spt_tpu.integrators.megakernel import render_megakernel
+        from spt_tpu.integrators.wavefront import WavefrontStats
+
+        img = render_megakernel(cfg, scene, env, lights, camera,
+                                frame_index=rstate.frame_index)
+        rays = jnp.zeros((cfg.max_depth,), jnp.int32).at[0].set(
+            cfg.num_pixels)
+        stats = WavefrontStats(rays_per_bounce=rays,
+                               bounces_run=jnp.int32(cfg.max_depth))
+    else:
+        img, stats = render_wavefront(cfg, scene, env, lights, camera,
+                                      frame_index=rstate.frame_index)
     new_state = state_mod.accumulate(rstate, img.reshape(-1, 3), float(cfg.spp))
     return new_state, stats
 
@@ -157,6 +171,22 @@ class Renderer:
         else:
             self._step = _jitted_step(self.cfg)
         self._resolve = _jitted_resolve(self.cfg)
+
+    def toggle_integrator(self) -> str:
+        """Flip wavefront <-> megakernel and reset accumulation — the
+        reference's 'G' backend toggle (GLRenderer.cpp:263-277: switching
+        backends resets accumulation so images stay comparable).  Returns
+        the new integrator name.  Single-chip only (the sharded step is a
+        wavefront program); no-op on a device mesh."""
+        if self.mesh is not None:
+            return self.cfg.integrator
+        new = ("megakernel" if self.cfg.integrator != "megakernel"
+               else "masked")
+        self.cfg = self.cfg.replace(integrator=new)
+        self._step = _jitted_step(self.cfg)
+        self._resolve = _jitted_resolve(self.cfg)
+        self.state = state_mod.reset(self.state)
+        return new
 
     # --- frame loop -----------------------------------------------------------
 

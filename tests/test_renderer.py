@@ -18,6 +18,45 @@ def make_renderer():
                     camera=default_camera(CFG.width, CFG.height))
 
 
+TOGGLE_CFG = RenderConfig(width=16, height=16, spp=1, max_depth=2)
+
+
+class TestIntegratorToggle:
+    def test_megakernel_through_renderer_matches_wavefront(self):
+        # cfg.integrator="megakernel" runs the reference-CPU-backend role
+        # behind the same progressive engine (same transport, same RNG)
+        a = Renderer(build_default_scene(), TOGGLE_CFG,
+                     camera=default_camera(16, 16), multi_device=False)
+        a.render_frame()
+        b = Renderer(build_default_scene(),
+                     TOGGLE_CFG.replace(integrator="megakernel"),
+                     camera=default_camera(16, 16), multi_device=False)
+        b.render_frame()
+        np.testing.assert_allclose(np.asarray(a.state.accum),
+                                   np.asarray(b.state.accum),
+                                   rtol=1e-3, atol=5e-4)
+        # telemetry degrades gracefully: primaries counted, bounces opaque
+        assert (int(np.asarray(b.last_stats.rays_per_bounce)[0])
+                == TOGGLE_CFG.num_pixels)
+
+    def test_toggle_resets_accumulation(self):
+        # the reference's 'G' switch resets accumulation
+        # (GLRenderer.cpp:263-277).  Single chip: the toggle no-ops on a
+        # device mesh (the sharded step is a wavefront program).
+        r = Renderer(build_default_scene(), TOGGLE_CFG,
+                     camera=default_camera(16, 16), multi_device=False)
+        r.render_frame()
+        r.render_frame()
+        assert r.accumulated_samples == 2 * TOGGLE_CFG.spp
+        name = r.toggle_integrator()
+        assert name == "megakernel"
+        assert r.accumulated_samples == 0
+        r.render_frame()
+        assert r.accumulated_samples == TOGGLE_CFG.spp
+        assert r.toggle_integrator() == "masked"
+        assert r.accumulated_samples == 0
+
+
 class TestProgressive:
     def test_accumulation_counts(self):
         r = make_renderer()
