@@ -430,8 +430,10 @@ class TestRaySort:
         cam = Camera(position=(0.0, 1.0, 6.0), target=(0.0, 0.5, 0.0),
                      fov_degrees=45.0, aspect_ratio=1.0).rays()
         assert wf._ray_sort_ok(cfg, scene, cfg.width * cfg.height)
-        for stage in ("bounce0", "sort1", "condense", "bounce1", "sort2",
-                      "frame", "uncondense"):
+        # one stage per control-flow shape: a top-level return (sort1), the
+        # raise unwinding out of finish_condensed (condense), and out of
+        # rest_of_frame (frame) — the other stages share these paths
+        for stage in ("sort1", "condense", "frame"):
             monkeypatch.setenv("SPT_SORT_ABLATE", stage)
             ps = transport.gen_primary(cfg, cam, 0)
             rad, rays = wf._fused_mesh_sorted_frame(cfg, scene, env, lights,
@@ -443,11 +445,13 @@ class TestRaySort:
         # The sorted mesh frame must produce the same image as the plain
         # fused frame: sorting only regroups lanes; all shading is
         # lane-local.  64x64 = 4096 lanes so the 2048-chunk engages.
+        # (depth 2: the multi-stage depth-4 path is covered by the
+        # condensed-tail and ablation tests)
         from spt_tpu.env import make_procedural_environment
         from spt_tpu.integrators import wavefront as wf
         from spt_tpu.ops.bvh import build_mesh_accel
 
-        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=3)
+        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=2)
         scene = flatten_scene(build_default_scene())
         accel = build_mesh_accel(np.asarray(scene.tri_v0),
                                  np.asarray(scene.tri_e1),
@@ -466,7 +470,7 @@ class TestRaySort:
             cfg, scene, env, lights, ps, jnp.zeros((4,), jnp.int32),
             fused=True)
 
-        cfg_ns = RenderConfig(width=64, height=64, spp=1, max_depth=3,
+        cfg_ns = RenderConfig(width=64, height=64, spp=1, max_depth=2,
                               ray_sort=False)
         ps2 = transport.gen_primary(cfg_ns, cam, 0)
         got, sg = wf._wavefront_masked(
