@@ -104,6 +104,36 @@ class TestShardedRenderer:
         r1.render_frame(check_camera=False)
         np.testing.assert_allclose(img, r1.image(), rtol=1e-3, atol=2e-3)
 
+    def test_accel_scene_sharded_matches_single(self):
+        # a mesh (accel) scene on a device mesh: the cluster tables
+        # replicate with the rest of the scene and the sharded render is
+        # radiometrically the single-chip one (the reference's multi-mesh
+        # CPU path never had a multi-device analog to compare against)
+        from spt_tpu.camera import Camera
+        from spt_tpu.engine.renderer import Renderer
+        from spt_tpu.scene import SceneDesc
+        from spt_tpu.scene.desc import Material, MeshData
+
+        rng = np.random.default_rng(11)
+        nv = 200
+        sc = SceneDesc()
+        sc.add_material(Material(base_color=(0.7, 0.5, 0.3)))
+        mid = sc.add_mesh(MeshData(
+            positions=rng.uniform(-1.5, 1.5, (nv, 3)).astype(np.float32),
+            indices=rng.integers(0, nv, (400, 3)).astype(np.uint32)))
+        sc.add_instance(mid)
+        cfg = CFG.replace(width=32, height=32, max_depth=3)
+        cam = Camera(position=(0, 0, 5.0), target=(0, 0, 0),
+                     fov_degrees=50.0, aspect_ratio=1.0)
+        r8 = Renderer(sc, cfg, camera=cam)
+        assert r8.mesh is not None
+        assert r8.scene.accel is not None
+        r8.render_frame(check_camera=False)
+        r1 = Renderer(sc, cfg, camera=cam, multi_device=False)
+        r1.render_frame(check_camera=False)
+        np.testing.assert_allclose(r8.image(), r1.image(),
+                                   rtol=1e-3, atol=2e-3)
+
     def test_renderer_odd_height_falls_back(self):
         from spt_tpu.engine.renderer import Renderer
         from spt_tpu.scene import build_default_scene
