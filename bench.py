@@ -101,6 +101,20 @@ def build_workload(scene_name: str, width: int, height: int):
                      fov_degrees=50.0, aspect_ratio=width / height)
         return Renderer(build_cornell_box_scene(), cfg,
                         lights=LightManager().device(), camera=cam)
+    if scene_name == "bigmesh":
+        # Config #6: reference-scale mesh — a 4x4 chair grid (~98k tris,
+        # 8x past the VMEM tracer's MAX_RESIDENT_TRIS), rendered through
+        # the fused "stream" pipeline (opened superclusters DMA through
+        # VMEM scratch inside the fused kernels).
+        from spt_tpu.scene import build_chair_grid_scene
+
+        desc, center, radius = build_chair_grid_scene()
+        cfg = RenderConfig(width=width, height=height, spp=1, max_depth=4)
+        cam = Camera(position=tuple(center + np.array([0.3, 0.35, 1.0])
+                                    * radius),
+                     target=tuple(center), fov_degrees=45.0,
+                     aspect_ratio=width / height)
+        return Renderer(desc, cfg, camera=cam)
     if scene_name == "gltf":
         from spt_tpu.io.gltf import bounding_box, load_gltf
 
@@ -126,10 +140,15 @@ def run_all():
     import os
     import subprocess
 
-    for scene in ("default", "cornell", "gltf", "hdr", "anim"):
+    for scene in ("default", "cornell", "gltf", "hdr", "anim", "bigmesh"):
         cmd = [sys.executable, os.path.abspath(__file__), "--scene", scene]
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=900)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=900)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": f"FAILED_{scene}",
+                              "stderr": "timeout after 900 s"}), flush=True)
+            continue
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         print(lines[-1] if lines else
               json.dumps({"metric": f"FAILED_{scene}",
@@ -157,6 +176,12 @@ def main():
         scene_name = sys.argv[sys.argv.index("--scene") + 1]
         if scene_name == "gltf":
             width, height = 512, 384
+        if scene_name == "bigmesh":
+            # shorter chains: (a) frames are ~10x the chair's, so 32 still
+            # amortizes the sync to <1%; (b) DMA-scratch kernels have
+            # faulted the TPU worker at ~128 chained invocations (axon
+            # quirk), and the stream kernels DMA every opened super.
+            width, height, iters = 512, 384, 32
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
 

@@ -25,26 +25,9 @@ CHAIR = "/root/reference/assets/models/rattan_dining_chair/scene.gltf"
 
 
 def build_chair_grid(nx: int = 4, nz: int = 4):
-    from spt_tpu.io.gltf import bounding_box, load_gltf
+    from spt_tpu.scene import build_chair_grid_scene
 
-    desc = load_gltf(CHAIR)
-    lo, hi = bounding_box(desc)
-    dx, dz = (hi - lo)[0] * 1.3, (hi - lo)[2] * 1.3
-    base = list(desc.instances)
-    for gx in range(nx):
-        for gz in range(nz):
-            if gx == 0 and gz == 0:
-                continue
-            t = np.eye(4, dtype=np.float32)
-            t[0, 3], t[2, 3] = gx * dx, gz * dz
-            for inst in base:
-                desc.add_instance(inst.mesh_id, t @ inst.world_from_object,
-                                  inst.material_id)
-    center = 0.5 * (lo + hi)
-    center[0] += (nx - 1) * dx / 2
-    center[2] += (nz - 1) * dz / 2
-    radius = float(np.linalg.norm(hi - lo)) * max(nx, nz)
-    return desc, center, radius
+    return build_chair_grid_scene(nx, nz, path=CHAIR)
 
 
 def primary_rays(center, radius, width, height):
@@ -96,11 +79,43 @@ def time_trace(scene, o, d, iters, label):
     return ms
 
 
+def render_e2e(desc, center, radius, width, height, png):
+    """Stage C: full end-to-end render through the Renderer (the fused
+    stream-mode sorted pipeline), reporting ms/frame, and a PNG."""
+    from spt_tpu.camera import Camera
+    from spt_tpu.config import RenderConfig
+    from spt_tpu.engine.renderer import Renderer
+
+    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=4)
+    cam = Camera(position=tuple(center + np.array([0.3, 0.35, 1.0]) * radius),
+                 target=tuple(center), fov_degrees=45.0,
+                 aspect_ratio=width / height)
+    r = Renderer(desc, cfg, camera=cam)
+    r.camera.reset_movement_tracking()
+    chain = 8
+    r.render_frames(chain)
+    _ = float(np.asarray(r.state.accum[:1]).sum())
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r.render_frames(chain)
+        _ = float(np.asarray(r.state.accum[:1]).sum())
+        trials.append((time.perf_counter() - t0) / chain * 1e3)
+    ms = float(np.median(trials))
+    rays = int(np.asarray(r.last_stats.rays_per_bounce).sum()) // chain
+    print(f"e2e: {ms:.1f} ms/frame, {rays / ms / 1e3:.1f} Mrays/s "
+          f"(live rays only, depth {cfg.max_depth})")
+    r.save_png(png)
+    print(f"wrote {png}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-chunked", action="store_true")
+    ap.add_argument("--skip-render", action="store_true")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--png", default="/tmp/stream_e2e.png")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -127,6 +142,12 @@ def main():
         finally:
             isect._pallas_ok = orig
         print(f"speedup {ms_chunk / ms_stream:.1f}x")
+
+    if not args.skip_render:
+        # Stage C in a clean scene/renderer (same process: the trace-kernel
+        # programs above are small; the renderer program is the big one and
+        # runs last so no later program re-executes after it)
+        render_e2e(desc, center, radius, args.width, args.height, args.png)
 
 
 if __name__ == "__main__":

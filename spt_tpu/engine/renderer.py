@@ -162,6 +162,16 @@ class Renderer:
             from spt_tpu.parallel import make_mesh, shard_pixels, sharded_frame_step
             from spt_tpu.parallel.sharding import replicate
 
+            if self.cfg.integrator == "megakernel":
+                # The sharded step is a wavefront program; silently shading
+                # with a different backend than the user asked for would be
+                # a lie (render_wavefront treats unknown integrator values
+                # as 'masked').
+                raise ValueError(
+                    "integrator='megakernel' is single-chip only; use the "
+                    "wavefront integrators (masked/compact/regen) on a "
+                    "device mesh"
+                )
             self.mesh = make_mesh()
             self._step = sharded_frame_step(self.cfg, self.mesh)
             self.state = shard_pixels(self.mesh, self.state)
@@ -180,8 +190,13 @@ class Renderer:
         wavefront program); no-op on a device mesh."""
         if self.mesh is not None:
             return self.cfg.integrator
-        new = ("megakernel" if self.cfg.integrator != "megakernel"
-               else "masked")
+        if self.cfg.integrator != "megakernel":
+            # remember the wavefront lane scheduling so the second toggle
+            # restores what the user selected (not a hardcoded 'masked')
+            self._wavefront_integrator = self.cfg.integrator
+            new = "megakernel"
+        else:
+            new = getattr(self, "_wavefront_integrator", "masked")
         self.cfg = self.cfg.replace(integrator=new)
         self._step = _jitted_step(self.cfg)
         self._resolve = _jitted_resolve(self.cfg)

@@ -353,7 +353,7 @@ def shade_core(
                                   g3(emitters.e2), g3(emitters.le))
             earea = emitters.area[pick]
         # uniform point on the triangle
-        su = jnp.sqrt(jnp.maximum(xu1, 0.0))
+        su = sampling.safe_sqrt(xu1)
         b1 = 1.0 - su
         b2 = xu2 * su
         pe = ev0 + ee1 * b1 + ee2 * b2

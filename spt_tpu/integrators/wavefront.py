@@ -286,7 +286,16 @@ def _condense_plan(cfg, n: int, chunk: int):
     if not getattr(cfg, "condense", True):
         return None
     import os
-    cap = int(os.environ.get("SPT_CONDENSE_CHUNK", "32768"))
+    try:
+        cap = int(os.environ.get("SPT_CONDENSE_CHUNK", "32768"))
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPT_CONDENSE_CHUNK={os.environ['SPT_CONDENSE_CHUNK']!r} is "
+            "not an integer; using the default 32768"
+        )
+        cap = 32768
     n_chunks = n // chunk
     cfg_w = int(getattr(cfg, "condense_width", 0))
     if cfg_w > 0:

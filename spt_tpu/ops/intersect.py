@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spt_tpu.ops import math3d as m3
 from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.scene.flatten import DeviceScene
 
@@ -126,7 +127,7 @@ def _sph_scalar_test(scene, i, o: Vec3, d: Vec3, tmin, tmax, best_t):
     b = ocx * d.x + ocy * d.y + ocz * d.z
     c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = m3.safe_sqrt(disc)  # grad-safe: miss lanes are masked
     t0 = -b - sq
     t1 = -b + sq
     t = jnp.where((t0 > tmin) & (t0 < tmax), t0, t1)
@@ -234,7 +235,7 @@ def _sph_chunk_test(o, d, center, radius, tmin, tmax):
     c = jnp.sum(oc * oc, axis=-1) - radius[None, :] * radius[None, :]
     disc = b * b - c
     ok = (disc > 0.0) & (radius[None, :] > 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = m3.safe_sqrt(disc)  # grad-safe: miss lanes are masked
     t0 = -b - sq
     t1 = -b + sq
     tmaxc = tmax[:, None]

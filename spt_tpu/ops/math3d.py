@@ -24,10 +24,25 @@ def length(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(dot(v, v))
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(x, 0)) with a finite gradient everywhere.
+
+    Plain `sqrt(maximum(x, 0))` has derivative +inf at x == 0 — hit
+    constantly by masked lanes (sphere discriminants, TIR, sin-from-cos), so
+    jax.grad through a render turns 0-cotangent * inf into NaN.  The
+    double-where pins the untaken branch's primal at 1.0 so its zero
+    cotangent never meets an inf/overflowed derivative (the differentiable
+    megakernel path; the Pallas kernels keep the raw form — nothing
+    differentiates through them and selects cost in the hot loops)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def safe_normalize(v: jnp.ndarray) -> jnp.ndarray:
     """Normalize; zero vectors map to zero (wf_math.h:28-33 safe_normalize)."""
     len2 = dot(v, v)
-    inv = jnp.where(len2 > 0.0, 1.0 / jnp.sqrt(jnp.maximum(len2, 1e-30)), 0.0)
+    ok = len2 > 0.0
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, len2, 1.0)), 0.0)
     return v * inv[..., None]
 
 
@@ -36,7 +51,7 @@ def normalize_or(v: jnp.ndarray, fallback: jnp.ndarray) -> jnp.ndarray:
     repeated `len2 > 0 ? v*rsqrt(len2) : n` pattern, device_programs.cu:441-451)."""
     len2 = dot(v, v)
     ok = len2 > 0.0
-    inv = 1.0 / jnp.sqrt(jnp.maximum(len2, 1e-30))
+    inv = 1.0 / jnp.sqrt(jnp.where(ok, len2, 1.0))
     return jnp.where(ok[..., None], v * inv[..., None], fallback)
 
 
@@ -56,7 +71,7 @@ def refract(i: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
     cosi = jnp.clip(-dot(n, i), -1.0, 1.0)
     sin2t = eta * eta * jnp.maximum(0.0, 1.0 - cosi * cosi)
     can = sin2t <= 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2t))
+    cost = safe_sqrt(1.0 - sin2t)
     t = eta[..., None] * i + (eta * cosi - cost)[..., None] * n
     t = safe_normalize(t)
     return jnp.where(can[..., None], t, 0.0), can

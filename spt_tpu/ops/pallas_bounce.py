@@ -47,11 +47,20 @@ TILE_ROWS = 64                   # 8192 lanes per grid step
 TILE_ROWS_MESH = 8               # accel mode: finer tiles -> tighter unions
 MAX_PALLAS_PRIMS = 192           # matches intersect.UNROLL_LIMIT
 MAX_PALLAS_MATERIALS = 16
-# Accel (mesh) mode: the packed triangle table must fit VMEM next to the
-# path-state tiles — (C, K, 16) pads its minor dim to 128 lanes, so
-# C*K triangles cost C*K*512 bytes (12288 -> 6 MB).
+# Accel (mesh) modes:
+# - "resident": the packed triangle table sits whole in VMEM next to the
+#   path-state tiles — (C, K, 24) pads its minor dim to 128 lanes, so
+#   C*K triangles cost C*K*512 bytes (12288 -> 6 MB).
+# - "stream": beyond that, the 128-padded table stays in HBM and opened
+#   superclusters DMA through a (SUPER_FAN, K, 128) VMEM scratch
+#   (ops/pallas_stream's traversal run INSIDE the fused kernels), so the
+#   fused fast path has no scene-size ceiling below the 16-bit cluster-id
+#   packing (MAX_STREAM_CLUSTERS * K triangles; ~1M at K=64) — the any-size
+#   role of rtcCommitScene / optixAccelBuild (EmbreeBackend.cpp:181,
+#   OptixBackend.cpp:916-1034).
 MAX_ACCEL_TRIS = 12288
 MAX_ACCEL_SPHERES = 16
+MAX_STREAM_CLUSTERS = 1 << 14   # bvh cl_okey rank<<16|id packing limit
 
 
 class _Col:
@@ -125,15 +134,22 @@ MAX_PALLAS_EMITTERS = 16
 MAX_PALLAS_TEXTURES = 4
 
 
-def _accel_mode(scene: DeviceScene) -> bool:
+def _accel_mode(scene: DeviceScene):
     """Mesh scenes trace through the cluster tables inside the fused kernels
-    (pallas_trace.closest_hit_tile) instead of the rolled prim loops."""
+    instead of the rolled prim loops.  Returns "resident" (tri_pack whole in
+    VMEM, pallas_trace.closest_hit_tile), "stream" (tri_stream in HBM,
+    pallas_stream.stream_closest_tile), or None (no accel path)."""
     if scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS:
-        return False
+        return None
     a = scene.accel
-    return (a is not None
-            and a.num_clusters * a.cluster_size <= MAX_ACCEL_TRIS
-            and scene.num_spheres <= MAX_ACCEL_SPHERES)
+    if a is None or scene.num_spheres > MAX_ACCEL_SPHERES:
+        return None
+    if a.num_clusters * a.cluster_size <= MAX_ACCEL_TRIS:
+        return "resident"
+    if (a.tri_stream.shape[0] > 1
+            and a.num_clusters <= MAX_STREAM_CLUSTERS):
+        return "stream"
+    return None
 
 
 def explain_decline(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
@@ -150,10 +166,17 @@ def explain_decline(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
                 f"{n_prims} primitives > {MAX_PALLAS_PRIMS} and no accel built"
             )
         else:
-            if a.num_clusters * a.cluster_size > MAX_ACCEL_TRIS:
+            if (a.num_clusters * a.cluster_size > MAX_ACCEL_TRIS
+                    and a.tri_stream.shape[0] <= 1):
                 reasons.append(
                     f"{a.num_clusters * a.cluster_size} accel triangles > "
-                    f"MAX_ACCEL_TRIS={MAX_ACCEL_TRIS}"
+                    f"MAX_ACCEL_TRIS={MAX_ACCEL_TRIS} and no streaming "
+                    f"table built"
+                )
+            if a.num_clusters > MAX_STREAM_CLUSTERS:
+                reasons.append(
+                    f"{a.num_clusters} clusters > "
+                    f"MAX_STREAM_CLUSTERS={MAX_STREAM_CLUSTERS}"
                 )
             if scene.num_spheres > MAX_ACCEL_SPHERES:
                 reasons.append(
@@ -451,12 +474,19 @@ def _make_texture_sampler(tex_ref, n_tex: int):
 
 
 def _make_trace_impls(accel_dims, accel_refs,
-                      sph_c, sph_r, sph_m, n_sphs, with_uv: bool = False):
+                      sph_c, sph_r, sph_m, n_sphs, with_uv: bool = False,
+                      scratch=None, sem=None):
     """Build the kernel's (closest(scene, ps), occluded(...)) pair.
 
-    Small scenes stream the rolled prim loops; accel (mesh) scenes traverse
-    the cluster tables via pallas_trace's tile functions, keeping path state
-    in VMEM across trace+shade exactly like the small-scene path."""
+    Small scenes stream the rolled prim loops; "resident" accel scenes
+    traverse the VMEM cluster tables via pallas_trace's tile functions;
+    "stream" accel scenes traverse via pallas_stream's tile functions
+    (tri_hbm in ANY space, DMA through `scratch`/`sem`).  Either way, path
+    state stays in VMEM across trace+shade exactly like the small-scene
+    path.
+
+    `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_okey, sup_lo, sup_hi,
+    sup_okey, tri_hbm); unused members are 1-row dummies per mode."""
     if accel_dims is None:
         def closest(scene, ps):
             return _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
@@ -465,18 +495,49 @@ def _make_trace_impls(accel_dims, accel_refs,
 
     import numpy as _np
 
-    from spt_tpu.ops import pallas_trace
+    mode, n_clusters, k = accel_dims
+    if mode == "stream":
+        from spt_tpu.ops import pallas_stream
 
-    n_clusters, k = accel_dims
+        cl_lo, cl_hi, _, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm = \
+            accel_refs
+        stream_refs = (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey,
+                       tri_hbm)
+
+        def closest_res(ps, tmax):
+            return pallas_stream.stream_closest_tile(
+                stream_refs, k, n_sphs, _np.float32(0.0),
+                sph_c, sph_r, sph_m, ps.origin, ps.direction, tmax,
+                scratch, sem, with_uv=with_uv,
+            )
+
+        def any_res(o, d, tmin, tm):
+            return pallas_stream.stream_any_tile(
+                stream_refs, k, n_sphs, _np.float32(tmin),
+                sph_c, sph_r, sph_m, o, d, tm, scratch, sem,
+            )
+    else:
+        from spt_tpu.ops import pallas_trace
+
+        vmem_refs = accel_refs[:4]
+
+        def closest_res(ps, tmax):
+            return pallas_trace.closest_hit_tile(
+                vmem_refs, n_clusters, k, n_sphs,
+                _np.float32(0.0), sph_c, sph_r, sph_m,
+                ps.origin, ps.direction, tmax, with_uv=with_uv,
+            )
+
+        def any_res(o, d, tmin, tm):
+            return pallas_trace.any_hit_tile(
+                vmem_refs, n_clusters, k, n_sphs,
+                _np.float32(tmin), sph_c, sph_r, sph_m, o, d, tm,
+            )
 
     def closest(scene, ps):
         # dead lanes trace with tmax = 0 (see transport.trace_bounce)
         tmax = jnp.where(ps.alive, _np.float32(1e30), _np.float32(0.0))
-        res = pallas_trace.closest_hit_tile(
-            accel_refs, n_clusters, k, n_sphs,
-            _np.float32(0.0), sph_c, sph_r, sph_m,
-            ps.origin, ps.direction, tmax, with_uv=with_uv,
-        )
+        res = closest_res(ps, tmax)
         t, nx, ny, nz, mat, kind = res[:6]
         t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
         return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind,
@@ -487,10 +548,7 @@ def _make_trace_impls(accel_dims, accel_refs,
         tm = _np.float32(1e30) if tmax is None else tmax
         tm = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), o.x.shape)
         tm = jnp.minimum(tm, _np.float32(1e30))
-        blocked = pallas_trace.any_hit_tile(
-            accel_refs, n_clusters, k, n_sphs,
-            _np.float32(tmin), sph_c, sph_r, sph_m, o, d, tm,
-        )
+        blocked = any_res(o, d, tmin, tm)
         return blocked != 0
 
     return closest, occluded
@@ -507,19 +565,24 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans, m_texid,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
-            a_cl_lo, a_cl_hi, a_pack, a_cl_okey, a_tex,
-            # outputs
+            a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
+            a_sup_lo, a_sup_hi, a_sup_okey, a_tex, tri_hbm,
+            # outputs (then DMA scratch+sem in "stream" accel mode)
             o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed):
+            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
+            *stream_scratch):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
     textured = n_tex > 0
+    scratch, sem = stream_scratch if stream_scratch else (None, None)
     closest_impl, occluded_impl = _make_trace_impls(
-        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey),
+        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
+                     a_sup_lo, a_sup_hi, a_sup_okey, tri_hbm),
         sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
+        scratch=scratch, sem=sem,
     )
     texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
@@ -592,18 +655,22 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
 
 
 def _accel_inputs(scene: DeviceScene):
-    """(accel_dims, n_tex, accel_tables, tri_tables) for the fused kernels.
+    """(accel_dims, n_tex, accel_tables, tri_tables, tri_stream) for the
+    fused kernels.
 
     In accel mode the flat per-triangle tables are replaced by 1-row dummies
     (the cluster tracer reads tri_pack instead; keeping the real (C*K, 3)
     tables resident would waste MBs of VMEM).  The last accel table is the
     packed texture tile table (n_tex*TEX_TILES*2, 8, 128) int32 — row
     (t*TEX_TILES + q)*2 + plane; see _make_texture_sampler — or a 1-row
-    dummy when untextured."""
+    dummy when untextured.  In "stream" mode tri_pack is a dummy too and
+    `tri_stream` is the real 128-padded HBM table (rides in ANY space);
+    otherwise tri_stream is a (1, 1, 128) dummy."""
     def col(a):
         return a.reshape(-1, 1)
 
-    textured = _accel_mode(scene) and scene.textures is not None
+    mode = _accel_mode(scene)
+    textured = mode is not None and scene.textures is not None
     if textured:
         tex = scene.textures.reshape(-1, 8, 128)
         n_tex = scene.textures.shape[0]
@@ -611,19 +678,42 @@ def _accel_inputs(scene: DeviceScene):
         tex = jnp.zeros((1, 8, 128), jnp.int32)
         n_tex = 0
 
-    if _accel_mode(scene):
+    z83 = jnp.zeros((8, 3), jnp.float32)
+    zi = jnp.zeros((8, 1, 1), jnp.int32)
+    pack_dummy = jnp.zeros((1, 8, 24), jnp.float32)
+    stream_dummy = jnp.zeros((1, 1, 128), jnp.float32)
+
+    if mode is not None:
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
         tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
-        accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack, a.cl_okey,
-                        tex]
-        return (a.num_clusters, a.cluster_size), n_tex, accel_tables, tri_tables
-    z83 = jnp.zeros((8, 3), jnp.float32)
-    zi = jnp.zeros((8, 1, 1), jnp.int32)
-    accel_tables = [z83, z83, jnp.zeros((1, 8, 24), jnp.float32), zi, tex]
+        if mode == "stream":
+            accel_tables = [a.cluster_lo, a.cluster_hi, pack_dummy,
+                            a.cl_okey, a.sup_lo, a.sup_hi, a.sup_okey, tex]
+            tri_stream = a.tri_stream
+        else:
+            accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack,
+                            a.cl_okey, z83, z83, zi, tex]
+            tri_stream = stream_dummy
+        return ((mode, a.num_clusters, a.cluster_size), n_tex,
+                accel_tables, tri_tables, tri_stream)
+    accel_tables = [z83, z83, pack_dummy, zi, z83, z83, zi, tex]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
                   col(scene.tri_mat)]
-    return None, n_tex, accel_tables, tri_tables
+    return None, n_tex, accel_tables, tri_tables, stream_dummy
+
+
+def _stream_scratch_shapes(accel_dims):
+    """Scratch for the "stream" accel mode: the (SUPER_FAN, K, 128) VMEM
+    block opened superclusters DMA through, plus its semaphore (shared
+    sequentially by the closest and shadow traces).  Empty otherwise."""
+    if accel_dims is None or accel_dims[0] != "stream":
+        return []
+    from spt_tpu.ops.bvh import SUPER_FAN
+
+    k = accel_dims[2]
+    return [pltpu.VMEM((SUPER_FAN, k, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA]
 
 
 def fused_bounce(
@@ -668,7 +758,8 @@ def fused_bounce(
     else:
         z13 = jnp.zeros((1, 3), jnp.float32)
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
-    accel_dims, n_tex, accel_tables, tri_tables = _accel_inputs(scene)
+    accel_dims, n_tex, accel_tables, tri_tables, tri_stream = \
+        _accel_inputs(scene)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
@@ -698,6 +789,7 @@ def fused_bounce(
         [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         + [block] * 15
         + [table_spec(a) for a in tables]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)]
     )
     out_specs = [block] * 16
     f32 = jnp.float32
@@ -719,7 +811,8 @@ def fused_bounce(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-    )(params, *state_in, *tables)
+        scratch_shapes=_stream_scratch_shapes(accel_dims),
+    )(params, *state_in, *tables, tri_stream)
 
     def r1(a):
         return a.reshape(n)
@@ -748,9 +841,11 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   m_texid,
                   l_kind, l_vec, l_color, l_int, l_att,
                   e_v0, e_e1, e_e2, e_le, e_area,
-                  a_cl_lo, a_cl_hi, a_pack, a_cl_okey, a_tex,
+                  a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
+                  a_sup_lo, a_sup_hi, a_sup_okey, a_tex, tri_hbm,
                   o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-                  o_rx, o_ry, o_rz, o_missed, o_bounces):
+                  o_rx, o_ry, o_rz, o_missed, o_bounces,
+                  *stream_scratch):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -767,9 +862,12 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     bounce0 = params_ref[0, 0]
     textured = n_tex > 0
 
+    scratch, sem = stream_scratch if stream_scratch else (None, None)
     closest_impl, occluded_impl = _make_trace_impls(
-        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey),
+        accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
+                     a_sup_lo, a_sup_hi, a_sup_okey, tri_hbm),
         sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
+        scratch=scratch, sem=sem,
     )
     texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
@@ -890,7 +988,8 @@ def fused_frame(
     else:
         z13 = jnp.zeros((1, 3), jnp.float32)
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
-    accel_dims, n_tex, accel_tables, tri_tables = _accel_inputs(scene)
+    accel_dims, n_tex, accel_tables, tri_tables, tri_stream = \
+        _accel_inputs(scene)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
@@ -917,6 +1016,7 @@ def fused_frame(
         [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         + [block] * 15
         + [table_spec(a) for a in tables]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)]
     )
     out_specs = [block] * 11
     f32 = jnp.float32
@@ -934,7 +1034,8 @@ def fused_frame(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-    )(params, *state_in, *tables)
+        scratch_shapes=_stream_scratch_shapes(accel_dims),
+    )(params, *state_in, *tables, tri_stream)
 
     def r1(a):
         return a.reshape(n)

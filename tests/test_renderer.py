@@ -56,6 +56,29 @@ class TestIntegratorToggle:
         assert r.toggle_integrator() == "masked"
         assert r.accumulated_samples == 0
 
+    def test_toggle_restores_selected_lane_scheduling(self):
+        # Toggling from 'regen' must come BACK to 'regen', not hardcoded
+        # 'masked' (round-3 advisor finding).
+        r = Renderer(build_default_scene(),
+                     TOGGLE_CFG.replace(integrator="regen"),
+                     camera=default_camera(16, 16), multi_device=False)
+        assert r.toggle_integrator() == "megakernel"
+        assert r.toggle_integrator() == "regen"
+
+    def test_megakernel_rejected_on_device_mesh(self):
+        # A mesh renderer silently substituting the masked wavefront for a
+        # requested megakernel would lie about the backend (round-3 advisor
+        # finding); it must raise instead.
+        import jax
+        import pytest
+
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        cfg = TOGGLE_CFG.replace(integrator="megakernel", height=16)
+        with pytest.raises(ValueError, match="single-chip"):
+            Renderer(build_default_scene(), cfg,
+                     camera=default_camera(16, 16), multi_device=True)
+
 
 class TestProgressive:
     def test_accumulation_counts(self):
