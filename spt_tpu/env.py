@@ -197,11 +197,11 @@ def procedural_sky_v(d: "v3.Vec3") -> "v3.Vec3":
     return sky * 0.8
 
 
-def _equirect_taps(h: int, w: int, d: "v3.Vec3"):
-    """Texel-center bilinear tap setup (device_programs.cu:374-387): wrap
-    in u, per-tap clamp in v.  Shared by the XLA sampler below and the
-    Pallas kernel (ops/pallas_env) so both tap identical texels.
-    Returns (x0i, x1i, y0i, y1i, fx, fy)."""
+def _equirect_taps_raw(h: int, w: int, d: "v3.Vec3"):
+    """The minimal independent tap state: (x0i wrapped, y0f UNclipped floor,
+    fx, fy).  The second taps and the v clips are pure derivations
+    (_derive_taps) — ops/pallas_env's sorted sampler carries exactly this
+    through its coherence sort and re-derives the rest."""
     theta = jnp.arctan2(d.z, d.x)
     phi = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
     u = (theta + jnp.pi) / (2.0 * jnp.pi)
@@ -214,11 +214,26 @@ def _equirect_taps(h: int, w: int, d: "v3.Vec3"):
     fx = x - x0
     fy = y - y0
     x0i = jnp.mod(x0.astype(jnp.int32), w)
+    return x0i, y0.astype(jnp.int32), fx, fy
+
+
+def _derive_taps(h: int, w: int, x0i, y0f, fx, fy):
+    """(x0i, y0f, fx, fy) -> (x0i, x1i, y0i, y1i, fx, fy): wrap in u,
+    per-tap clamp in v.  y1 must derive from the UNCLIPPED floor — at the
+    top pole row (y0f = -1) both taps clamp to row 0."""
     x1i = jnp.mod(x0i + 1, w)
-    y0f = y0.astype(jnp.int32)
     y0i = jnp.clip(y0f, 0, h - 1)
     y1i = jnp.clip(y0f + 1, 0, h - 1)
     return x0i, x1i, y0i, y1i, fx, fy
+
+
+def _equirect_taps(h: int, w: int, d: "v3.Vec3"):
+    """Texel-center bilinear tap setup (device_programs.cu:374-387): wrap
+    in u, per-tap clamp in v.  Shared by the XLA sampler below and the
+    Pallas kernel (ops/pallas_env) so both tap identical texels.
+    Returns (x0i, x1i, y0i, y1i, fx, fy)."""
+    x0i, y0f, fx, fy = _equirect_taps_raw(h, w, d)
+    return _derive_taps(h, w, x0i, y0f, fx, fy)
 
 
 def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
@@ -254,12 +269,21 @@ def environment_color_v(env: Environment, direction: "v3.Vec3",
     is full-width either way."""
     d = v3.safe_normalize(direction)
     sky = procedural_sky_v(d)
-    use_pallas = False
+    use_pallas = use_sorted = False
     if d.x.ndim == 1:
-        from spt_tpu.ops.pallas_env import pallas_env_ok
+        from spt_tpu.ops.pallas_env import (pallas_env_ok,
+                                            pallas_env_sorted_ok)
 
-        use_pallas = pallas_env_ok(env.image.shape, d.x.shape[0])
-    if use_pallas:
+        use_sorted = pallas_env_sorted_ok(env.image.shape, d.x.shape[0])
+        use_pallas = not use_sorted and pallas_env_ok(env.image.shape,
+                                                      d.x.shape[0])
+    if use_sorted:
+        from spt_tpu.ops.pallas_env import sample_equirect_pallas_sorted
+
+        if need is None:
+            need = jnp.ones(d.x.shape, bool)
+        tex = sample_equirect_pallas_sorted(env.image, d, need)
+    elif use_pallas:
         from spt_tpu.ops.pallas_env import sample_equirect_pallas
 
         if need is None:

@@ -402,17 +402,23 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
     extent = jnp.max(a.cluster_hi, axis=0) - lo
     inv_extent = 1.0 / jnp.maximum(extent, 1e-9)
 
+    env_in_kernel = pallas_bounce.env_in_kernel_ok(env)
     ps, missed0 = pallas_bounce.fused_bounce(cfg, scene, lights, ps, 0,
-                                             cfg.max_depth == 1)
+                                             cfg.max_depth == 1, env=env)
     # Settle primary misses HERE, in pixel order: their env term needs only
     # the (unchanged) primary direction and throughput, and applying it
     # before the sort means every lane that is dead from the first sort on
     # owes NOTHING — the condensed tail can zero-fill outside the gathered
-    # heads and the sorts never carry a missed-at-bounce-0 flag.
+    # heads and the sorts never carry a missed-at-bounce-0 flag.  With the
+    # in-kernel env the kernel already settled them (missed0 is all-False
+    # and ps.radiance contains the term) — same invariant, no XLA gather.
     zeros = jnp.zeros_like(ps.rng, jnp.float32)
     zero3 = Vec3(zeros, zeros, zeros)
-    env0 = environment_color_v(env, ps.direction, need=missed0)
-    rad0 = ps.radiance + v3.where(missed0, ps.throughput * env0, zero3)
+    if env_in_kernel:
+        rad0 = ps.radiance
+    else:
+        env0 = environment_color_v(env, ps.direction, need=missed0)
+        rad0 = ps.radiance + v3.where(missed0, ps.throughput * env0, zero3)
     ps = ps._replace(radiance=zero3)
     if ablate == "bounce0":
         try:
@@ -500,7 +506,7 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
         for b in range(1, stages):
             rays_tail.append(jnp.sum(ps.alive.astype(jnp.int32)))
             ps, missed = pallas_bounce.fused_bounce(
-                cfg, scene, lights, ps, b, b == cfg.max_depth - 1)
+                cfg, scene, lights, ps, b, b == cfg.max_depth - 1, env=env)
             missed_ever = missed_ever | missed
             if ablate == f"bounce{b}":
                 _ablate_out(ps.direction.x)
@@ -511,13 +517,14 @@ def _fused_mesh_sorted_frame(cfg, scene, env, lights, ps):
         rays_tail.append(jnp.sum(ps.alive.astype(jnp.int32)))
         radiance, direction, throughput, missed, rays_f = (
             pallas_bounce.fused_frame(cfg, scene, lights, ps,
-                                      start_bounce=stages)
+                                      start_bounce=stages, env=env)
         )
         missed_ever = missed_ever | missed
-        env_c = environment_color_v(env, direction, need=missed_ever)
-        z = jnp.zeros_like(radiance.x)
-        radiance = radiance + v3.where(missed_ever, throughput * env_c,
-                                       Vec3(z, z, z))
+        if not env_in_kernel:
+            env_c = environment_color_v(env, direction, need=missed_ever)
+            z = jnp.zeros_like(radiance.x)
+            radiance = radiance + v3.where(missed_ever, throughput * env_c,
+                                           Vec3(z, z, z))
         if ablate == "frame":
             _ablate_out(radiance.x)
         rays = jnp.stack([jnp.zeros((), jnp.int32)] + rays_tail
@@ -658,12 +665,14 @@ def _wavefront_masked(cfg, scene, env, lights, ps, rays0, fused: bool = False,
                                                       ps)
         else:
             radiance, direction, throughput, missed_ever, rays = (
-                pallas_bounce.fused_frame(cfg, scene, lights, ps)
+                pallas_bounce.fused_frame(cfg, scene, lights, ps, env=env)
             )
-            env_c = environment_color_v(env, direction, need=missed_ever)
-            zero3 = Vec3.full((0, 0, 0), missed_ever.shape)
-            radiance = radiance + v3.where(missed_ever, throughput * env_c,
-                                           zero3)
+            if not pallas_bounce.env_in_kernel_ok(env):
+                env_c = environment_color_v(env, direction,
+                                            need=missed_ever)
+                zero3 = Vec3.full((0, 0, 0), missed_ever.shape)
+                radiance = radiance + v3.where(missed_ever,
+                                               throughput * env_c, zero3)
         if n_pad:
             radiance = jax.tree.map(lambda a: a[:n], radiance)
         rad = radiance.to_array()

@@ -32,6 +32,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -382,6 +383,90 @@ def _rolled_occluded(scene, o, d, tmin=1e-4, tmax=None):
 _TEXKEY_MISS = 0x7FFFFFFF
 
 
+def env_in_kernel_ok(env) -> bool:
+    """Static: should the fused kernels resolve the env term per bounce
+    IN-KERNEL instead of deferring it to one XLA gather after the loop?
+
+    This is the reference's structure — the env fetch lives inside the
+    shade kernel (device_programs.cu:374-412) — and it is a measured LOSS
+    on this machine: the hdr glass config renders at 442 ms/frame in-kernel
+    vs 53 deferred (the fused frame's (64, 128) tiles pay the row-gather
+    loop 8x per distinct map tile, and glass-scattered bounce misses touch
+    many tiles).  OFF unless SPT_ENV_KERNEL=1; the production path stays
+    the deferred flat XLA takes (the chunk-sorted Pallas variant also
+    measured a loss — pallas_env.pallas_env_sorted_ok has the numbers).
+    Kept tested for (8, 128)-tile mesh workloads.
+    Needs an (8, 128)-tileable map; the decision must be static (callers
+    skip their deferred gather at trace time), so it reads shapes, never
+    values.
+    """
+    import os
+
+    if env is None or os.environ.get("SPT_ENV_KERNEL", "0") != "1":
+        return False
+    h, w = env.image.shape[0], env.image.shape[1]
+    return h >= 8 and h % 8 == 0 and w >= LANES and w % LANES == 0
+
+
+def _sky_tile(d):
+    """env.procedural_sky_v with the float pows replaced by integer
+    squaring chains (Mosaic has no reliable f32 pow; x**8 and x**64 are
+    3 and 6 squarings — bit-identical is not required, the oracle gates
+    are tolerance-based)."""
+    from spt_tpu.env import SUN_DIRECTION
+    from spt_tpu.ops import math3d as m3
+
+    t = m3.smoothstep(0.0, 1.0, 0.5 * (d.y + 1.0))
+    sky = Vec3(0.7 * (1.0 - t) + 0.2 * t,
+               0.8 * (1.0 - t) + 0.4 * t,
+               0.9 * (1.0 - t) + 0.8 * t)
+    sun = SUN_DIRECTION
+    sun_dot = jnp.maximum(
+        d.x * jnp.float32(sun[0]) + d.y * jnp.float32(sun[1])
+        + d.z * jnp.float32(sun[2]), 0.0)
+    p2 = sun_dot * sun_dot
+    p8 = (p2 * p2) * (p2 * p2)
+    p64 = ((p8 * p8) * (p8 * p8)) * ((p8 * p8) * (p8 * p8))
+    glow = p64 + p8 * 0.3
+    sky = sky + Vec3(glow * 1.0, glow * 0.9, glow * 0.7)
+    return sky * 0.8
+
+
+def _make_env_fn(env_dims, env_params, env_hbm, escratch, esem):
+    """Build the kernel's env_fn(direction, need) -> Vec3 with
+    env.environment_color_v's exact semantics (safe-normalize, bilinear
+    equirect sample OR procedural sky selected by the `enabled` scalar,
+    clamp * intensity): the tap setup runs on the polynomial inverse trig
+    (ops/kernel_trig) and the texel gathers stream map tiles HBM -> VMEM
+    (ops/pallas_env.env_gather_tile).  `env_params` is the (1, 4) f32 SMEM
+    row [intensity, max_clamp, enabled, 0] — traced Environment scalars
+    ride in as data, the map SHAPE is static."""
+    from spt_tpu.ops import pallas_env
+    from spt_tpu.ops import vec3 as v3
+
+    h, w = env_dims
+    wt = np.int32(w // LANES)
+    n_tiles = np.int32((h // 8) * (w // LANES))
+
+    def env_fn(direction, need):
+        intensity = env_params[0, 0]
+        max_clamp = env_params[0, 1]
+        enabled = env_params[0, 2] > 0.0
+        d = v3.safe_normalize(direction)
+        taps = pallas_env.env_taps_tile(h, w, d)
+        raw = pallas_env.env_gather_tile(env_hbm, escratch, esem, wt,
+                                         n_tiles, need, *taps)
+        tex = Vec3(jnp.minimum(raw.x, max_clamp) * intensity,
+                   jnp.minimum(raw.y, max_clamp) * intensity,
+                   jnp.minimum(raw.z, max_clamp) * intensity)
+        sky = _sky_tile(d)
+        return Vec3(jnp.where(enabled, tex.x, sky.x),
+                    jnp.where(enabled, tex.y, sky.y),
+                    jnp.where(enabled, tex.z, sky.z))
+
+    return env_fn
+
+
 def _gather_rc(tile, r, c, s, l):
     """tile[r[i,j], c[i,j]] for one (8, 128) tile and (s, l) index planes.
     Composes the two Mosaic dynamic_gather directions: a lane-gather picks
@@ -554,7 +639,27 @@ def _make_trace_impls(accel_dims, accel_refs,
     return closest, occluded
 
 
+def _split_tail(accel_dims, env_dims, n_outs, rest):
+    """Parse a kernel's trailing positional args: the optional env inputs
+    (env_params SMEM row + pre-tiled map in ANY space), the `n_outs` output
+    refs, then scratch in declaration order (stream DMA pair, env DMA
+    pair).  Returns (env_fn_or_None, outs, stream_scratch_pair)."""
+    if env_dims is not None:
+        env_params, env_hbm = rest[0], rest[1]
+        rest = rest[2:]
+    outs, scratch = rest[:n_outs], rest[n_outs:]
+    if accel_dims is not None and accel_dims[0] == "stream":
+        stream_pair = scratch[:2]
+        scratch = scratch[2:]
+    else:
+        stream_pair = (None, None)
+    env_fn = (_make_env_fn(env_dims, env_params, env_hbm, scratch[0],
+                           scratch[1]) if env_dims is not None else None)
+    return env_fn, outs, stream_pair
+
+
 def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
+            env_dims,
             n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
             # scalar params
             params_ref,
@@ -567,17 +672,18 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             e_v0, e_e1, e_e2, e_le, e_area,
             a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
             a_sup_lo, a_sup_hi, a_sup_okey, a_tex, tri_hbm,
-            # outputs (then DMA scratch+sem in "stream" accel mode)
-            o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-            o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed,
-            *stream_scratch):
+            # then: optional env inputs, outputs, scratch (_split_tail)
+            *rest):
     from spt_tpu.integrators import transport
     from spt_tpu.scene.flatten import EmitterTable
 
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
     textured = n_tex > 0
-    scratch, sem = stream_scratch if stream_scratch else (None, None)
+    env_fn, outs, (scratch, sem) = _split_tail(accel_dims, env_dims, 16,
+                                               rest)
+    (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
+     o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed) = outs
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
                      a_sup_lo, a_sup_hi, a_sup_okey, tri_hbm),
@@ -624,6 +730,24 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             occluded_fn=occluded_impl,
             texture_fn=texture_fn,
         )
+        if env_fn is not None:
+            # settle the env term NOW, while this bounce's misses are
+            # image-coherent (transport.shade's structure, in-kernel):
+            # missed lanes keep their pre-bounce direction and throughput
+            env_c = env_fn(ps.direction, missed)
+            zero = jnp.zeros_like(missed, jnp.float32)
+            new_ps = new_ps._replace(radiance=Vec3(
+                new_ps.radiance.x + jnp.where(missed,
+                                              ps.throughput.x * env_c.x,
+                                              zero),
+                new_ps.radiance.y + jnp.where(missed,
+                                              ps.throughput.y * env_c.y,
+                                              zero),
+                new_ps.radiance.z + jnp.where(missed,
+                                              ps.throughput.z * env_c.z,
+                                              zero),
+            ))
+            missed = jnp.zeros_like(missed)
 
         o_ox[:], o_oy[:], o_oz[:] = new_ps.origin
         o_dx[:], o_dy[:], o_dz[:] = new_ps.direction
@@ -716,6 +840,29 @@ def _stream_scratch_shapes(accel_dims):
             pltpu.SemaphoreType.DMA]
 
 
+def _env_setup(env, scene):
+    """(env_dims, extra inputs, extra in_specs, scratch) for the in-kernel
+    env term, or all-empty when it doesn't engage (env_in_kernel_ok)."""
+    if env is None or not env_in_kernel_ok(env):
+        return None, [], [], []
+    from spt_tpu.ops.pallas_env import env_pretile
+
+    h, w = env.image.shape[0], env.image.shape[1]
+    params = jnp.stack([
+        jnp.asarray(env.intensity, jnp.float32),
+        jnp.asarray(env.max_clamp, jnp.float32),
+        jnp.asarray(env.enabled, jnp.float32),
+        jnp.zeros((), jnp.float32),
+    ]).reshape(1, 4)
+    inputs = [params, env_pretile(env.image)]
+    specs = [pl.BlockSpec((1, 4), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.ANY)]
+    scratch = [pltpu.VMEM((3, 8, LANES), jnp.float32),
+               pltpu.SemaphoreType.DMA]
+    return (h, w), inputs, specs, scratch
+
+
 def fused_bounce(
     cfg: RenderConfig,
     scene: DeviceScene,
@@ -723,11 +870,16 @@ def fused_bounce(
     ps,  # transport.PathState with (N,) planes
     bounce,
     is_last,
+    env=None,
 ):
     """One full wavefront bounce in VMEM.  Returns (new_state, missed_mask).
 
     Equivalent to transport.trace_bounce + transport.shade_core; env must be
-    applied by the caller exactly as transport.shade does.
+    applied by the caller exactly as transport.shade does — UNLESS `env` is
+    given and env_in_kernel_ok(env): then each bounce's (image-coherent)
+    misses are resolved in-kernel via the tile-streaming equirect sampler,
+    the returned radiance already contains the env term, and the returned
+    missed mask is all-False (nothing owed).
     """
     from spt_tpu.integrators import transport
 
@@ -760,6 +912,7 @@ def fused_bounce(
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
     accel_dims, n_tex, accel_tables, tri_tables, tri_stream = \
         _accel_inputs(scene)
+    env_dims, env_inputs, env_specs, env_scratch = _env_setup(env, scene)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
@@ -790,6 +943,7 @@ def fused_bounce(
         + [block] * 15
         + [table_spec(a) for a in tables]
         + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        + env_specs
     )
     out_specs = [block] * 16
     f32 = jnp.float32
@@ -802,7 +956,8 @@ def fused_bounce(
     )
 
     kern = functools.partial(
-        _kernel, cfg, has_emitters, accel_dims, n_tex, lights.count,
+        _kernel, cfg, has_emitters, accel_dims, n_tex, env_dims,
+        lights.count,
         scene.num_triangles, scene.num_spheres, mats.count,
     )
     outs = pl.pallas_call(
@@ -811,8 +966,8 @@ def fused_bounce(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=_stream_scratch_shapes(accel_dims),
-    )(params, *state_in, *tables, tri_stream)
+        scratch_shapes=_stream_scratch_shapes(accel_dims) + env_scratch,
+    )(params, *state_in, *tables, tri_stream, *env_inputs)
 
     def r1(a):
         return a.reshape(n)
@@ -833,7 +988,7 @@ def fused_bounce(
 # --- whole-frame kernel: the depth loop in VMEM ---------------------------------
 
 def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
-                  n_tex: int, n_sphs: int,
+                  n_tex: int, env_dims, n_sphs: int,
                   params_ref,
                   ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
                   tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
@@ -843,9 +998,8 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   e_v0, e_e1, e_e2, e_le, e_area,
                   a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
                   a_sup_lo, a_sup_hi, a_sup_okey, a_tex, tri_hbm,
-                  o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
-                  o_rx, o_ry, o_rz, o_missed, o_bounces,
-                  *stream_scratch):
+                  # then: optional env inputs, outputs, scratch (_split_tail)
+                  *rest):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
 
     The per-bounce kernel still pays one HBM read+write of the full path
@@ -862,7 +1016,10 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     bounce0 = params_ref[0, 0]
     textured = n_tex > 0
 
-    scratch, sem = stream_scratch if stream_scratch else (None, None)
+    env_fn, outs, (scratch, sem) = _split_tail(accel_dims, env_dims, 11,
+                                               rest)
+    (o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
+     o_rx, o_ry, o_rz, o_missed, o_bounces) = outs
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
                      a_sup_lo, a_sup_hi, a_sup_okey, tri_hbm),
@@ -917,6 +1074,23 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             occluded_fn=occluded_impl,
             texture_fn=texture_fn,
         )
+        if env_fn is not None:
+            # per-bounce in-kernel env term (see _kernel): image-coherent
+            # misses resolve NOW; nothing is deferred to the caller
+            env_c = env_fn(ps.direction, missed)
+            zero = jnp.zeros_like(missed, jnp.float32)
+            new_ps = new_ps._replace(radiance=Vec3(
+                new_ps.radiance.x + jnp.where(missed,
+                                              ps.throughput.x * env_c.x,
+                                              zero),
+                new_ps.radiance.y + jnp.where(missed,
+                                              ps.throughput.y * env_c.y,
+                                              zero),
+                new_ps.radiance.z + jnp.where(missed,
+                                              ps.throughput.z * env_c.z,
+                                              zero),
+            ))
+            missed = jnp.zeros_like(missed)
         return (bounce + 1,
                 new_ps.origin.x, new_ps.origin.y, new_ps.origin.z,
                 new_ps.direction.x, new_ps.direction.y, new_ps.direction.z,
@@ -950,6 +1124,7 @@ def fused_frame(
     lights: DeviceLights,
     ps,  # transport.PathState with (N,) planes
     start_bounce: int = 0,
+    env=None,
 ):
     """Bounces [start_bounce, max_depth) of one sample in a single Pallas
     launch (start_bounce > 0 lets the caller run the primary bounce
@@ -959,7 +1134,9 @@ def fused_frame(
     missed_ever (N,) bool, rays_per_bounce (max_depth,) int32; entries below
     start_bounce are zero).  The caller owes `throughput * env(direction)`
     to missed lanes (deferred-env contract, transport.shade /
-    wavefront._wavefront_masked).
+    wavefront._wavefront_masked) — UNLESS `env` is given and
+    env_in_kernel_ok(env): then every bounce resolves its own misses
+    in-kernel (see fused_bounce) and missed_ever returns all-False.
     """
     n = ps.rng.shape[0]
     rows = n // LANES
@@ -990,6 +1167,7 @@ def fused_frame(
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
     accel_dims, n_tex, accel_tables, tri_tables, tri_stream = \
         _accel_inputs(scene)
+    env_dims, env_inputs, env_specs, env_scratch = _env_setup(env, scene)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
@@ -1017,6 +1195,7 @@ def fused_frame(
         + [block] * 15
         + [table_spec(a) for a in tables]
         + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        + env_specs
     )
     out_specs = [block] * 11
     f32 = jnp.float32
@@ -1027,15 +1206,15 @@ def fused_frame(
     )
 
     kern = functools.partial(_frame_kernel, cfg, has_emitters, accel_dims,
-                             n_tex, scene.num_spheres)
+                             n_tex, env_dims, scene.num_spheres)
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=_stream_scratch_shapes(accel_dims),
-    )(params, *state_in, *tables, tri_stream)
+        scratch_shapes=_stream_scratch_shapes(accel_dims) + env_scratch,
+    )(params, *state_in, *tables, tri_stream, *env_inputs)
 
     def r1(a):
         return a.reshape(n)

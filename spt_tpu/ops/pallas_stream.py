@@ -75,6 +75,17 @@ def _octant(d):
             + (jnp.sum(d.z) < 0).astype(jnp.int32))
 
 
+def _recheck_on() -> bool:
+    """Trace-time knob for the per-super shrinking-bound recheck (the
+    cluster-level version was a measured loss on the chair —
+    pallas_trace._box_flags docstring — but one box test per SUPER buys a
+    whole DMA + 16-cluster pass when it fires; SPT_SUPER_RECHECK=0
+    re-runs that A/B)."""
+    import os
+
+    return os.environ.get("SPT_SUPER_RECHECK", "1") != "0"
+
+
 def stream_closest_tile(stream_refs, k, n_sph, tmin,
                         sph_c, sph_r, sph_m, o, d, tmax,
                         scratch, sem, with_uv: bool = False):
@@ -115,24 +126,39 @@ def stream_closest_tile(stream_refs, k, n_sph, tmin,
         m = jnp.min(skey)
         g = m & _OKEY_ID_MASK
         base = g * f
-        cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)], scratch, sem)
-        cp.start()
-        # Cluster-level cull inside the super, with the bound tightened by
-        # every super already opened (front-to-back order pays off here).
+        # Re-check this super's box against the bound tightened by every
+        # super already opened (the visit list was culled with the INITIAL
+        # bound): front-to-back order makes later supers frequently dead by
+        # the time their turn comes — a dead super skips its DMA and its
+        # whole cluster pass for the cost of one box test.
         bound = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
-        cflags = _box_flags(cl_lo[pl.ds(base, f)], cl_hi[pl.ds(base, f)],
+        salive = _box_flags(sup_lo[pl.ds(g, 1)], sup_hi[pl.ds(g, 1)],
                             o3, inv3, tmin, bound)
-        ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)], _OKEY_MISS)
-        ccount = jnp.sum(cflags.astype(jnp.int32))
-        cp.wait()
 
-        def open_cl(i, kc):
-            ckey, cr = kc[0], kc[1:]
-            mm = jnp.min(ckey)
-            cr = open_cluster(scratch[(mm & _OKEY_ID_MASK) - base], cr)
-            return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+        def live(carry):
+            cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)], scratch,
+                                       sem)
+            cp.start()
+            # Cluster-level cull inside the super, same tightened bound.
+            cflags = _box_flags(cl_lo[pl.ds(base, f)], cl_hi[pl.ds(base, f)],
+                                o3, inv3, tmin, bound)
+            ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)],
+                              _OKEY_MISS)
+            ccount = jnp.sum(cflags.astype(jnp.int32))
+            cp.wait()
 
-        carry = jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
+            def open_cl(i, kc):
+                ckey, cr = kc[0], kc[1:]
+                mm = jnp.min(ckey)
+                cr = open_cluster(scratch[(mm & _OKEY_ID_MASK) - base], cr)
+                return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+
+            return jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
+
+        if _recheck_on():
+            carry = jax.lax.cond(jnp.any(salive), live, lambda c: c, carry)
+        else:
+            carry = live(carry)
         return (jnp.where(skey == m, _OKEY_MISS, skey),) + carry
 
     out_carry = jax.lax.fori_loop(0, scount, open_super,
@@ -159,7 +185,17 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
     def traced(blocked0):
         o3, d3, inv3 = _ray_planes(o, d, s, l)
         bound = tmax.reshape(1, s, l)
-        sflags = _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound)
+
+        def live_bound(blocked):
+            # blocked lanes leave every box test: an empty [tmin, -1]
+            # interval fails the slab overlap, so supers/clusters kept
+            # alive only by already-settled lanes stop being visited as
+            # the shadow pass saturates.
+            return jnp.where(blocked.reshape(1, s, l) != 0,
+                             jnp.float32(-1.0), bound)
+
+        sflags = _box_flags(sup_lo, sup_hi, o3, inv3, tmin,
+                            live_bound(blocked0))
         scount, skey0 = _visit_keys(sflags, sup_okey, oct_)
 
         def scond(carry):
@@ -171,29 +207,43 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
             m = jnp.min(skey)
             g = m & _OKEY_ID_MASK
             base = g * f
-            cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)],
-                                       scratch, sem)
-            cp.start()
-            cflags = _box_flags(cl_lo[pl.ds(base, f)], cl_hi[pl.ds(base, f)],
-                                o3, inv3, tmin, bound)
-            ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)],
-                              _OKEY_MISS)
-            ccount = jnp.sum(cflags.astype(jnp.int32))
-            cp.wait()
+            lb = live_bound(blocked)
+            salive = _box_flags(sup_lo[pl.ds(g, 1)], sup_hi[pl.ds(g, 1)],
+                                o3, inv3, tmin, lb)
 
-            def ccond(cc):
-                i, _, blocked = cc
-                return (i < ccount) & ~jnp.all(blocked != 0)
+            def live(blocked):
+                cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)],
+                                           scratch, sem)
+                cp.start()
+                cflags = _box_flags(cl_lo[pl.ds(base, f)],
+                                    cl_hi[pl.ds(base, f)],
+                                    o3, inv3, tmin, lb)
+                ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)],
+                                  _OKEY_MISS)
+                ccount = jnp.sum(cflags.astype(jnp.int32))
+                cp.wait()
 
-            def cbody(cc):
-                i, ckey, blocked = cc
-                mm = jnp.min(ckey)
-                blk = scratch[(mm & _OKEY_ID_MASK) - base]
-                return (i + 1, jnp.where(ckey == mm, _OKEY_MISS, ckey),
-                        tri_block_any(blk, k, o3, d3, tmin, bound, blocked))
+                def ccond(cc):
+                    i, _, blocked = cc
+                    return (i < ccount) & ~jnp.all(blocked != 0)
 
-            _, _, blocked = jax.lax.while_loop(
-                ccond, cbody, (jnp.int32(0), ckey0, blocked))
+                def cbody(cc):
+                    i, ckey, blocked = cc
+                    mm = jnp.min(ckey)
+                    blk = scratch[(mm & _OKEY_ID_MASK) - base]
+                    return (i + 1, jnp.where(ckey == mm, _OKEY_MISS, ckey),
+                            tri_block_any(blk, k, o3, d3, tmin, bound,
+                                          blocked))
+
+                _, _, blocked = jax.lax.while_loop(
+                    ccond, cbody, (jnp.int32(0), ckey0, blocked))
+                return blocked
+
+            if _recheck_on():
+                blocked = jax.lax.cond(jnp.any(salive), live,
+                                       lambda b: b, blocked)
+            else:
+                blocked = live(blocked)
             return j + 1, jnp.where(skey == m, _OKEY_MISS, skey), blocked
 
         _, _, blocked = jax.lax.while_loop(

@@ -72,3 +72,53 @@ class TestPallasEnv:
         b = environment_color_v(env, dv, need=need)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestSortedSampler:
+    """sample_equirect_pallas_sorted: the production deferred-env path —
+    sorts taps by map tile id for coherence, then restores lane order.
+    Must be value-identical to the XLA sampler on needed lanes (the taps
+    are computed once and only reordered)."""
+
+    def test_matches_xla_sampler_scattered(self):
+        from spt_tpu.ops.pallas_env import sample_equirect_pallas_sorted
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 8, (64, 256, 3)).astype(np.float32))
+        n = 8192 + 1024  # forces padding to the 8192 sort chunk
+        dv = _dirs(n, seed=4)
+        need = jnp.asarray(rng.uniform(size=n) < 0.6)
+        want = sample_equirect_v(img, dv)
+        got = sample_equirect_pallas_sorted(img, dv, need, interpret=True)
+        m = np.asarray(need)
+        for a, b in zip(got, want):
+            assert np.asarray(a).shape == (n,)
+            np.testing.assert_allclose(np.asarray(a)[m], np.asarray(b)[m],
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_pole_rows(self):
+        # the unclipped y floor must ride the sort: straight-up directions
+        # (y0f = -1) tap row 0 twice, not rows 0 and 1
+        from spt_tpu.ops.pallas_env import sample_equirect_pallas_sorted
+
+        img = np.zeros((64, 128, 3), np.float32)
+        img[0] = 1.0  # top row bright; row 1 black
+        img = jnp.asarray(img)
+        d = np.array([[1e-5, 1.0, 0.0]], np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = np.tile(d, (8192, 1))
+        dv = Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+                  jnp.asarray(d[:, 2]))
+        need = jnp.ones((8192,), bool)
+        want = sample_equirect_v(img, dv)
+        got = sample_equirect_pallas_sorted(img, dv, need, interpret=True)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_sorted_gating(self):
+        from spt_tpu.ops.pallas_env import pallas_env_sorted_ok
+
+        # CPU platform declines (the sorted path is TPU-only); small lane
+        # counts decline
+        assert not pallas_env_sorted_ok((64, 256, 3), 4096)
