@@ -185,31 +185,33 @@ def _bilinear_setup(uvx, uvy, res: int):
 def sample_texture_v(textures, tex_id, uvx, uvy):
     """Bilinear texture sample, XLA layout-flat gather.
 
-    `textures` is the packed kernel tiling (n_tex, TEX_TILES, 2, 8, 128)
-    int32 of TEX_RES^2 images (materials.build_texture_table): plane 0 the
+    `textures` is the packed kernel tiling (n_tex, tiles, 2, 8, 128) int32
+    of res^2 images, res the scene's VMEM-budgeted resolution recovered
+    from the static shape (materials.tex_res_of): plane 0 the
     sqrt-encoded 10/10/10 baseColor, plane 1 the 16/16
     (roughness, metallic) multipliers.  Texel (ty, tx) lives at flat index
-    ty * TEX_RES + tx = (q << 10) | (r << 7) | c; V maps directly to image
+    ty * res + tx = (q << 10) | (r << 7) | c; V maps directly to image
     rows (glTF uv origin and the image array origin are both top-left).
     Returns (rgb Vec3, roughness_mult, metallic_mult); lanes without a
     texture (tex_id < 0) return all-1 multipliers so the material factors
     pass through.
     """
-    from spt_tpu.materials import TEX_RES, unpack_color, unpack_mr
+    from spt_tpu.materials import tex_res_of, unpack_color, unpack_mr
 
-    (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, TEX_RES)
+    res = tex_res_of(textures)
+    (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, res)
     tid = jnp.maximum(tex_id, 0)
     n_tex = textures.shape[0]
     # fully-flat 1-D takes: ~30 % faster than 2-D [tid, flat] gathers on
     # TPU (the equirect measurement, docs/DESIGN.md)
-    tex_sz = TEX_RES * TEX_RES
+    tex_sz = res * res
     col_flat = textures[:, :, 0].reshape(n_tex * tex_sz)
     mr_flat = textures[:, :, 1].reshape(n_tex * tex_sz)
 
     acc = [jnp.zeros_like(uvx) for _ in range(5)]
     for xi, wxi in ((x0, 1.0 - wx), (x1, wx)):
         for yi, wyi in ((y0, 1.0 - wy), (y1, wy)):
-            flat = tid * tex_sz + yi * TEX_RES + xi
+            flat = tid * tex_sz + yi * res + xi
             w = wxi * wyi
             r, g, b = unpack_color(jnp.take(col_flat, flat))
             ro, me = unpack_mr(jnp.take(mr_flat, flat))

@@ -46,12 +46,52 @@ class DeviceMaterials(NamedTuple):
         return self.base_color.shape[0]
 
 
-# Device texture resolution: every texture is resampled to this square
-# size.  128x128 = 16384 texels = 16 (8, 128) VMEM tiles per plane, the
-# unit the in-kernel sampler's gathers address (ops/pallas_bounce).
+# Default device texture resolution.  128x128 = 16384 texels = 16 (8, 128)
+# VMEM tiles per plane, the unit the in-kernel sampler's gathers address
+# (ops/pallas_bounce).  The ACTUAL resolution of a scene's packed table is
+# chosen per scene by choose_tex_res (VMEM-budgeted: few textures get
+# 256^2, many get 64^2) and recovered from the table shape by tex_res_of —
+# samplers must use that, never this constant.
 TEX_RES = 128
-# (8, 128) tiles per texture plane
+# (8, 128) tiles per texture plane at the default resolution
 TEX_TILES = TEX_RES * TEX_RES // 1024
+
+# VMEM the packed table may spend (both int32 planes of every texture).
+# 2 MiB = 4 textures at 256^2, 16 at 128^2, 64 at 64^2 — budgeted so a
+# many-texture glTF keeps the fused kernels (at reduced fidelity) instead
+# of dropping to the staged XLA pipeline, the reference behavior of
+# "textures always work" (GLTFLoader.cpp:219-331) translated to a machine
+# where the sampler's working set must sit in VMEM.
+_DEFAULT_TEX_BUDGET = 2 << 20
+
+
+def tex_budget_bytes() -> int:
+    """The packed-table VMEM budget (SPT_TEX_BUDGET overrides, bytes)."""
+    import os
+
+    try:
+        return int(os.environ.get("SPT_TEX_BUDGET", _DEFAULT_TEX_BUDGET))
+    except ValueError:
+        return _DEFAULT_TEX_BUDGET
+
+
+def choose_tex_res(n_tex: int) -> int:
+    """Largest square resolution in {256, 128, 64} whose packed table
+    (2 int32 planes per texture) fits tex_budget_bytes().  64 is the floor:
+    below it bilinear filtering visibly posterizes; past-the-floor scenes
+    are instead declined by the fused path's byte gate
+    (pallas_bounce.explain_decline)."""
+    budget = tex_budget_bytes()
+    for res in (256, 128):
+        if n_tex * 2 * res * res * 4 <= budget:
+            return res
+    return 64
+
+
+def tex_res_of(textures) -> int:
+    """Per-scene texture resolution from the packed table's static shape
+    ((n_tex, tiles, 2, 8, 128) -> sqrt(tiles * 1024))."""
+    return int(np.sqrt(textures.shape[1] * 1024))
 
 
 def _resample_texture(img: np.ndarray, res: int = TEX_RES) -> np.ndarray:
@@ -96,15 +136,19 @@ def _pack_mr(mr: np.ndarray) -> np.ndarray:
 
 
 def _tile(plane: np.ndarray) -> np.ndarray:
-    """(TEX_RES, TEX_RES) uint32 -> (TEX_TILES, 8, 128): texel (ty, tx) at
-    flat = ty * TEX_RES + tx -> (flat >> 10, (flat >> 7) & 7, flat & 127)."""
-    return plane.reshape(-1).reshape(TEX_TILES, 8, 128)
+    """(res, res) uint32 -> (res^2/1024, 8, 128): texel (ty, tx) at
+    flat = ty * res + tx -> (flat >> 10, (flat >> 7) & 7, flat & 127).
+    Tiles are flat-index blocks of 1024 texels, so the split works for any
+    res with res^2 % 1024 == 0 (every power of two >= 32)."""
+    return plane.reshape(-1).reshape(-1, 8, 128)
 
 
-def build_texture_table(materials: Sequence["Material"]):
-    """(tex_id (M,) int32, textures (n_tex, TEX_TILES, 2, 8, 128) int32 |
+def build_texture_table(materials: Sequence["Material"], res: int = None):
+    """(tex_id (M,) int32, textures (n_tex, res^2/1024, 2, 8, 128) int32 |
     None).
 
+    `res` defaults to choose_tex_res(n_textured) — the VMEM-budgeted
+    per-scene resolution; recover it from the table with tex_res_of.
     Plane 0 of each tile pair is the packed baseColor (_pack_color); plane 1
     packs the (roughness, metallic) multipliers from the glTF
     metallicRoughness texture (G = roughness, B = metallic per spec), or the
@@ -112,24 +156,29 @@ def build_texture_table(materials: Sequence["Material"]):
     (transport.sample_texture_v) and the kernel sampler (ops/pallas_bounce)
     index the same layout and decode identically."""
     tex_id = np.full(max(len(materials), 1), -1, np.int32)
+    textured = [
+        (i, m) for i, m in enumerate(materials)
+        if getattr(m, "base_color_texture", None) is not None
+        or getattr(m, "metallic_roughness_texture", None) is not None
+    ]
+    if res is None:
+        res = choose_tex_res(len(textured))
     imgs = []
-    for i, m in enumerate(materials):
+    for i, m in textured:
         img = getattr(m, "base_color_texture", None)
         mr = getattr(m, "metallic_roughness_texture", None)
-        if img is None and mr is None:
-            continue
         tex_id[i] = len(imgs)
         if img is not None:
-            color = _pack_color(_resample_texture(img))
+            color = _pack_color(_resample_texture(img, res))
         else:
-            color = np.full((TEX_RES, TEX_RES), _pack_color(
+            color = np.full((res, res), _pack_color(
                 np.ones(3, np.float32)), np.uint32)
         if mr is not None:
             # glTF metallicRoughness: G = roughness, B = metallic
-            mr_rs = _resample_texture(mr)
+            mr_rs = _resample_texture(mr, res)
             packed_mr = _pack_mr(mr_rs[..., [1, 2]])
         else:
-            packed_mr = np.full((TEX_RES, TEX_RES), np.uint32(0xFFFFFFFF))
+            packed_mr = np.full((res, res), np.uint32(0xFFFFFFFF))
         imgs.append(np.stack([_tile(color), _tile(packed_mr)], 1))
     if not imgs:
         return jnp.asarray(tex_id), None

@@ -132,7 +132,16 @@ def _tile_rows(rows: int) -> int:
 
 
 MAX_PALLAS_EMITTERS = 16
-MAX_PALLAS_TEXTURES = 4
+# VMEM ceiling for the packed texture table (2 int32 planes per texture).
+# materials.choose_tex_res budgets the per-scene resolution so ~any
+# texture COUNT stays under this (64 textures at the 64^2 floor = 2 MiB);
+# the gate exists for tables built with a raised SPT_TEX_BUDGET, where the
+# user has explicitly traded fidelity against the triangle/state VMEM.
+MAX_TEX_TABLE_BYTES = 4 << 20
+
+
+def _tex_table_bytes(scene: DeviceScene) -> int:
+    return 0 if scene.textures is None else scene.textures.size * 4
 
 
 def _accel_mode(scene: DeviceScene):
@@ -194,9 +203,9 @@ def explain_decline(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
         if not _accel_mode(scene):
             reasons.append("textured scene without accel mode "
                            "(in-kernel sampling needs the cluster tracer)")
-        elif scene.textures.shape[0] > MAX_PALLAS_TEXTURES:
-            reasons.append(f"{scene.textures.shape[0]} textures > "
-                           f"MAX_PALLAS_TEXTURES={MAX_PALLAS_TEXTURES}")
+        elif _tex_table_bytes(scene) > MAX_TEX_TABLE_BYTES:
+            reasons.append(f"packed texture table {_tex_table_bytes(scene)}"
+                           f" B > MAX_TEX_TABLE_BYTES={MAX_TEX_TABLE_BYTES}")
     if not reasons and not pad_ok:
         if n_lanes % LANES != 0 or _tile_rows(n_lanes // LANES) <= 0:
             reasons.append(f"lane count {n_lanes} does not tile into "
@@ -240,7 +249,7 @@ def supports(scene: DeviceScene, lights: DeviceLights, n_lanes: int,
         # loops don't resolve uv).
         and (scene.textures is None
              or (_accel_mode(scene)
-                 and scene.textures.shape[0] <= MAX_PALLAS_TEXTURES))
+                 and _tex_table_bytes(scene) <= MAX_TEX_TABLE_BYTES))
     ):
         return False
     if pad_ok:
@@ -487,10 +496,12 @@ def _gather_rc(tile, r, c, s, l):
 def _make_texture_sampler(tex_ref, n_tex: int):
     """In-kernel bilinear sampler over packed VMEM texture tiles.
 
-    `tex_ref`: (n_tex*TEX_TILES*2, 8, 128) int32 — row (t*TEX_TILES + q)*2
+    `tex_ref`: (n_tex*tiles*2, 8, 128) int32 — row (t*tiles + q)*2
     + plane holds tile q of texture t (plane 0: sqrt-encoded 10/10/10
     baseColor; plane 1: 16/16 roughness/metallic multipliers; the flat
-    TEX_RES^2 image splits as flat = q<<10 | r<<7 | c).
+    res^2 image splits as flat = q<<10 | r<<7 | c, where res is the
+    scene's VMEM-budgeted resolution recovered from the static shape:
+    tiles = tex_ref.shape[0] / (2 * n_tex), res = sqrt(tiles * 1024)).
 
     Each of the 4 bilinear taps min-extracts the DISTINCT (texture, tile)
     keys the lane tile actually needs — the traversal trick
@@ -500,19 +511,21 @@ def _make_texture_sampler(tex_ref, n_tex: int):
     size.  Returns (rgb Vec3, roughness_mult, metallic_mult); lanes without
     a texture (tex_id < 0) return all-1 multipliers.
     """
+    tiles = tex_ref.shape[0] // (2 * max(n_tex, 1))
+    res = int(np.sqrt(tiles * 1024))
+
     def sample(_, tex_id, uvx, uvy):
         from spt_tpu.integrators.transport import _bilinear_setup
-        from spt_tpu.materials import (TEX_RES, TEX_TILES, unpack_color,
-                                       unpack_mr)
+        from spt_tpu.materials import unpack_color, unpack_mr
 
         s, l = uvx.shape
 
         def tap(xi, yi):
-            flat = yi * TEX_RES + xi
+            flat = yi * res + xi
             q = flat >> 10
             r = (flat >> 7) & 7
             c = flat & 127
-            key = jnp.where(tex_id >= 0, tex_id * TEX_TILES + q,
+            key = jnp.where(tex_id >= 0, tex_id * tiles + q,
                             _TEXKEY_MISS)
 
             def cond(carry):
@@ -533,7 +546,7 @@ def _make_texture_sampler(tex_ref, n_tex: int):
             return pc, pm
 
         def compute(_op):
-            (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, TEX_RES)
+            (x0, x1, y0, y1), (wx, wy) = _bilinear_setup(uvx, uvy, res)
             acc = [jnp.zeros((s, l), jnp.float32) for _ in range(5)]
             for xi, wxi in ((x0, 1.0 - wx), (x1, wx)):
                 for yi, wyi in ((y0, 1.0 - wy), (y1, wy)):
