@@ -100,6 +100,162 @@ class MeshAccel(NamedTuple):
         return self.tri_v0.shape[0] // self.cluster_lo.shape[0]
 
 
+class InstAccel(NamedTuple):
+    """Two-level instanced acceleration: a TLAS of instance AABBs over
+    shared per-mesh BLAS cluster tables (a pytree).
+
+    The reference's OptiX backend builds one GAS per mesh and an IAS of
+    transformed instances over them (OptixBackend.cpp:916-1034, instance
+    build at :1036-1180); Embree gets the same from rtcCommitScene over
+    instance geometry.  On TPU the same two-level idea keeps the BLAS
+    triangle tables VMEM-resident when the *unique* geometry fits, even
+    though the flattened world-space scene would be many times the budget:
+    a 4x4 grid of 6.1k-tri chairs is 98k replicated triangles but one 3 MB
+    BLAS plus 16 transforms.
+
+    Traversal (ops/pallas_inst.py): slab-test the I instance world boxes
+    against the ray tile, min-extract front-to-back, and per opened
+    instance transform the rays into object space (object_from_world is
+    affine, so t along the UNnormalized transformed direction equals world
+    t — bounds and winner folding need no rescaling) and run the usual
+    cluster traversal over that mesh's BLAS range.  Hit normals transform
+    back by the inverse-transpose (= R_ofw^T applied to the object normal).
+
+    Shapes are chosen so every static dim is recoverable in-kernel:
+    blas_lo (M, CMAX, 3) gives M and CMAX; tri_pack stays flat
+    ((M*CMAX, K, 24)) so a cluster load stays one (K, 24) block.
+    """
+
+    blas_lo: jnp.ndarray    # (M, CMAX, 3) object-space cluster AABBs
+    blas_hi: jnp.ndarray    # (M, CMAX, 3); padding clusters inverted
+    blas_okey: jnp.ndarray  # (8, M, CMAX, 1) rank<<16 | LOCAL cluster id
+    tri_pack: jnp.ndarray   # (M*CMAX, K, 24) packed object-space triangles
+    inst_lo: jnp.ndarray    # (I, 3) world-space instance AABBs
+    inst_hi: jnp.ndarray    # (I, 3)
+    inst_okey: jnp.ndarray  # (8, I, 1) rank<<16 | instance id
+    # (I, 16) float32: [R_ofw row-major 0:9 | t_ofw 9:12 | mesh 12 |
+    # material override or -1 13 | sign(det) 14 | pad 15] — one scalar-read
+    # row per opened instance (the launch-params role of
+    # OptixInstance.transform).  sign(det) keeps a MIRRORED instance's
+    # geometric normal oriented like the flattened path's world-space
+    # cross product (world e1 x e2 = det(R_wfo) * R_ofw^T (e1_o x e2_o)).
+    inst: jnp.ndarray
+
+    @property
+    def num_instances(self) -> int:
+        return self.inst.shape[0]
+
+    @property
+    def num_meshes(self) -> int:
+        return self.blas_lo.shape[0]
+
+    @property
+    def cmax(self) -> int:
+        return self.blas_lo.shape[1]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.tri_pack.shape[1]
+
+
+def build_inst_accel(meshes, instances, cluster_size: int = 64) -> InstAccel:
+    """Build the TLAS/BLAS pair from object-space meshes + transforms.
+
+    `meshes`: list of (v0, e1, e2, mat, uv) object-space triangle arrays
+    (mat is the mesh-local resolved material, uv the (T, 6) packed
+    texcoords or None).  `instances`: list of (mesh_idx,
+    world_from_object (4, 4), mat_override) with mat_override = -1 for
+    "use the BLAS material".  Raises ValueError for a singular instance
+    transform (a det-0 instance flattens geometry onto a plane that is
+    still hittable in world space — only the flattened path can render
+    it)."""
+    blas = [build_mesh_accel(v0, e1, e2, mat, cluster_size=cluster_size,
+                             uv=uv)
+            for (v0, e1, e2, mat, uv) in meshes]
+    # build_mesh_accel pads its cluster count to a SUPER_FAN multiple for
+    # its own supercluster level; the instance level replaces superclusters
+    # here, so trim each BLAS back to the clusters that hold real triangles
+    # (the all-padding tail: degenerates sort last on the Morton curve)
+    real_c = [-(-m[0].shape[0] // cluster_size) for m in meshes]
+    cmax = max(real_c)
+    k = cluster_size
+    m_count = len(blas)
+
+    lo = np.full((m_count, cmax, 3), 1e30, np.float32)
+    hi = np.full((m_count, cmax, 3), -1e30, np.float32)
+    okey = np.zeros((8, m_count, cmax), np.int32)
+    pack = np.zeros((m_count * cmax, k, 24), np.float32)
+    obj_lo = np.zeros((m_count, 3), np.float32)
+    obj_hi = np.zeros((m_count, 3), np.float32)
+    # padding entries: unique well-formed keys past every real rank (their
+    # clusters never flag, so the keys are never extracted)
+    pad_ids = np.arange(cmax, dtype=np.int32)
+    for mi, b in enumerate(blas):
+        c = real_c[mi]
+        lo[mi, :c] = np.asarray(b.cluster_lo)[:c]
+        hi[mi, :c] = np.asarray(b.cluster_hi)[:c]
+        okey[:, mi, :] = (pad_ids << 16) | pad_ids
+        okey[:, mi, :c] = np.asarray(b.cl_okey).reshape(8, -1)[:, :c]
+        pack[mi * cmax:mi * cmax + c] = np.asarray(b.tri_pack)[:c]
+        valid = lo[mi, :, 0] <= hi[mi, :, 0]
+        if valid.any():
+            obj_lo[mi] = lo[mi, valid].min(0)
+            obj_hi[mi] = hi[mi, valid].max(0)
+
+    i_count = len(instances)
+    assert i_count <= (1 << 14), (
+        f"{i_count} instances overflow the 16-bit id / 15-bit rank packing"
+    )
+    inst_lo = np.zeros((i_count, 3), np.float32)
+    inst_hi = np.zeros((i_count, 3), np.float32)
+    inst = np.zeros((i_count, 16), np.float32)
+    for ii, (mesh_idx, xf, mat_ov) in enumerate(instances):
+        xf = np.asarray(xf, np.float64).reshape(4, 4)
+        det = np.linalg.det(xf[:3, :3])
+        if abs(det) < 1e-12:
+            raise ValueError(
+                f"instance {ii}: singular world_from_object (det ~ 0); "
+                "only the flattened path renders degenerate instances"
+            )
+        ofw = np.linalg.inv(xf)
+        inst[ii, 0:9] = ofw[:3, :3].reshape(9)
+        inst[ii, 9:12] = ofw[:3, 3]
+        inst[ii, 12] = mesh_idx
+        inst[ii, 13] = mat_ov
+        inst[ii, 14] = 1.0 if det > 0 else -1.0
+        # world AABB of the transformed object box: per-axis interval
+        # arithmetic on the affine map (equivalent to the 8-corner method)
+        r_wfo = xf[:3, :3]
+        t_wfo = xf[:3, 3]
+        a = r_wfo * obj_lo[mesh_idx][None, :]
+        b2 = r_wfo * obj_hi[mesh_idx][None, :]
+        inst_lo[ii] = (t_wfo + np.minimum(a, b2).sum(1)).astype(np.float32)
+        inst_hi[ii] = (t_wfo + np.maximum(a, b2).sum(1)).astype(np.float32)
+
+    cent = 0.5 * (inst_lo + inst_hi)
+    inst_okey = np.zeros((8, i_count), np.int32)
+    iids = np.arange(i_count, dtype=np.int32)
+    for o in range(8):
+        sgn = np.array([-1.0 if (o >> 2) & 1 else 1.0,
+                        -1.0 if (o >> 1) & 1 else 1.0,
+                        -1.0 if o & 1 else 1.0])
+        order = np.argsort(cent @ sgn, kind="stable")
+        rank = np.empty(i_count, np.int32)
+        rank[order] = iids
+        inst_okey[o] = (rank << 16) | iids
+
+    return InstAccel(
+        blas_lo=jnp.asarray(lo),
+        blas_hi=jnp.asarray(hi),
+        blas_okey=jnp.asarray(okey.reshape(8, m_count, cmax, 1)),
+        tri_pack=jnp.asarray(pack),
+        inst_lo=jnp.asarray(inst_lo),
+        inst_hi=jnp.asarray(inst_hi),
+        inst_okey=jnp.asarray(inst_okey.reshape(8, i_count, 1)),
+        inst=jnp.asarray(inst),
+    )
+
+
 def _morton3(x: np.ndarray) -> np.ndarray:
     """Interleave 10-bit quantized coords -> 30-bit Morton codes. x: (N, 3)
     in [0, 1]."""

@@ -1,0 +1,364 @@
+"""Instanced two-level trace kernels: a TLAS of instances over shared BLAS.
+
+The reference's OptiX backend builds one GAS per mesh and an IAS of
+transformed instances over them (OptixBackend.cpp:916-1034, instances at
+:1036-1180); hardware traversal rewrites each ray into object space at the
+instance node.  The TPU translation (structures in ops/bvh.InstAccel):
+
+Per (S, L) ray subtile:
+
+1. slab-test the I instance WORLD AABBs in one (I, S, L) broadcast pass;
+2. min-extract opened instances front-to-back (inst_okey packed
+   rank<<16|id keys per ray-direction octant, the cluster-traversal trick);
+3. per opened instance: 14 scalar reads fetch object_from_world, then the
+   whole subtile transforms into object space (one fused VPU pass — the
+   direction is NOT normalized, so t along the transformed ray equals
+   world t and the closest-hit carry folds across instances without any
+   rescaling), and the usual cluster traversal (flags + min-extraction +
+   Moller-Trumbore block tests, shared with ops/pallas_trace) runs over
+   that mesh's BLAS range.  Winning normals transform back through the
+   inverse-transpose (= R_ofw^T) and the instance material override
+   applies inside the winner resolution (make_cluster_opener's `finish`).
+
+Unlike the HBM-streaming tier (ops/pallas_stream) there is no DMA: the
+point of instancing is that the UNIQUE geometry is small enough to sit
+resident in VMEM even when the flattened world-space scene is many times
+the budget.  VMEM cost is O(M * CMAX * K) for the shared BLAS regardless
+of instance count; per-tile work tracks the instances the tile actually
+overlaps.
+
+Same call contracts as pallas_trace.closest_hit / any_hit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spt_tpu.ops import intersect as isect
+from spt_tpu.ops.pallas_stream import _octant, _ray_planes
+from spt_tpu.ops.pallas_trace import (
+    LANES,
+    _OKEY_ID_MASK,
+    _OKEY_MISS,
+    _box_flags,
+    _divisor,
+    _sphere_pass_any,
+    _sphere_pass_closest,
+    _visit_keys,
+    closest_epilogue,
+    make_cluster_opener,
+    tri_block_any,
+)
+from spt_tpu.ops.vec3 import Vec3
+
+
+def _read_inst(inst_tab, i):
+    """One opened instance's row: (r[12] object_from_world scalars —
+    R row-major then translation — , mesh index, material override)."""
+    r = [inst_tab[i, c] for c in range(12)]
+    mesh = inst_tab[i, 12].astype(jnp.int32)
+    mat_ov = inst_tab[i, 13].astype(jnp.int32)
+    sg = inst_tab[i, 14]
+    return r, mesh, mat_ov, sg
+
+
+def _xform_rays(r, o: Vec3, d: Vec3):
+    """World rays -> object space: o' = R o + t, d' = R d (unnormalized —
+    preserving the t parameterization is what lets one closest-hit carry
+    fold across instances)."""
+    oo = Vec3(
+        r[0] * o.x + r[1] * o.y + r[2] * o.z + r[9],
+        r[3] * o.x + r[4] * o.y + r[5] * o.z + r[10],
+        r[6] * o.x + r[7] * o.y + r[8] * o.z + r[11],
+    )
+    dd = Vec3(
+        r[0] * d.x + r[1] * d.y + r[2] * d.z,
+        r[3] * d.x + r[4] * d.y + r[5] * d.z,
+        r[6] * d.x + r[7] * d.y + r[8] * d.z,
+    )
+    return oo, dd
+
+
+def _make_finish(r, mat_ov, sg):
+    """Winner-resolution hook: instance material override + normal back to
+    world space via the inverse-transpose, n_w = sign(det) * R_ofw^T n_o
+    (the sign keeps mirrored instances oriented like the flattened path's
+    world-space cross product; downstream normalizes,
+    transport.shade_core)."""
+
+    def finish(mat, nx, ny, nz):
+        return (
+            jnp.where(mat_ov >= 0, mat_ov, mat),
+            sg * (r[0] * nx + r[3] * ny + r[6] * nz),
+            sg * (r[1] * nx + r[4] * ny + r[7] * nz),
+            sg * (r[2] * nx + r[5] * ny + r[8] * nz),
+        )
+
+    return finish
+
+
+def inst_closest_tile(inst_refs, k, n_sph, tmin,
+                      sph_c, sph_r, sph_m, o, d, tmax,
+                      with_uv: bool = False):
+    """Full instanced closest-hit for one (S, L) ray tile inside a Pallas
+    kernel: sphere pass + TLAS cull + per-opened-instance object-space
+    cluster traversal.
+
+    `inst_refs` = (blas_lo (M, CMAX, 3), blas_hi, tri_pack (M*CMAX, K, 24),
+    blas_okey (8, M, CMAX, 1), inst_lo (I, 3), inst_hi, inst_okey
+    (8, I, 1), inst_tab (I, 16)) VMEM refs.  Same value-plane contract as
+    pallas_trace.closest_hit_tile; reused by the standalone kernels AND the
+    fused bounce/frame kernels (ops/pallas_bounce)."""
+    (blas_lo, blas_hi, tri_pack, blas_okey,
+     inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
+    s, l = o.x.shape
+    cmax = blas_lo.shape[1]
+    woct = _octant(d)
+
+    carry0, rinv = _sphere_pass_closest(
+        n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
+    )
+    if with_uv:
+        zero_sl = jnp.zeros(o.x.shape, jnp.float32)
+        carry0 = carry0 + (zero_sl, zero_sl)
+
+    o3, d3, inv3 = _ray_planes(o, d, s, l)
+    bound0 = jnp.minimum(tmax, carry0[0]).reshape(1, s, l)
+    iflags = _box_flags(inst_lo, inst_hi, o3, inv3, tmin, bound0)
+    icount, ikey0 = _visit_keys(iflags, inst_okey, woct)
+    tmax3 = tmax.reshape(1, s, l)
+
+    def open_inst(j, key_and_carry):
+        ikey, carry = key_and_carry[0], key_and_carry[1:]
+        m = jnp.min(ikey)
+        i = m & _OKEY_ID_MASK
+        # Re-check this instance's world box against the bound tightened by
+        # the instances already opened (front-to-back order makes later
+        # instances frequently occluded by the time their turn comes — one
+        # box test skips a whole BLAS pass; the supercluster recheck win,
+        # ops/pallas_stream.open_super).
+        bound = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
+        ialive = _box_flags(inst_lo[pl.ds(i, 1)], inst_hi[pl.ds(i, 1)],
+                            o3, inv3, tmin, bound)
+
+        def live(carry):
+            r, mesh, mat_ov, sg = _read_inst(inst_tab, i)
+            oo, dd = _xform_rays(r, o, d)
+            oo3, dd3, iinv3 = _ray_planes(oo, dd, s, l)
+            ooct = _octant(dd)
+            cflags = _box_flags(blas_lo[mesh], blas_hi[mesh],
+                                oo3, iinv3, tmin, bound)
+            ckey0 = jnp.where(cflags, blas_okey[ooct, mesh], _OKEY_MISS)
+            ccount = jnp.sum(cflags.astype(jnp.int32))
+            base = mesh * cmax
+            open_cluster = make_cluster_opener(
+                k, s, l, oo3, dd3, tmin, tmax3, with_uv,
+                finish=_make_finish(r, mat_ov, sg),
+            )
+
+            def open_cl(_, kc):
+                ckey, cr = kc[0], kc[1:]
+                mm = jnp.min(ckey)
+                cr = open_cluster(tri_pack[base + (mm & _OKEY_ID_MASK)], cr)
+                return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+
+            return jax.lax.fori_loop(0, ccount, open_cl,
+                                     (ckey0,) + carry)[1:]
+
+        carry = jax.lax.cond(jnp.any(ialive), live, lambda c: c, carry)
+        return (jnp.where(ikey == m, _OKEY_MISS, ikey),) + carry
+
+    out_carry = jax.lax.fori_loop(0, icount, open_inst,
+                                  (ikey0,) + carry0)[1:]
+    return closest_epilogue(out_carry, o, d, rinv, with_uv)
+
+
+def inst_any_tile(inst_refs, k, n_sph, tmin,
+                  sph_c, sph_r, sph_m, o, d, tmax):
+    """Instanced occlusion for one (S, L) ray tile; returns (S, L) int32
+    blocked flags.  Same empty-interval-reports-blocked contract as
+    pallas_trace.any_hit_tile, same early exits as pallas_stream's
+    streaming variant (whole-subtile skip, saturation exit, settled lanes
+    leaving the box tests)."""
+    (blas_lo, blas_hi, tri_pack, blas_okey,
+     inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
+    s, l = o.x.shape
+    cmax = blas_lo.shape[1]
+    woct = _octant(d)
+
+    blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
+    blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
+
+    def traced(blocked0):
+        o3, d3, inv3 = _ray_planes(o, d, s, l)
+        bound = tmax.reshape(1, s, l)
+
+        def live_bound(blocked):
+            return jnp.where(blocked.reshape(1, s, l) != 0,
+                             jnp.float32(-1.0), bound)
+
+        iflags = _box_flags(inst_lo, inst_hi, o3, inv3, tmin,
+                            live_bound(blocked0))
+        icount, ikey0 = _visit_keys(iflags, inst_okey, woct)
+
+        def icond(carry):
+            j, _, blocked = carry
+            return (j < icount) & ~jnp.all(blocked != 0)
+
+        def ibody(carry):
+            j, ikey, blocked = carry
+            m = jnp.min(ikey)
+            i = m & _OKEY_ID_MASK
+            lb = live_bound(blocked)
+            ialive = _box_flags(inst_lo[pl.ds(i, 1)], inst_hi[pl.ds(i, 1)],
+                                o3, inv3, tmin, lb)
+
+            def live(blocked):
+                r, mesh, _, _ = _read_inst(inst_tab, i)
+                oo, dd = _xform_rays(r, o, d)
+                oo3, dd3, iinv3 = _ray_planes(oo, dd, s, l)
+                ooct = _octant(dd)
+                cflags = _box_flags(blas_lo[mesh], blas_hi[mesh],
+                                    oo3, iinv3, tmin, lb)
+                ckey0 = jnp.where(cflags, blas_okey[ooct, mesh], _OKEY_MISS)
+                ccount = jnp.sum(cflags.astype(jnp.int32))
+                base = mesh * cmax
+
+                def ccond(cc):
+                    ii, _, blocked = cc
+                    return (ii < ccount) & ~jnp.all(blocked != 0)
+
+                def cbody(cc):
+                    ii, ckey, blocked = cc
+                    mm = jnp.min(ckey)
+                    blk = tri_pack[base + (mm & _OKEY_ID_MASK)]
+                    return (ii + 1,
+                            jnp.where(ckey == mm, _OKEY_MISS, ckey),
+                            tri_block_any(blk, k, oo3, dd3, tmin, bound,
+                                          blocked))
+
+                _, _, blocked = jax.lax.while_loop(
+                    ccond, cbody, (jnp.int32(0), ckey0, blocked))
+                return blocked
+
+            blocked = jax.lax.cond(jnp.any(ialive), live,
+                                   lambda b: b, blocked)
+            return j + 1, jnp.where(ikey == m, _OKEY_MISS, ikey), blocked
+
+        _, _, blocked = jax.lax.while_loop(
+            icond, ibody, (jnp.int32(0), ikey0, blocked0))
+        return blocked
+
+    return jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b,
+                        traced, blocked0)
+
+
+def _inst_closest_kernel(k, n_sph, tmin, with_uv,
+                         ox, oy, oz, dx, dy, dz, tmaxr,
+                         blas_lo, blas_hi, tri_pack, blas_okey,
+                         inst_lo, inst_hi, inst_okey, inst_tab,
+                         sph_c, sph_r, sph_m,
+                         *outs):
+    res = inst_closest_tile(
+        (blas_lo, blas_hi, tri_pack, blas_okey,
+         inst_lo, inst_hi, inst_okey, inst_tab),
+        k, n_sph, tmin, sph_c, sph_r, sph_m,
+        Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
+        with_uv=with_uv,
+    )
+    for ref, v in zip(outs, res):
+        ref[:] = v
+
+
+def _inst_any_kernel(k, n_sph, tmin,
+                     ox, oy, oz, dx, dy, dz, tmaxr,
+                     blas_lo, blas_hi, tri_pack, blas_okey,
+                     inst_lo, inst_hi, inst_okey, inst_tab,
+                     sph_c, sph_r, sph_m,
+                     out_blocked):
+    out_blocked[:] = inst_any_tile(
+        (blas_lo, blas_hi, tri_pack, blas_okey,
+         inst_lo, inst_hi, inst_okey, inst_tab),
+        k, n_sph, tmin, sph_c, sph_r, sph_m,
+        Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
+    )
+
+
+def _inst_call(kernel, ia, scene, o: Vec3, d: Vec3, tmin, tmax,
+               out_shapes, extra_statics=()):
+    n = o.x.shape[0]
+    rows = n // LANES
+    shape2 = (rows, LANES)
+    tile_rows = _divisor(rows)
+
+    def r2(a):
+        return a.reshape(shape2)
+
+    tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    state = [r2(o.x), r2(o.y), r2(o.z), r2(d.x), r2(d.y), r2(d.z),
+             r2(tmax_arr)]
+    tables = [ia.blas_lo, ia.blas_hi, ia.tri_pack, ia.blas_okey,
+              ia.inst_lo, ia.inst_hi, ia.inst_okey, ia.inst,
+              scene.sph_center, scene.sph_radius.reshape(-1, 1),
+              scene.sph_mat.reshape(-1, 1)]
+
+    block = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def table_spec(a):
+        return pl.BlockSpec(a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+                            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(
+        kernel, ia.cluster_size, scene.num_spheres, np.float32(tmin),
+        *extra_statics
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(rows // tile_rows,),
+        in_specs=[block] * 7 + [table_spec(a) for a in tables],
+        out_specs=[block] * len(out_shapes),
+        out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
+    )(*state, *tables)
+    return outs, n
+
+
+def closest_hit(ia, scene, o: Vec3, d: Vec3, tmin=0.0,
+                tmax=np.float32(np.inf)):
+    """Instanced closest hit -> isect.HitV.  Same contract as
+    pallas_trace.closest_hit; `ia` is the scene's InstAccel."""
+    tmax = (np.float32(min(float(tmax), 1e30))
+            if isinstance(tmax, (int, float)) else tmax)
+    with_uv = scene.textures is not None
+    f32, i32 = jnp.float32, jnp.int32
+    out_shapes = ([f32, f32, f32, f32, i32, i32]
+                  + ([f32, f32] if with_uv else []))
+    outs, n = _inst_call(
+        _inst_closest_kernel, ia, scene, o, d, tmin, tmax,
+        out_shapes=out_shapes, extra_statics=(with_uv,),
+    )
+    outs = [x.reshape(n) for x in outs]
+    t, nx, ny, nz, mat, kind = outs[:6]
+    t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
+    return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind,
+                      uvx=outs[6] if with_uv else None,
+                      uvy=outs[7] if with_uv else None)
+
+
+def any_hit(ia, scene, o: Vec3, d: Vec3, tmin=0.0,
+            tmax=np.float32(np.inf)):
+    """Instanced occlusion -> (N,) bool.  Same contract (including the
+    empty-interval-reports-blocked note) as pallas_trace.any_hit."""
+    tmax = (np.float32(min(float(tmax), 1e30))
+            if isinstance(tmax, (int, float)) else tmax)
+    outs, n = _inst_call(
+        _inst_any_kernel, ia, scene, o, d, tmin, tmax,
+        out_shapes=[jnp.int32],
+    )
+    return outs[0].reshape(n) != 0

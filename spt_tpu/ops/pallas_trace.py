@@ -302,14 +302,18 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
     return (best_t, best_mat, best_kind, ax, ay, az), rinv
 
 
-def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
+def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool,
+                        finish=None):
     """Build `open_cluster(blk, carry) -> carry`: Moller-Trumbore one packed
     (K, 24) cluster block against the subtile and fold any winners into the
     closest-hit carry (t, mat, kind, ax, ay, az[, uvx, uvy]).
 
     Shared by the VMEM tracer (blocks read straight from the resident
-    tri_pack) and the HBM-streaming tracer (blocks DMA'd per supercluster,
-    ops/pallas_stream)."""
+    tri_pack), the HBM-streaming tracer (blocks DMA'd per supercluster,
+    ops/pallas_stream), and the instanced tracer (ops/pallas_inst), whose
+    `finish(mat, nx, ny, nz)` hook remaps the winning material (instance
+    override) and transforms the object-space normal to world space before
+    it is folded into the carry."""
     kb = _sub_k(k)
     iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s * l), 0)
 
@@ -336,10 +340,14 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
                                         keepdims=True)
                 return acc.reshape(s, l)
 
-            best_mat = jnp.where(win, pick(12).astype(jnp.int32), best_mat)
-            ax = jnp.where(win, pick(9), ax)
-            ay = jnp.where(win, pick(10), ay)
-            az = jnp.where(win, pick(11), az)
+            pmat = pick(12).astype(jnp.int32)
+            pnx, pny, pnz = pick(9), pick(10), pick(11)
+            if finish is not None:
+                pmat, pnx, pny, pnz = finish(pmat, pnx, pny, pnz)
+            best_mat = jnp.where(win, pmat, best_mat)
+            ax = jnp.where(win, pnx, ax)
+            ay = jnp.where(win, pny, ay)
+            az = jnp.where(win, pnz, az)
             best_kind = jnp.where(win, isect.KIND_TRIANGLE, best_kind)
             best_t = jnp.where(win, tm, best_t)
             out = (best_t, best_mat, best_kind, ax, ay, az)

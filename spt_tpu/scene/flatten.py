@@ -78,6 +78,12 @@ class DeviceScene(NamedTuple):
     # kernel-addressable tiling of TEX_RES^2 baseColor images
     # (materials.build_texture_table); None when untextured.
     textures: Optional[jnp.ndarray] = None
+    # Two-level instanced acceleration (ops/bvh.InstAccel) — built when the
+    # flattened scene exceeds the resident tracer but the UNIQUE geometry
+    # fits (the reference's IAS-over-GAS shape, OptixBackend.cpp:916-1180).
+    # The flat world-space arrays above stay authoritative for the XLA
+    # fallback and the CPU oracle; this is the fast path's view.
+    inst: Optional["InstAccel"] = None
 
     @property
     def num_triangles(self) -> int:
@@ -109,12 +115,17 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
     cluster accel for large meshes — the rtcCommitScene/optixAccelBuild
     analog, EmbreeBackend.cpp:181 / OptixBackend.cpp:916-1180)."""
     v0s, v1s, v2s, tri_mats, tri_uvs = [], [], [], [], []
+    inst_records = []  # (mesh_id, world_from_object, mat_override) per VALID instance
     for inst in desc.instances:
         if inst.mesh_id >= len(desc.meshes):
             continue
         mesh = desc.meshes[inst.mesh_id]
         if not mesh.is_valid():
             continue
+        inst_records.append((
+            inst.mesh_id, inst.world_from_object,
+            int(inst.material_id) if inst.material_id != NO_MATERIAL else -1,
+        ))
         mat_id = _resolve_material(inst, mesh)
         # positions -> world (EmbreeBackend.cpp:63-69)
         xf = inst.world_from_object
@@ -205,6 +216,8 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         cluster_size = int(os.environ.get("SPT_CLUSTER_SIZE", cluster_size))
         accel = build_mesh_accel(v0, v1 - v0, v2 - v0, tri_mat,
                                  cluster_size=cluster_size, uv=tri_uv)
+    inst_accel = _maybe_build_inst(desc, inst_records, v0.shape[0],
+                                   cluster_size)
 
     from spt_tpu.materials import build_texture_table
 
@@ -222,4 +235,59 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         emitters=emitters,
         tri_uv=jnp.asarray(tri_uv) if textures is not None else None,
         textures=textures,
+        inst=inst_accel,
     )
+
+
+def _maybe_build_inst(desc: SceneDesc, inst_records, total_tris: int,
+                      cluster_size: int):
+    """Build the TLAS/BLAS instanced accel when it wins: the flattened
+    scene exceeds the resident tracer's budget, but the UNIQUE meshes —
+    each cluster-padded to the largest mesh's padded count — fit it.  A
+    scene of all-distinct meshes declines naturally (its BLAS is as big as
+    the flattened soup).  SPT_INSTANCED=0 forces the streamed flattened
+    path (the A/B for benchmarks)."""
+    import os
+
+    if os.environ.get("SPT_INSTANCED", "1") == "0":
+        return None
+    from spt_tpu.ops.bvh import MAX_RESIDENT_TRIS, build_inst_accel
+
+    if total_tris <= MAX_RESIDENT_TRIS or len(inst_records) < 2:
+        return None
+    mesh_ids = sorted({mid for mid, _, _ in inst_records})
+    local = {mid: i for i, mid in enumerate(mesh_ids)}
+
+    cmax = max(-(-desc.meshes[mid].triangle_count // cluster_size)
+               for mid in mesh_ids)
+    if len(mesh_ids) * cmax * cluster_size > MAX_RESIDENT_TRIS:
+        return None
+
+    meshes = []
+    for mid in mesh_ids:
+        mesh = desc.meshes[mid]
+        pos = mesh.positions
+        idx = mesh.indices.astype(np.int64)
+        mv0 = pos[idx[:, 0]].astype(np.float32)
+        e1 = (pos[idx[:, 1]] - pos[idx[:, 0]]).astype(np.float32)
+        e2 = (pos[idx[:, 2]] - pos[idx[:, 0]]).astype(np.float32)
+        blas_mat = mesh.material_id if mesh.material_id != NO_MATERIAL else 0
+        mat = np.full(idx.shape[0], blas_mat, np.int32)
+        if mesh.texcoords is not None and len(mesh.texcoords) == mesh.vertex_count:
+            tc = mesh.texcoords
+            uv0 = tc[idx[:, 0]]
+            uv = np.concatenate(
+                [uv0, tc[idx[:, 1]] - uv0, tc[idx[:, 2]] - uv0], axis=1
+            ).astype(np.float32)
+        else:
+            uv = None
+        meshes.append((mv0, e1, e2, mat, uv))
+
+    instances = [(local[mid], xf, mat_ov)
+                 for mid, xf, mat_ov in inst_records]
+    try:
+        return build_inst_accel(meshes, instances,
+                                cluster_size=cluster_size)
+    except ValueError:
+        # singular instance transform: only the flattened path renders it
+        return None

@@ -1,0 +1,270 @@
+"""Instanced (TLAS/BLAS) traversal vs the flattened reference paths.
+
+The reference's OptiX backend traces an IAS of transformed instances over
+per-mesh GAS builds (OptixBackend.cpp:916-1180); here the same scene must
+produce the same hits whether it is flattened to world space (the XLA
+chunked reference) or traversed through ops/pallas_inst's two-level
+structure (interpreter mode on CPU, like tests/test_pallas.py).
+"""
+
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_tpu.ops import intersect as isect
+from spt_tpu.ops.vec3 import Vec3
+from spt_tpu.scene import SceneDesc, flatten_scene
+from spt_tpu.scene.desc import Material, MeshData
+
+import spt_tpu.ops.pallas_bounce as pb
+import spt_tpu.ops.pallas_inst as pinst
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pb.pl, "pallas_call", patched)
+
+
+def _rot_y(deg):
+    a = np.deg2rad(deg)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0] = m[2, 2] = np.cos(a)
+    m[0, 2] = np.sin(a)
+    m[2, 0] = -np.sin(a)
+    return m
+
+
+def _translate(x, y, z):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = (x, y, z)
+    return m
+
+
+def _scale(sx, sy, sz):
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0], m[1, 1], m[2, 2] = sx, sy, sz
+    return m
+
+
+def _soup_mesh(rng, nv=120, nt=200, material_id=0):
+    pos = rng.uniform(-1, 1, (nv, 3)).astype(np.float32)
+    idx = rng.integers(0, nv, (nt, 3)).astype(np.uint32)
+    return MeshData(positions=pos, indices=idx, material_id=material_id)
+
+
+def _build_instanced(force=True, with_mirror=False, mat_override=None):
+    """Three transformed copies of one soup + a second smaller mesh + a
+    sphere — exercises multi-mesh BLAS, rotation, nonuniform scale,
+    translation (and optionally a mirror and a material override)."""
+    rng = np.random.default_rng(11)
+    sc = SceneDesc()
+    sc.add_material(Material(base_color=[0.8, 0.2, 0.2]))
+    sc.add_material(Material(base_color=[0.2, 0.8, 0.2]))
+    sc.add_material(Material(base_color=[0.2, 0.2, 0.8]))
+    m0 = sc.add_mesh(_soup_mesh(rng, material_id=0))
+    m1 = sc.add_mesh(_soup_mesh(rng, nv=60, nt=90, material_id=1))
+    sc.add_instance(m0, _translate(-2.0, 0.0, 0.0))
+    sc.add_instance(m0, _translate(2.0, 0.5, -1.0) @ _rot_y(35.0)
+                    @ _scale(0.7, 1.3, 0.9))
+    third = _translate(0.0, -1.5, 1.0) @ _rot_y(-60.0)
+    if with_mirror:
+        third = third @ _scale(-1.0, 1.0, 1.0)
+    if mat_override is not None:
+        sc.add_instance(m0, third, material_id=mat_override)
+    else:
+        sc.add_instance(m0, third)
+    sc.add_instance(m1, _translate(0.0, 2.0, -2.0) @ _rot_y(10.0))
+    sc.add_sphere([0.0, 0.0, -5.0], 1.0, 2)
+    dev = flatten_scene(sc)
+    if force and dev.inst is None:
+        # small fixtures don't trip the size gate; build the structure
+        # directly through the same code path flatten uses
+        import spt_tpu.ops.bvh as bvh
+        from spt_tpu.scene.flatten import _maybe_build_inst
+
+        orig = bvh.MAX_RESIDENT_TRIS
+        try:
+            # replicated total just over the gate, unique BLAS just under
+            bvh.MAX_RESIDENT_TRIS = dev.num_triangles - 1
+            recs = []
+            from spt_tpu.scene.desc import NO_MATERIAL
+
+            for inst in sc.instances:
+                recs.append((inst.mesh_id, inst.world_from_object,
+                             int(inst.material_id)
+                             if inst.material_id != NO_MATERIAL else -1))
+            ia = _maybe_build_inst(sc, recs, dev.num_triangles, 64)
+        finally:
+            bvh.MAX_RESIDENT_TRIS = orig
+        dev = dev._replace(inst=ia)
+    return dev
+
+
+def _rays(rng, n=512, spread=4.0):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d)))
+
+
+class TestInstAccelBuild:
+    def test_structure_shapes(self):
+        dev = _build_instanced()
+        ia = dev.inst
+        assert ia is not None
+        assert ia.num_meshes == 2
+        assert ia.num_instances == 4
+        m, cmax = ia.blas_lo.shape[:2]
+        assert ia.blas_okey.shape == (8, m, cmax, 1)
+        assert ia.tri_pack.shape[0] == m * cmax
+        assert ia.inst.shape == (4, 16)
+        # mesh 1 is smaller: its padding clusters must be inverted boxes
+        lo1 = np.asarray(ia.blas_lo[1])
+        hi1 = np.asarray(ia.blas_hi[1])
+        assert (lo1[:, 0] > hi1[:, 0]).any()
+
+    def test_world_aabbs_contain_flattened_geometry(self):
+        dev = _build_instanced()
+        ia = dev.inst
+        v0 = np.asarray(dev.tri_v0)
+        e1 = np.asarray(dev.tri_e1)
+        e2 = np.asarray(dev.tri_e2)
+        degen = (np.abs(e1).sum(1) == 0) & (np.abs(e2).sum(1) == 0)
+        pts = np.concatenate([v0[~degen], (v0 + e1)[~degen],
+                              (v0 + e2)[~degen]])
+        lo = np.asarray(ia.inst_lo).min(0)
+        hi = np.asarray(ia.inst_hi).max(0)
+        assert (pts >= lo - 1e-3).all() and (pts <= hi + 1e-3).all()
+
+    def test_size_gate(self, monkeypatch):
+        # under the gate: no instanced accel
+        dev = _build_instanced(force=False)
+        assert dev.inst is None
+        # over the gate (replicated 690 > budget, unique 512 fits): built
+        import spt_tpu.ops.bvh as bvh
+
+        monkeypatch.setattr(bvh, "MAX_RESIDENT_TRIS", 600)
+        dev2 = _build_instanced(force=False)
+        assert dev2.inst is not None
+        # env kill-switch
+        monkeypatch.setenv("SPT_INSTANCED", "0")
+        dev3 = _build_instanced(force=False)
+        assert dev3.inst is None
+
+    def test_all_unique_meshes_decline(self, monkeypatch):
+        import spt_tpu.ops.bvh as bvh
+
+        monkeypatch.setattr(bvh, "MAX_RESIDENT_TRIS", 256)
+        rng = np.random.default_rng(5)
+        sc = SceneDesc()
+        sc.add_material(Material())
+        for _ in range(4):
+            sc.add_instance(sc.add_mesh(_soup_mesh(rng, nv=80, nt=150)))
+        dev = flatten_scene(sc)
+        # 4 distinct 150-tri meshes: BLAS as big as the soup -> decline
+        assert dev.inst is None
+
+    def test_singular_instance_declines(self, monkeypatch):
+        import spt_tpu.ops.bvh as bvh
+
+        monkeypatch.setattr(bvh, "MAX_RESIDENT_TRIS", 256)
+        rng = np.random.default_rng(5)
+        sc = SceneDesc()
+        sc.add_material(Material())
+        mid = sc.add_mesh(_soup_mesh(rng))
+        sc.add_instance(mid)
+        sc.add_instance(mid, _scale(1.0, 0.0, 1.0))  # flattened to a plane
+        dev = flatten_scene(sc)
+        assert dev.inst is None
+
+
+class TestInstTrace:
+    def test_closest_matches_chunked(self):
+        dev = _build_instanced()
+        ov, dv = _rays(np.random.default_rng(3))
+        ref = isect._intersect_chunked(dev, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        both_inf = np.isinf(t_ref) & np.isinf(t_pal)
+        # object-space math differs from world-space in float32: allow a
+        # relative tolerance and a tiny grazing-ray disagreement fraction
+        close = (np.abs(np.nan_to_num(t_ref, nan=1.0, posinf=1e30)
+                        - np.nan_to_num(t_pal, nan=2.0, posinf=-1e30))
+                 < 1e-3 * np.maximum(np.nan_to_num(t_ref, nan=1.0,
+                                                   posinf=1.0), 1.0))
+        agree = both_inf | close
+        assert agree.mean() > 0.99, f"{(~agree).sum()} lanes disagree"
+        hitm = np.isfinite(t_ref) & agree
+        assert hitm.sum() > 50, "fixture should produce plenty of hits"
+        np.testing.assert_array_equal(
+            np.asarray(ref.kind)[hitm], np.asarray(pal.kind)[hitm]
+        )
+        # materials agree (exercises the BLAS-local material + overrides)
+        np.testing.assert_array_equal(
+            np.asarray(ref.mat_id)[hitm], np.asarray(pal.mat_id)[hitm]
+        )
+        # normalized geometric normals agree (inverse-transpose transform)
+        nr = np.stack([np.asarray(ref.normal.x), np.asarray(ref.normal.y),
+                       np.asarray(ref.normal.z)], -1)[hitm]
+        npal = np.stack([np.asarray(pal.normal.x), np.asarray(pal.normal.y),
+                         np.asarray(pal.normal.z)], -1)[hitm]
+        nr /= np.maximum(np.linalg.norm(nr, axis=1, keepdims=True), 1e-20)
+        npal /= np.maximum(np.linalg.norm(npal, axis=1, keepdims=True),
+                           1e-20)
+        dots = (nr * npal).sum(1)
+        assert (dots > 0.999).mean() > 0.99
+
+    def test_mirror_instance_normals(self):
+        dev = _build_instanced(with_mirror=True)
+        ov, dv = _rays(np.random.default_rng(9))
+        ref = isect._intersect_chunked(dev, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        agree = ((np.isinf(t_ref) & np.isinf(t_pal))
+                 | (np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 2e-3))
+        assert agree.mean() > 0.99
+        hitm = np.isfinite(t_ref) & agree
+        nr = np.stack([np.asarray(ref.normal.x), np.asarray(ref.normal.y),
+                       np.asarray(ref.normal.z)], -1)[hitm]
+        npal = np.stack([np.asarray(pal.normal.x), np.asarray(pal.normal.y),
+                         np.asarray(pal.normal.z)], -1)[hitm]
+        nr /= np.maximum(np.linalg.norm(nr, axis=1, keepdims=True), 1e-20)
+        npal /= np.maximum(np.linalg.norm(npal, axis=1, keepdims=True),
+                           1e-20)
+        # sign(det) keeps mirrored normals aligned with the flattened cross
+        assert ((nr * npal).sum(1) > 0.999).mean() > 0.99
+
+    def test_material_override(self):
+        dev = _build_instanced(mat_override=2)
+        ia = dev.inst
+        assert float(ia.inst[2, 13]) == 2.0
+        ov, dv = _rays(np.random.default_rng(3))
+        ref = isect._intersect_chunked(dev, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        agree = ((np.isinf(t_ref) & np.isinf(t_pal))
+                 | (np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 2e-3))
+        hitm = np.isfinite(t_ref) & agree
+        np.testing.assert_array_equal(
+            np.asarray(ref.mat_id)[hitm], np.asarray(pal.mat_id)[hitm]
+        )
+        assert (np.asarray(pal.mat_id)[hitm] == 2).any()
+
+    def test_anyhit_matches_chunked(self):
+        dev = _build_instanced()
+        ov, dv = _rays(np.random.default_rng(7))
+        tmax = np.float32(4.0)
+        ref = isect._occluded_chunked(dev, ov, dv, np.float32(1e-4), tmax)
+        pal = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        # grazing-ray FP differences may flip an occasional lane
+        assert (np.asarray(ref) == np.asarray(pal)).mean() > 0.99
