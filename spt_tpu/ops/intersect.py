@@ -431,16 +431,25 @@ def _announce_chunked(reason: str) -> None:
 
 
 def _trace_module(scene: DeviceScene):
-    """Pick the trace kernel family by accel size: VMEM-resident tri table
-    (pallas_trace) up to MAX_RESIDENT_TRIS, HBM-streaming two-level
-    traversal (pallas_stream) beyond — scene size then costs HBM traffic,
-    not VMEM, matching the any-size role of rtcCommitScene /
-    optixAccelBuild (EmbreeBackend.cpp:181, OptixBackend.cpp:916-1034)."""
-    from spt_tpu.ops import pallas_stream, pallas_trace
+    """Pick the trace kernel family: instanced two-level traversal
+    (pallas_inst) when the scene carries a TLAS/BLAS pair, else by accel
+    size — VMEM-resident tri table (pallas_trace) up to MAX_RESIDENT_TRIS,
+    HBM-streaming two-level traversal (pallas_stream) beyond.  Scene size
+    then costs HBM traffic (or a shared BLAS), not VMEM, matching the
+    any-size role of rtcCommitScene / optixAccelBuild
+    (EmbreeBackend.cpp:181, OptixBackend.cpp:916-1180)."""
+    from spt_tpu.ops import pallas_inst, pallas_stream, pallas_trace
 
+    if scene.inst is not None:
+        return pallas_inst
     if scene.accel.tri_v0.shape[0] > pallas_trace.MAX_RESIDENT_TRIS:
         return pallas_stream
     return pallas_trace
+
+
+def _trace_accel(scene: DeviceScene):
+    """The accel structure the chosen trace module consumes."""
+    return scene.inst if scene.inst is not None else scene.accel
 
 
 def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> HitV:
@@ -451,7 +460,7 @@ def intersect_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> Hi
         return _intersect_unrolled(scene, o, d, tmin, tmax)
     if _pallas_ok(scene, o.x.shape[0] if o.x.ndim else 0):
         return _trace_module(scene).closest_hit(
-            scene.accel, scene, o, d, tmin, tmax)
+            _trace_accel(scene), scene, o, d, tmin, tmax)
     return _intersect_chunked(scene, o, d, tmin, tmax)
 
 
@@ -463,7 +472,7 @@ def occluded_v(scene: DeviceScene, o: Vec3, d: Vec3, tmin=1e-4, tmax=INF) -> jnp
         return _occluded_unrolled(scene, o, d, tmin, tmax)
     if _pallas_ok(scene, o.x.shape[0] if o.x.ndim else 0):
         return _trace_module(scene).any_hit(
-            scene.accel, scene, o, d, tmin, tmax)
+            _trace_accel(scene), scene, o, d, tmin, tmax)
     return _occluded_chunked(scene, o, d, tmin, tmax)
 
 

@@ -147,12 +147,18 @@ def _tex_table_bytes(scene: DeviceScene) -> int:
 def _accel_mode(scene: DeviceScene):
     """Mesh scenes trace through the cluster tables inside the fused kernels
     instead of the rolled prim loops.  Returns "resident" (tri_pack whole in
-    VMEM, pallas_trace.closest_hit_tile), "stream" (tri_stream in HBM,
-    pallas_stream.stream_closest_tile), or None (no accel path)."""
+    VMEM, pallas_trace.closest_hit_tile), "instanced" (shared BLAS resident
+    in VMEM, TLAS of instance transforms, pallas_inst.inst_closest_tile),
+    "stream" (tri_stream in HBM, pallas_stream.stream_closest_tile), or
+    None (no accel path)."""
     if scene.num_triangles + scene.num_spheres <= MAX_PALLAS_PRIMS:
         return None
+    if scene.num_spheres > MAX_ACCEL_SPHERES:
+        return None
+    if scene.inst is not None:
+        return "instanced"
     a = scene.accel
-    if a is None or scene.num_spheres > MAX_ACCEL_SPHERES:
+    if a is None:
         return None
     if a.num_clusters * a.cluster_size <= MAX_ACCEL_TRIS:
         return "resident"
@@ -578,13 +584,16 @@ def _make_trace_impls(accel_dims, accel_refs,
 
     Small scenes stream the rolled prim loops; "resident" accel scenes
     traverse the VMEM cluster tables via pallas_trace's tile functions;
-    "stream" accel scenes traverse via pallas_stream's tile functions
-    (tri_hbm in ANY space, DMA through `scratch`/`sem`).  Either way, path
-    state stays in VMEM across trace+shade exactly like the small-scene
-    path.
+    "instanced" scenes traverse a TLAS of transforms over a shared VMEM
+    BLAS via pallas_inst's tile functions; "stream" accel scenes traverse
+    via pallas_stream's tile functions (tri_hbm in ANY space, DMA through
+    `scratch`/`sem`).  Either way, path state stays in VMEM across
+    trace+shade exactly like the small-scene path.
 
     `accel_refs` = (cl_lo, cl_hi, tri_pack, cl_okey, sup_lo, sup_hi,
-    sup_okey, tri_hbm); unused members are 1-row dummies per mode."""
+    sup_okey, inst_tab, tri_hbm); unused members are 1-row dummies per
+    mode ("instanced" repurposes the cluster slots for the BLAS tables and
+    the super slots for the instance AABBs/keys)."""
     if accel_dims is None:
         def closest(scene, ps):
             return _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
@@ -597,7 +606,7 @@ def _make_trace_impls(accel_dims, accel_refs,
     if mode == "stream":
         from spt_tpu.ops import pallas_stream
 
-        cl_lo, cl_hi, _, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm = \
+        cl_lo, cl_hi, _, cl_okey, sup_lo, sup_hi, sup_okey, _, tri_hbm = \
             accel_refs
         stream_refs = (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey,
                        tri_hbm)
@@ -613,6 +622,23 @@ def _make_trace_impls(accel_dims, accel_refs,
             return pallas_stream.stream_any_tile(
                 stream_refs, k, n_sphs, _np.float32(tmin),
                 sph_c, sph_r, sph_m, o, d, tm, scratch, sem,
+            )
+    elif mode == "instanced":
+        from spt_tpu.ops import pallas_inst
+
+        inst_refs = accel_refs[:8]
+
+        def closest_res(ps, tmax):
+            return pallas_inst.inst_closest_tile(
+                inst_refs, k, n_sphs, _np.float32(0.0),
+                sph_c, sph_r, sph_m, ps.origin, ps.direction, tmax,
+                with_uv=with_uv,
+            )
+
+        def any_res(o, d, tmin, tm):
+            return pallas_inst.inst_any_tile(
+                inst_refs, k, n_sphs, _np.float32(tmin),
+                sph_c, sph_r, sph_m, o, d, tm,
             )
     else:
         from spt_tpu.ops import pallas_trace
@@ -684,7 +710,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
             a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
-            a_sup_lo, a_sup_hi, a_sup_okey, a_tex, tri_hbm,
+            a_sup_lo, a_sup_hi, a_sup_okey, a_inst, a_tex, tri_hbm,
             # then: optional env inputs, outputs, scratch (_split_tail)
             *rest):
     from spt_tpu.integrators import transport
@@ -699,7 +725,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
      o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed) = outs
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
-                     a_sup_lo, a_sup_hi, a_sup_okey, tri_hbm),
+                     a_sup_lo, a_sup_hi, a_sup_okey, a_inst, tri_hbm),
         sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
         scratch=scratch, sem=sem,
     )
@@ -802,7 +828,10 @@ def _accel_inputs(scene: DeviceScene):
     (t*TEX_TILES + q)*2 + plane; see _make_texture_sampler — or a 1-row
     dummy when untextured.  In "stream" mode tri_pack is a dummy too and
     `tri_stream` is the real 128-padded HBM table (rides in ANY space);
-    otherwise tri_stream is a (1, 1, 128) dummy."""
+    otherwise tri_stream is a (1, 1, 128) dummy.  In "instanced" mode the
+    cluster slots carry the shared BLAS tables, the super slots the TLAS
+    (instance world AABBs + visit keys), and the (I, 16) transform table
+    rides in the `inst` slot (a (1, 16) dummy for every other mode)."""
     def col(a):
         return a.reshape(-1, 1)
 
@@ -819,22 +848,33 @@ def _accel_inputs(scene: DeviceScene):
     zi = jnp.zeros((8, 1, 1), jnp.int32)
     pack_dummy = jnp.zeros((1, 8, 24), jnp.float32)
     stream_dummy = jnp.zeros((1, 1, 128), jnp.float32)
+    inst_dummy = jnp.zeros((1, 16), jnp.float32)
 
     if mode is not None:
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
         tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
+        if mode == "instanced":
+            # cluster slots carry the shared BLAS; super slots carry the
+            # TLAS (instance world boxes + keys); inst is the transforms
+            ia = scene.inst
+            accel_tables = [ia.blas_lo, ia.blas_hi, ia.tri_pack,
+                            ia.blas_okey, ia.inst_lo, ia.inst_hi,
+                            ia.inst_okey, ia.inst, tex]
+            return ((mode, ia.tri_pack.shape[0], ia.cluster_size), n_tex,
+                    accel_tables, tri_tables, stream_dummy)
         if mode == "stream":
             accel_tables = [a.cluster_lo, a.cluster_hi, pack_dummy,
-                            a.cl_okey, a.sup_lo, a.sup_hi, a.sup_okey, tex]
+                            a.cl_okey, a.sup_lo, a.sup_hi, a.sup_okey,
+                            inst_dummy, tex]
             tri_stream = a.tri_stream
         else:
             accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack,
-                            a.cl_okey, z83, z83, zi, tex]
+                            a.cl_okey, z83, z83, zi, inst_dummy, tex]
             tri_stream = stream_dummy
         return ((mode, a.num_clusters, a.cluster_size), n_tex,
                 accel_tables, tri_tables, tri_stream)
-    accel_tables = [z83, z83, pack_dummy, zi, z83, z83, zi, tex]
+    accel_tables = [z83, z83, pack_dummy, zi, z83, z83, zi, inst_dummy, tex]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
                   col(scene.tri_mat)]
     return None, n_tex, accel_tables, tri_tables, stream_dummy
@@ -1010,7 +1050,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
                   l_kind, l_vec, l_color, l_int, l_att,
                   e_v0, e_e1, e_e2, e_le, e_area,
                   a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
-                  a_sup_lo, a_sup_hi, a_sup_okey, a_tex, tri_hbm,
+                  a_sup_lo, a_sup_hi, a_sup_okey, a_inst, a_tex, tri_hbm,
                   # then: optional env inputs, outputs, scratch (_split_tail)
                   *rest):
     """The whole wavefront depth loop for one lane tile, entirely in VMEM.
@@ -1035,7 +1075,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
      o_rx, o_ry, o_rz, o_missed, o_bounces) = outs
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
-                     a_sup_lo, a_sup_hi, a_sup_okey, tri_hbm),
+                     a_sup_lo, a_sup_hi, a_sup_okey, a_inst, tri_hbm),
         sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
         scratch=scratch, sem=sem,
     )

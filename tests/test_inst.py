@@ -268,3 +268,42 @@ class TestInstTrace:
         pal = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
         # grazing-ray FP differences may flip an occasional lane
         assert (np.asarray(ref) == np.asarray(pal)).mean() > 0.99
+
+
+class TestInstFused:
+    def test_fused_matches_staged(self):
+        """The fused kernels route 'instanced' scenes through
+        pallas_inst's tile functions; fused output must match the staged
+        XLA pipeline on the same instanced scene."""
+        from spt_tpu.camera import Camera
+        from spt_tpu.config import RenderConfig
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import transport, wavefront as wf
+        from spt_tpu.lights import LightManager
+
+        dev = _build_instanced()
+        assert pb._accel_mode(dev) == "instanced"
+
+        cfg = RenderConfig(width=32, height=32, spp=1, max_depth=3)
+        lm = LightManager()
+        lm.add_directional_light((0.2, -0.7, -0.4), (1.0, 1.0, 1.0), 2.0)
+        lights = lm.device()
+        assert pb.explain_decline(dev, lights, cfg.width * cfg.height,
+                                  pad_ok=True) is None
+        env = make_procedural_environment()
+        cam = Camera(position=(0.0, 0.5, 7.0), target=(0.0, 0.0, 0.0),
+                     fov_degrees=55.0,
+                     aspect_ratio=1.0).rays()
+        ps = transport.gen_primary(cfg, cam, 0)
+        got, _ = wf._wavefront_masked(
+            cfg, dev, env, lights, ps, jnp.zeros((3,), jnp.int32),
+            fused=True)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        want, _ = wf._wavefront_masked(
+            cfg, dev, env, lights, ps2, jnp.zeros((3,), jnp.int32),
+            fused=False)
+        w, g = np.asarray(want), np.asarray(got)
+        # staged traces the flattened world-space soup, fused the
+        # object-space BLAS: identical up to reray float error
+        assert np.abs(w - g).max() < 5e-3
+        assert (np.abs(w - g).max(-1) > 1e-3).mean() < 0.01
