@@ -307,3 +307,66 @@ class TestInstFused:
         # object-space BLAS: identical up to reray float error
         assert np.abs(w - g).max() < 5e-3
         assert (np.abs(w - g).max(-1) > 1e-3).mean() < 0.01
+
+
+class TestInstScenes:
+    @pytest.mark.skipif(
+        not __import__("os").path.exists(
+            "/root/reference/assets/models/rattan_dining_chair/scene.gltf"),
+        reason="no chair asset")
+    def test_chair_grid_builds_instanced(self):
+        """The bigmesh bench scene (4x4 chair grid, ~98k replicated tris)
+        gets a TLAS/BLAS pair: one 96-cluster BLAS + 16 transforms instead
+        of streaming 98k triangles from HBM."""
+        from spt_tpu.scene import build_chair_grid_scene
+
+        desc, _, _ = build_chair_grid_scene()
+        dev = flatten_scene(desc)
+        ia = dev.inst
+        assert ia is not None
+        assert ia.num_meshes == 1
+        assert ia.num_instances == 16
+        assert ia.cmax * ia.cluster_size <= 12288  # BLAS fits residency
+        assert pb._accel_mode(dev) == "instanced"
+        # the grid is a translation lattice: every R_ofw equals instance
+        # 0's, translations differ
+        tab = np.asarray(ia.inst)
+        np.testing.assert_allclose(tab[:, 0:9], tab[0:1, 0:9], atol=1e-4)
+        assert len({tuple(row) for row in tab[:, 9:12].round(4)}) == 16
+
+    def test_sharded_instanced_matches_single(self):
+        """An instanced scene on the 8-device mesh: the TLAS/BLAS pytree
+        replicates with the scene, and the sharded render matches
+        single-chip (CPU mesh runs the XLA fallback; the point is the
+        pytree plumbing end-to-end)."""
+        from spt_tpu.camera import Camera
+        from spt_tpu.config import RenderConfig
+        from spt_tpu.engine.renderer import Renderer
+
+        dev_probe = _build_instanced()  # ensures fixture instancing works
+        assert dev_probe.inst is not None
+
+        import spt_tpu.ops.bvh as bvh
+
+        orig = bvh.MAX_RESIDENT_TRIS
+        rng = np.random.default_rng(11)
+        sc = SceneDesc()
+        sc.add_material(Material(base_color=(0.7, 0.5, 0.3)))
+        mid = sc.add_mesh(_soup_mesh(rng, nv=200, nt=400))
+        sc.add_instance(mid, _translate(-1.2, 0.0, 0.0))
+        sc.add_instance(mid, _translate(1.2, 0.3, -0.5) @ _rot_y(40.0))
+        cfg = RenderConfig(width=32, height=32, spp=1, max_depth=3)
+        cam = Camera(position=(0, 0, 5.0), target=(0, 0, 0),
+                     fov_degrees=50.0, aspect_ratio=1.0)
+        try:
+            bvh.MAX_RESIDENT_TRIS = 700  # 800 replicated > 700 > 448 unique
+            r8 = Renderer(sc, cfg, camera=cam)
+            assert r8.mesh is not None
+            assert r8.scene.inst is not None
+            r8.render_frame(check_camera=False)
+            r1 = Renderer(sc, cfg, camera=cam, multi_device=False)
+            r1.render_frame(check_camera=False)
+        finally:
+            bvh.MAX_RESIDENT_TRIS = orig
+        np.testing.assert_allclose(r8.image(), r1.image(),
+                                   rtol=1e-3, atol=2e-3)
