@@ -331,7 +331,7 @@ class TestInstScenes:
         # the grid is a translation lattice: every R_ofw equals instance
         # 0's, translations differ
         tab = np.asarray(ia.inst)
-        np.testing.assert_allclose(tab[:, 0:9], tab[0:1, 0:9], atol=1e-4)
+        assert np.abs(tab[:, 0:9] - tab[0, 0:9]).max() < 1e-4
         assert len({tuple(row) for row in tab[:, 9:12].round(4)}) == 16
 
     def test_sharded_instanced_matches_single(self):
