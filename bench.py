@@ -103,9 +103,10 @@ def build_workload(scene_name: str, width: int, height: int):
                         lights=LightManager().device(), camera=cam)
     if scene_name == "bigmesh":
         # Config #6: reference-scale mesh — a 4x4 chair grid (~98k tris,
-        # 8x past the VMEM tracer's MAX_RESIDENT_TRIS), rendered through
-        # the fused "stream" pipeline (opened superclusters DMA through
-        # VMEM scratch inside the fused kernels).
+        # 8x past the VMEM tracer's MAX_RESIDENT_TRIS).  Default route is
+        # the fused "instanced" pipeline (one shared 6k-tri VMEM BLAS +
+        # 16 transforms, ops/pallas_inst); SPT_INSTANCED=0 re-routes it
+        # through the HBM-streaming tier (the A/B).
         from spt_tpu.scene import build_chair_grid_scene
 
         desc, center, radius = build_chair_grid_scene()
