@@ -40,6 +40,16 @@ class Environment(NamedTuple):
     enabled: jnp.ndarray    # () bool
     intensity: jnp.ndarray  # () float32
     max_clamp: jnp.ndarray  # () float32
+    # Neighborhood-packed copy for ONE-take bilinear: row (y*W + x) holds
+    # the 2x2 texel block [c00 | c01 | c10 | c11] a bilinear fetch anchored
+    # at (y, x) needs (x+1 wrapped, y+1 clamped — pre-applied at build).
+    # TPU `take` cost is per-lane ADDRESSING, not bytes (measured: an
+    # (N, 3) take costs ~1.4x a single-channel one, and batching 4
+    # addresses does not amortize), so fetching 12 contiguous floats at
+    # ONE address replaces the 4-address gather that was ~49 ms of the
+    # HDR bench frame.  None when disabled (SPT_ENV_PACKED=0) or
+    # procedural-only; 4x the map's memory when built.
+    packed: Optional[jnp.ndarray] = None   # (H*W, 12) float32
 
 
 def procedural_sky(direction: jnp.ndarray) -> jnp.ndarray:
@@ -114,16 +124,38 @@ def make_procedural_environment(dtype=jnp.float32) -> Environment:
     )
 
 
+def pack_bilinear(image: np.ndarray) -> np.ndarray:
+    """(H, W, 3) -> (H*W, 12): the 2x2 neighborhood each bilinear fetch
+    anchored at (y, x) reads, stored contiguously so the fetch is ONE
+    flat take.  Column order [c00 | c01 | c10 | c11] matches
+    sample_equirect's taps: c01 is (y, x+1 wrapped), c10 is (y+1 clamped,
+    x) — the equirect wrap/clamp rules pre-applied at build."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[0], img.shape[1]
+    x1 = np.roll(img, -1, axis=1)
+    y1 = img[np.minimum(np.arange(h) + 1, h - 1)]
+    y1x1 = np.roll(y1, -1, axis=1)
+    return np.concatenate([img, x1, y1, y1x1], axis=-1).reshape(h * w, 12)
+
+
+def _pack_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPT_ENV_PACKED", "1") != "0"
+
+
 def make_hdr_environment(
     image: np.ndarray, intensity: float = 0.8, max_clamp: float = 5.0
 ) -> Environment:
-    img = jnp.asarray(np.asarray(image, np.float32))
+    img_np = np.asarray(image, np.float32)
+    img = jnp.asarray(img_np)
     assert img.ndim == 3 and img.shape[-1] == 3, "expected (H, W, 3) HDR image"
     return Environment(
         image=img,
         enabled=jnp.asarray(True),
         intensity=jnp.asarray(intensity, jnp.float32),
         max_clamp=jnp.asarray(max_clamp, jnp.float32),
+        packed=jnp.asarray(pack_bilinear(img_np)) if _pack_enabled() else None,
     )
 
 
@@ -236,6 +268,32 @@ def _equirect_taps(h: int, w: int, d: "v3.Vec3"):
     return _derive_taps(h, w, x0i, y0f, fx, fy)
 
 
+def sample_equirect_packed_v(h: int, w: int, packed: jnp.ndarray,
+                             d: "v3.Vec3") -> "v3.Vec3":
+    """Bilinear equirect lookup through the neighborhood-packed table
+    (Environment.packed): ONE flat take of 12 contiguous floats replaces
+    the four per-address takes of sample_equirect_v — identical taps,
+    identical interpolation arithmetic.
+
+    The one derivation that changes: the packed row is anchored at the
+    CLAMPED y0, whose stored second row is y0+1 — correct everywhere
+    except the top pole (unclipped floor -1), where BOTH taps must clamp
+    to row 0; forcing fy to 0 there selects exactly the row-0
+    interpolation (the bottom pole needs nothing: row H-1's stored
+    neighbor is itself)."""
+    x0i, y0f, fx, fy = _equirect_taps_raw(h, w, d)
+    fy = jnp.where(y0f < 0, jnp.float32(0.0), fy)
+    y0i = jnp.clip(y0f, 0, h - 1)
+    quad = jnp.take(packed, y0i * w + x0i, axis=0)     # (..., 12)
+    c00, c01 = quad[..., 0:3], quad[..., 3:6]
+    c10, c11 = quad[..., 6:9], quad[..., 9:12]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return v3.Vec3.from_array(top * (1.0 - fy) + bot * fy)
+
+
 def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
     """Bilinear equirect lookup (device_programs.cu:374-387), Vec3 form.
     The four texel gathers are unavoidable; everything else is lane math."""
@@ -289,6 +347,9 @@ def environment_color_v(env: Environment, direction: "v3.Vec3",
         if need is None:
             need = jnp.ones(d.x.shape, bool)
         tex = sample_equirect_pallas(env.image, d, need)
+    elif env.packed is not None:
+        tex = sample_equirect_packed_v(env.image.shape[0],
+                                       env.image.shape[1], env.packed, d)
     else:
         tex = sample_equirect_v(env.image, d)
     tex = v3.Vec3(

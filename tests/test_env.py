@@ -59,3 +59,56 @@ class TestEquirect:
         got = np.asarray(env_mod.environment_color(e, d))
         want = np.asarray(env_mod.procedural_sky(d))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestPackedBilinear:
+    """Neighborhood-packed one-take bilinear (Environment.packed): exact
+    tap-for-tap equivalence with the four-take sampler, including the
+    wrap seam and both pole rows."""
+
+    def _dirs(self, n=4096, seed=3):
+        rng = np.random.default_rng(seed)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        # force some lanes straight at the poles and along the seam
+        d[:8] = [0.0, 1.0, 0.0]
+        d[8:16] = [0.0, -1.0, 0.0]
+        d[16:24] = [-1.0, 0.0, -1e-5]
+        d[24:32] = [-1.0, 0.0, 1e-5]
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return d
+
+    def test_matches_four_take_sampler(self):
+        from spt_tpu.env import (pack_bilinear, sample_equirect_packed_v,
+                                 sample_equirect_v, synthetic_equirect)
+        from spt_tpu.ops.vec3 import Vec3
+
+        img = synthetic_equirect(32)
+        packed = jnp.asarray(pack_bilinear(img))
+        d = Vec3.from_array(jnp.asarray(self._dirs()))
+        want = sample_equirect_v(jnp.asarray(img), d)
+        got = sample_equirect_packed_v(img.shape[0], img.shape[1], packed, d)
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_environment_color_uses_packed(self, monkeypatch):
+        """make_hdr_environment builds the packed table (SPT_ENV_PACKED=0
+        disables) and environment_color_v routes through it with identical
+        radiometry."""
+        from spt_tpu import env as env_mod
+        from spt_tpu.ops.vec3 import Vec3
+
+        img = env_mod.synthetic_equirect(32)
+        e = env_mod.make_hdr_environment(img, intensity=0.8, max_clamp=5.0)
+        assert e.packed is not None
+        assert e.packed.shape == (32 * 64, 12)
+        monkeypatch.setenv("SPT_ENV_PACKED", "0")
+        e_off = env_mod.make_hdr_environment(img)
+        assert e_off.packed is None
+
+        d = Vec3.from_array(jnp.asarray(self._dirs(seed=9)))
+        got = env_mod.environment_color_v(e, d)
+        want = env_mod.environment_color_v(e._replace(packed=None), d)
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
