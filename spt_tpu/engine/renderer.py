@@ -156,7 +156,11 @@ class Renderer:
         # several and the image height tiles (SURVEY.md §2 parallelism).
         n_dev = jax.device_count()
         if multi_device is None:
-            multi_device = n_dev > 1 and self.cfg.height % n_dev == 0
+            # megakernel is single-chip capable only: an AUTO-detected mesh
+            # quietly yields to it (the user asked for a backend, not a
+            # mesh); an EXPLICIT multi_device=True below is a real conflict.
+            multi_device = (n_dev > 1 and self.cfg.height % n_dev == 0
+                            and self.cfg.integrator != "megakernel")
         self.mesh = None
         if multi_device:
             from spt_tpu.parallel import make_mesh, shard_pixels, sharded_frame_step

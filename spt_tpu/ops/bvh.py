@@ -203,9 +203,14 @@ def build_inst_accel(meshes, instances, cluster_size: int = 64) -> InstAccel:
             obj_hi[mi] = hi[mi, valid].max(0)
 
     i_count = len(instances)
-    assert i_count <= (1 << 14), (
-        f"{i_count} instances overflow the 16-bit id / 15-bit rank packing"
-    )
+    if i_count > (1 << 14):
+        # ValueError so _maybe_build_inst declines to the streamed
+        # flattened path (mass instancing past the key packing is a valid
+        # scene, just not an instanced-tier one)
+        raise ValueError(
+            f"{i_count} instances overflow the 16-bit id / 15-bit rank "
+            "packing"
+        )
     inst_lo = np.zeros((i_count, 3), np.float32)
     inst_hi = np.zeros((i_count, 3), np.float32)
     inst = np.zeros((i_count, 16), np.float32)

@@ -697,6 +697,25 @@ def _split_tail(accel_dims, env_dims, n_outs, rest):
     return env_fn, outs, stream_pair
 
 
+def _apply_env_term(env_fn, ps, new_ps, missed):
+    """Per-bounce in-kernel env term, shared by _kernel and _frame_kernel:
+    settle this bounce's misses NOW, while they are image-coherent
+    (transport.shade's structure, in-kernel) — missed lanes keep their
+    pre-bounce direction and throughput, and nothing is owed to the
+    caller afterward."""
+    env_c = env_fn(ps.direction, missed)
+    zero = jnp.zeros_like(missed, jnp.float32)
+    new_ps = new_ps._replace(radiance=Vec3(
+        new_ps.radiance.x + jnp.where(missed, ps.throughput.x * env_c.x,
+                                      zero),
+        new_ps.radiance.y + jnp.where(missed, ps.throughput.y * env_c.y,
+                                      zero),
+        new_ps.radiance.z + jnp.where(missed, ps.throughput.z * env_c.z,
+                                      zero),
+    ))
+    return new_ps, jnp.zeros_like(missed)
+
+
 def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             env_dims,
             n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
@@ -770,23 +789,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             texture_fn=texture_fn,
         )
         if env_fn is not None:
-            # settle the env term NOW, while this bounce's misses are
-            # image-coherent (transport.shade's structure, in-kernel):
-            # missed lanes keep their pre-bounce direction and throughput
-            env_c = env_fn(ps.direction, missed)
-            zero = jnp.zeros_like(missed, jnp.float32)
-            new_ps = new_ps._replace(radiance=Vec3(
-                new_ps.radiance.x + jnp.where(missed,
-                                              ps.throughput.x * env_c.x,
-                                              zero),
-                new_ps.radiance.y + jnp.where(missed,
-                                              ps.throughput.y * env_c.y,
-                                              zero),
-                new_ps.radiance.z + jnp.where(missed,
-                                              ps.throughput.z * env_c.z,
-                                              zero),
-            ))
-            missed = jnp.zeros_like(missed)
+            new_ps, missed = _apply_env_term(env_fn, ps, new_ps, missed)
 
         o_ox[:], o_oy[:], o_oz[:] = new_ps.origin
         o_dx[:], o_dy[:], o_dz[:] = new_ps.direction
@@ -893,7 +896,7 @@ def _stream_scratch_shapes(accel_dims):
             pltpu.SemaphoreType.DMA]
 
 
-def _env_setup(env, scene):
+def _env_setup(env):
     """(env_dims, extra inputs, extra in_specs, scratch) for the in-kernel
     env term, or all-empty when it doesn't engage (env_in_kernel_ok)."""
     if env is None or not env_in_kernel_ok(env):
@@ -965,7 +968,7 @@ def fused_bounce(
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
     accel_dims, n_tex, accel_tables, tri_tables, tri_stream = \
         _accel_inputs(scene)
-    env_dims, env_inputs, env_specs, env_scratch = _env_setup(env, scene)
+    env_dims, env_inputs, env_specs, env_scratch = _env_setup(env)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),
@@ -1128,22 +1131,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             texture_fn=texture_fn,
         )
         if env_fn is not None:
-            # per-bounce in-kernel env term (see _kernel): image-coherent
-            # misses resolve NOW; nothing is deferred to the caller
-            env_c = env_fn(ps.direction, missed)
-            zero = jnp.zeros_like(missed, jnp.float32)
-            new_ps = new_ps._replace(radiance=Vec3(
-                new_ps.radiance.x + jnp.where(missed,
-                                              ps.throughput.x * env_c.x,
-                                              zero),
-                new_ps.radiance.y + jnp.where(missed,
-                                              ps.throughput.y * env_c.y,
-                                              zero),
-                new_ps.radiance.z + jnp.where(missed,
-                                              ps.throughput.z * env_c.z,
-                                              zero),
-            ))
-            missed = jnp.zeros_like(missed)
+            new_ps, missed = _apply_env_term(env_fn, ps, new_ps, missed)
         return (bounce + 1,
                 new_ps.origin.x, new_ps.origin.y, new_ps.origin.z,
                 new_ps.direction.x, new_ps.direction.y, new_ps.direction.z,
@@ -1220,7 +1208,7 @@ def fused_frame(
         emitter_tables = [z13, z13, z13, z13, jnp.zeros((1, 1), jnp.float32)]
     accel_dims, n_tex, accel_tables, tri_tables, tri_stream = \
         _accel_inputs(scene)
-    env_dims, env_inputs, env_specs, env_scratch = _env_setup(env, scene)
+    env_dims, env_inputs, env_specs, env_scratch = _env_setup(env)
     tables = tri_tables + [
         scene.sph_center, col(scene.sph_radius), col(scene.sph_mat),
         mats.base_color, col(mats.metallic), col(mats.roughness), col(mats.ior),

@@ -289,5 +289,7 @@ def _maybe_build_inst(desc: SceneDesc, inst_records, total_tris: int,
         return build_inst_accel(meshes, instances,
                                 cluster_size=cluster_size)
     except ValueError:
-        # singular instance transform: only the flattened path renders it
+        # singular instance transform (only the flattened path renders it)
+        # or an instance count past the visit-key packing: decline to the
+        # streamed flattened tier
         return None

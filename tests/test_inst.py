@@ -370,3 +370,21 @@ class TestInstScenes:
             bvh.MAX_RESIDENT_TRIS = orig
         np.testing.assert_allclose(r8.image(), r1.image(),
                                    rtol=1e-3, atol=2e-3)
+
+
+class TestInstGateErrors:
+    def test_overflow_instance_count_is_valueerror(self):
+        """>16384 instances must raise ValueError (which _maybe_build_inst
+        catches to decline to the streamed tier), not a bare assert that
+        crashes flatten_scene (round-4 review finding)."""
+        from spt_tpu.ops.bvh import build_inst_accel
+
+        v0 = np.zeros((4, 3), np.float32)
+        v0[:, 0] = np.arange(4)
+        e1 = np.tile(np.array([[0.5, 0, 0]], np.float32), (4, 1))
+        e2 = np.tile(np.array([[0, 0.5, 0]], np.float32), (4, 1))
+        mesh = (v0, e1, e2, np.zeros(4, np.int32), None)
+        eye = np.eye(4, dtype=np.float32)
+        instances = [(0, eye, -1)] * ((1 << 14) + 1)
+        with pytest.raises(ValueError, match="overflow"):
+            build_inst_accel([mesh], instances)

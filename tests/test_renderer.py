@@ -79,6 +79,22 @@ class TestIntegratorToggle:
             Renderer(build_default_scene(), cfg,
                      camera=default_camera(16, 16), multi_device=True)
 
+    def test_megakernel_autodetect_yields_single_chip(self):
+        # With multi_device UNSPECIFIED the user asked for a backend, not
+        # a mesh: auto-detection must quietly fall back to single-chip
+        # instead of crashing the CLI's --integrator megakernel on a
+        # multi-device host (round-4 review finding).
+        import jax
+        import pytest
+
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        cfg = TOGGLE_CFG.replace(integrator="megakernel", height=16)
+        r = Renderer(build_default_scene(), cfg,
+                     camera=default_camera(16, 16))
+        assert r.mesh is None
+        r.render_frame(check_camera=False)
+
 
 class TestProgressive:
     def test_accumulation_counts(self):
