@@ -388,3 +388,78 @@ class TestInstGateErrors:
         instances = [(0, eye, -1)] * ((1 << 14) + 1)
         with pytest.raises(ValueError, match="overflow"):
             build_inst_accel([mesh], instances)
+
+
+class TestInstTextured:
+    def test_textured_instanced_fused_matches_staged(self):
+        """The bigmesh chair is textured: the fused instanced path must
+        resolve texture uv through the BLAS pack exactly like the staged
+        pipeline resolves it through the replicated accel."""
+        from spt_tpu.camera import Camera
+        from spt_tpu.config import RenderConfig
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import transport, wavefront as wf
+        from spt_tpu.lights import LightManager
+
+        rng = np.random.default_rng(5)
+        tex = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        sc = SceneDesc()
+        sc.add_material(Material(base_color=[1.0, 1.0, 1.0], roughness=1.0,
+                                 ior=1.0, base_color_texture=tex))
+        quad = MeshData(
+            positions=[[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+            indices=[[0, 1, 2], [0, 2, 3]],
+            normals=[[0, 0, 1]] * 4,
+            texcoords=[[0, 1], [1, 1], [1, 0], [0, 0]],
+            material_id=0,
+        )
+        # pad the mesh with a soup so the prim count clears
+        # MAX_PALLAS_PRIMS and accel mode engages
+        soup = _soup_mesh(rng, nv=100, nt=240, material_id=0)
+        mid_q = sc.add_mesh(quad)
+        mid_s = sc.add_mesh(soup)
+        sc.add_instance(mid_q, _translate(-1.5, 0.0, 0.0))
+        sc.add_instance(mid_q, _translate(1.5, 0.3, -0.5) @ _rot_y(30.0))
+        # three soup copies: the uniform-CMAX BLAS padding (the tiny quad
+        # pads to the soup's cluster count) must stay under the replicated
+        # total for the size gate to accept
+        sc.add_instance(mid_s, _translate(0.0, -2.5, 0.0))
+        sc.add_instance(mid_s, _translate(0.0, 2.5, 0.0))
+        sc.add_instance(mid_s, _translate(2.5, 0.0, 1.0) @ _rot_y(75.0))
+        dev = flatten_scene(sc)
+        assert dev.textures is not None
+        import spt_tpu.ops.bvh as bvh
+        from spt_tpu.scene.flatten import _maybe_build_inst
+        from spt_tpu.scene.desc import NO_MATERIAL
+
+        orig = bvh.MAX_RESIDENT_TRIS
+        try:
+            bvh.MAX_RESIDENT_TRIS = dev.num_triangles - 1
+            recs = [(i.mesh_id, i.world_from_object,
+                     int(i.material_id) if i.material_id != NO_MATERIAL
+                     else -1) for i in sc.instances]
+            dev = dev._replace(inst=_maybe_build_inst(
+                sc, recs, dev.num_triangles, 64))
+        finally:
+            bvh.MAX_RESIDENT_TRIS = orig
+        assert dev.inst is not None
+        assert pb._accel_mode(dev) == "instanced"
+
+        cfg = RenderConfig(width=32, height=32, spp=1, max_depth=2)
+        lm = LightManager()
+        lm.add_directional_light((0.1, -0.3, -1.0), (1.0, 1.0, 1.0), 2.0)
+        lights = lm.device()
+        env = make_procedural_environment()
+        cam = Camera(position=(0.0, 0.0, 6.0), target=(0.0, 0.0, 0.0),
+                     fov_degrees=55.0, aspect_ratio=1.0).rays()
+        ps = transport.gen_primary(cfg, cam, 0)
+        got, _ = wf._wavefront_masked(
+            cfg, dev, env, lights, ps, jnp.zeros((3,), jnp.int32),
+            fused=True)
+        ps2 = transport.gen_primary(cfg, cam, 0)
+        want, _ = wf._wavefront_masked(
+            cfg, dev, env, lights, ps2, jnp.zeros((3,), jnp.int32),
+            fused=False)
+        w, g = np.asarray(want), np.asarray(got)
+        assert np.abs(w - g).max() < 5e-3
+        assert (np.abs(w - g).max(-1) > 1e-3).mean() < 0.01
