@@ -128,7 +128,11 @@ class InstAccel(NamedTuple):
 
     blas_lo: jnp.ndarray    # (M, CMAX, 3) object-space cluster AABBs
     blas_hi: jnp.ndarray    # (M, CMAX, 3); padding clusters inverted
-    blas_okey: jnp.ndarray  # (8, M, CMAX, 1) rank<<16 | LOCAL cluster id
+    # (8*M, CMAX, 1) rank<<16 | LOCAL cluster id; row (octant * M + mesh).
+    # Flattened to ONE leading dim so the kernel's lookup is a single
+    # dynamic index — the Mosaic-proven pattern (tri_pack[m]); a (8, M,
+    # CMAX, 1) table would need a double dynamic index.
+    blas_okey: jnp.ndarray
     tri_pack: jnp.ndarray   # (M*CMAX, K, 24) packed object-space triangles
     inst_lo: jnp.ndarray    # (I, 3) world-space instance AABBs
     inst_hi: jnp.ndarray    # (I, 3)
@@ -252,7 +256,7 @@ def build_inst_accel(meshes, instances, cluster_size: int = 64) -> InstAccel:
     return InstAccel(
         blas_lo=jnp.asarray(lo),
         blas_hi=jnp.asarray(hi),
-        blas_okey=jnp.asarray(okey.reshape(8, m_count, cmax, 1)),
+        blas_okey=jnp.asarray(okey.reshape(8 * m_count, cmax, 1)),
         tri_pack=jnp.asarray(pack),
         inst_lo=jnp.asarray(inst_lo),
         inst_hi=jnp.asarray(inst_hi),

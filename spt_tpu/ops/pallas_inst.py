@@ -111,8 +111,9 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
     cluster traversal.
 
     `inst_refs` = (blas_lo (M, CMAX, 3), blas_hi, tri_pack (M*CMAX, K, 24),
-    blas_okey (8, M, CMAX, 1), inst_lo (I, 3), inst_hi, inst_okey
-    (8, I, 1), inst_tab (I, 16)) VMEM refs.  Same value-plane contract as
+    blas_okey (8*M, CMAX, 1) — row octant*M + mesh, one dynamic leading
+    index — inst_lo (I, 3), inst_hi, inst_okey (8, I, 1), inst_tab
+    (I, 16)) VMEM refs.  Same value-plane contract as
     pallas_trace.closest_hit_tile; reused by the standalone kernels AND the
     fused bounce/frame kernels (ops/pallas_bounce)."""
     (blas_lo, blas_hi, tri_pack, blas_okey,
@@ -154,7 +155,9 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
             ooct = _octant(dd)
             cflags = _box_flags(blas_lo[mesh], blas_hi[mesh],
                                 oo3, iinv3, tmin, bound)
-            ckey0 = jnp.where(cflags, blas_okey[ooct, mesh], _OKEY_MISS)
+            m_count = blas_lo.shape[0]
+            ckey0 = jnp.where(cflags, blas_okey[ooct * m_count + mesh],
+                              _OKEY_MISS)
             ccount = jnp.sum(cflags.astype(jnp.int32))
             base = mesh * cmax
             open_cluster = make_cluster_opener(
@@ -226,7 +229,9 @@ def inst_any_tile(inst_refs, k, n_sph, tmin,
                 ooct = _octant(dd)
                 cflags = _box_flags(blas_lo[mesh], blas_hi[mesh],
                                     oo3, iinv3, tmin, lb)
-                ckey0 = jnp.where(cflags, blas_okey[ooct, mesh], _OKEY_MISS)
+                m_count = blas_lo.shape[0]
+                ckey0 = jnp.where(cflags, blas_okey[ooct * m_count + mesh],
+                                  _OKEY_MISS)
                 ccount = jnp.sum(cflags.astype(jnp.int32))
                 base = mesh * cmax
 

@@ -122,7 +122,7 @@ class TestInstAccelBuild:
         assert ia.num_meshes == 2
         assert ia.num_instances == 4
         m, cmax = ia.blas_lo.shape[:2]
-        assert ia.blas_okey.shape == (8, m, cmax, 1)
+        assert ia.blas_okey.shape == (8 * m, cmax, 1)
         assert ia.tri_pack.shape[0] == m * cmax
         assert ia.inst.shape == (4, 16)
         # mesh 1 is smaller: its padding clusters must be inverted boxes
