@@ -47,7 +47,13 @@ LANES = 128
 TILE_ROWS = 64                   # 8192 lanes per grid step
 TILE_ROWS_MESH = 8               # accel mode: finer tiles -> tighter unions
 MAX_PALLAS_PRIMS = 192           # matches intersect.UNROLL_LIMIT
-MAX_PALLAS_MATERIALS = 16
+# Material fetch in-kernel is the masked-select loop
+# (_gather_materials_select): cost grows linearly (12 selects per
+# material per shade), so the cap trades shade cost against falling off
+# the fused path entirely (a 10-50x loss).  64 materials ~ 800 vector
+# ops per tile-shade — small next to a mesh frame's traversal (~80 % of
+# device time) and strictly better than the staged fallback.
+MAX_PALLAS_MATERIALS = 64
 # Accel (mesh) modes:
 # - "resident": the packed triangle table sits whole in VMEM next to the
 #   path-state tiles — (C, K, 24) pads its minor dim to 128 lanes, so
@@ -131,7 +137,11 @@ def _tile_rows(rows: int) -> int:
     return rows if rows <= TILE_ROWS else 0
 
 
-MAX_PALLAS_EMITTERS = 16
+# The in-kernel NEE emitter pick must take shade_core's unrolled
+# masked-select branch (its large-table alternative is a per-lane gather
+# Mosaic cannot lower), so this cap may not exceed
+# transport.NEE_SELECT_UNROLL (= 32).
+MAX_PALLAS_EMITTERS = 32
 # VMEM ceiling for the packed texture table (2 int32 planes per texture).
 # materials.choose_tex_res budgets the per-scene resolution so ~any
 # texture COUNT stays under this (64 textures at the 64^2 floor = 2 MiB);

@@ -668,3 +668,44 @@ class TestFusedStream:
         assert np.isfinite(w).all() and w.std() > 0.01
         np.testing.assert_array_equal(
             np.asarray(sw.rays_per_bounce), np.asarray(sg.rays_per_bounce))
+
+
+class TestManyMaterials:
+    def test_emitter_cap_within_unroll(self):
+        # The in-kernel NEE pick must take shade_core's unrolled select
+        # branch; its gather alternative cannot lower in Mosaic.
+        assert pb.MAX_PALLAS_EMITTERS <= transport.NEE_SELECT_UNROLL
+
+    def test_forty_material_scene_stays_fused(self):
+        """Raising MAX_PALLAS_MATERIALS (16 -> 64) keeps many-material
+        scenes on the fused path (the select loop grows linearly; falling
+        off was a 10-50x cliff); fused output matches shade_core."""
+        from spt_tpu.scene.desc import Material, SceneDesc
+
+        rng = np.random.default_rng(2)
+        desc = SceneDesc()
+        for i in range(40):
+            desc.add_material(Material(
+                base_color=rng.uniform(0.2, 0.9, 3).tolist(),
+                roughness=float(rng.uniform(0.1, 1.0)),
+                metallic=float(i % 2) * 0.8))
+        for i in range(40):
+            ang = i * 2 * np.pi / 40
+            desc.add_sphere((2.5 * np.cos(ang), 0.0, 2.5 * np.sin(ang)),
+                            0.35, i)
+        scene = flatten_scene(desc)
+        lights = default_lights()
+        cfg = RenderConfig(width=64, height=32, spp=1, max_depth=3)
+        assert pb.explain_decline(scene, lights,
+                                  cfg.width * cfg.height) is None
+        cam = default_camera(cfg.width, cfg.height).rays()
+        ps = transport.gen_primary(cfg, cam, 0)
+        hit = transport.trace_bounce(scene, ps)
+        a, ma = transport.shade_core(cfg, scene, lights, ps, hit, 1, False)
+        b, mb = pb.fused_bounce(cfg, scene, lights, ps, 1, False)
+        ra = np.asarray(a.radiance.to_array())
+        rb = np.asarray(b.radiance.to_array())
+        assert (np.abs(ra - rb).max(-1) > 0.01).sum() == 0
+        np.testing.assert_array_equal(np.asarray(a.alive),
+                                      np.asarray(b.alive))
+        np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
