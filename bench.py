@@ -258,6 +258,12 @@ def main():
         "spp": cfg.spp,
         "max_depth": cfg.max_depth,
     }
+    if scene_name == "bigmesh":
+        # which mesh-scale tier actually ran (instanced TLAS/BLAS by
+        # default; SPT_INSTANCED=0 re-routes through HBM streaming)
+        from spt_tpu.ops.pallas_bounce import _accel_mode
+
+        result["tier"] = _accel_mode(r.scene) or "staged"
     print(json.dumps(result))
 
 
