@@ -25,7 +25,7 @@ Architecture (vs. the reference):
 from spt_tpu.config import RenderConfig, GPU_PARITY
 from spt_tpu.camera import Camera, default_camera
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def __getattr__(name):

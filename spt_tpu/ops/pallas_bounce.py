@@ -66,7 +66,11 @@ MAX_PALLAS_MATERIALS = 64
 #   role of rtcCommitScene / optixAccelBuild (EmbreeBackend.cpp:181,
 #   OptixBackend.cpp:916-1034).
 MAX_ACCEL_TRIS = 12288
-MAX_ACCEL_SPHERES = 16
+# Analytic spheres in accel mode run an unrolled in-kernel pass (~25
+# vector ops each, closest + shadow) BEFORE the cluster loop, so the cap
+# trades a linear per-bounce cost against dropping the whole scene to the
+# staged fallback (10-50x) — same reasoning as MAX_PALLAS_MATERIALS.
+MAX_ACCEL_SPHERES = 32
 MAX_STREAM_CLUSTERS = 1 << 14   # bvh cl_okey rank<<16|id packing limit
 
 
