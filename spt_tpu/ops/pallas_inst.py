@@ -46,6 +46,7 @@ from spt_tpu.ops.pallas_trace import (
     LANES,
     _OKEY_ID_MASK,
     _OKEY_MISS,
+    _box_flag1,
     _box_flags,
     _divisor,
     _sphere_pass_any,
@@ -145,8 +146,7 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
         # box test skips a whole BLAS pass; the supercluster recheck win,
         # ops/pallas_stream.open_super).
         bound = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
-        ialive = _box_flags(inst_lo[pl.ds(i, 1)], inst_hi[pl.ds(i, 1)],
-                            o3, inv3, tmin, bound)
+        ialive = _box_flag1(inst_lo, inst_hi, i, o3, inv3, tmin, bound)
 
         def live(carry):
             r, mesh, mat_ov, sg = _read_inst(inst_tab, i)
@@ -174,7 +174,7 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
             return jax.lax.fori_loop(0, ccount, open_cl,
                                      (ckey0,) + carry)[1:]
 
-        carry = jax.lax.cond(jnp.any(ialive), live, lambda c: c, carry)
+        carry = jax.lax.cond(ialive, live, lambda c: c, carry)
         return (jnp.where(ikey == m, _OKEY_MISS, ikey),) + carry
 
     out_carry = jax.lax.fori_loop(0, icount, open_inst,
@@ -219,8 +219,7 @@ def inst_any_tile(inst_refs, k, n_sph, tmin,
             m = jnp.min(ikey)
             i = m & _OKEY_ID_MASK
             lb = live_bound(blocked)
-            ialive = _box_flags(inst_lo[pl.ds(i, 1)], inst_hi[pl.ds(i, 1)],
-                                o3, inv3, tmin, lb)
+            ialive = _box_flag1(inst_lo, inst_hi, i, o3, inv3, tmin, lb)
 
             def live(blocked):
                 r, mesh, _, _ = _read_inst(inst_tab, i)
@@ -252,8 +251,7 @@ def inst_any_tile(inst_refs, k, n_sph, tmin,
                     ccond, cbody, (jnp.int32(0), ckey0, blocked))
                 return blocked
 
-            blocked = jax.lax.cond(jnp.any(ialive), live,
-                                   lambda b: b, blocked)
+            blocked = jax.lax.cond(ialive, live, lambda b: b, blocked)
             return j + 1, jnp.where(ikey == m, _OKEY_MISS, ikey), blocked
 
         _, _, blocked = jax.lax.while_loop(

@@ -49,6 +49,7 @@ from spt_tpu.ops.pallas_trace import (
     _BIG,
     _OKEY_ID_MASK,
     _OKEY_MISS,
+    _box_flag1,
     _box_flags,
     _divisor,
     _inv_dir,
@@ -132,8 +133,7 @@ def stream_closest_tile(stream_refs, k, n_sph, tmin,
         # the time their turn comes — a dead super skips its DMA and its
         # whole cluster pass for the cost of one box test.
         bound = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
-        salive = _box_flags(sup_lo[pl.ds(g, 1)], sup_hi[pl.ds(g, 1)],
-                            o3, inv3, tmin, bound)
+        salive = _box_flag1(sup_lo, sup_hi, g, o3, inv3, tmin, bound)
 
         def live(carry):
             cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)], scratch,
@@ -156,7 +156,7 @@ def stream_closest_tile(stream_refs, k, n_sph, tmin,
             return jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
 
         if _recheck_on():
-            carry = jax.lax.cond(jnp.any(salive), live, lambda c: c, carry)
+            carry = jax.lax.cond(salive, live, lambda c: c, carry)
         else:
             carry = live(carry)
         return (jnp.where(skey == m, _OKEY_MISS, skey),) + carry
@@ -208,8 +208,7 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
             g = m & _OKEY_ID_MASK
             base = g * f
             lb = live_bound(blocked)
-            salive = _box_flags(sup_lo[pl.ds(g, 1)], sup_hi[pl.ds(g, 1)],
-                                o3, inv3, tmin, lb)
+            salive = _box_flag1(sup_lo, sup_hi, g, o3, inv3, tmin, lb)
 
             def live(blocked):
                 cp = pltpu.make_async_copy(tri_hbm.at[pl.ds(base, f)],
@@ -240,7 +239,7 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
                 return blocked
 
             if _recheck_on():
-                blocked = jax.lax.cond(jnp.any(salive), live,
+                blocked = jax.lax.cond(salive, live,
                                        lambda b: b, blocked)
             else:
                 blocked = live(blocked)

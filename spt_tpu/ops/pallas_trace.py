@@ -106,6 +106,34 @@ def _box_flags(lo, hi, o3, inv3, tmin, bound):
     return jnp.any(any_lane, axis=1, keepdims=True)  # (B, 1)
 
 
+def _box_flag1(lo, hi, i, o3, inv3, tmin, bound):
+    """Single-box slab test against the whole (S, L) ray subtile; returns
+    a scalar bool (any lane hits box i).
+
+    This is NOT _box_flags with B=1: Mosaic cannot lower that variant on
+    hardware — the (1,1,1)->(1,S,L) vector.broadcast out of a dynamically
+    sliced one-row load hits "Not implemented: Broadcast in both sublanes
+    and lanes" (tools/repro_mosaic_constructs.py case A), while dynamic
+    scalar element reads (case C) and scalar->vector broadcasts (case B)
+    lower fine.  So the one-box recheck reads the six bounds as scalars.
+    lo/hi: (B, 3) VMEM refs; i: dynamic row index."""
+    t0x = (lo[i, 0] - o3[0]) * inv3[0]
+    t1x = (hi[i, 0] - o3[0]) * inv3[0]
+    t0y = (lo[i, 1] - o3[1]) * inv3[1]
+    t1y = (hi[i, 1] - o3[1]) * inv3[1]
+    t0z = (lo[i, 2] - o3[2]) * inv3[2]
+    t1z = (hi[i, 2] - o3[2]) * inv3[2]
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), bound),
+    )
+    return jnp.any(tnear <= tfar)
+
+
 def _visit_keys(flags, cl_okey, oct_):
     """(count, key0): the flagged clusters as a (C, 1) packed-key vector.
 

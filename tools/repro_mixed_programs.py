@@ -51,8 +51,8 @@ def _pallas_fn(dma: bool, big: bool):
     def run(x):
         return pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.TPUMemorySpace.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.TPUMemorySpace.SMEM),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
             scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA],
@@ -63,7 +63,7 @@ def _pallas_fn(dma: bool, big: bool):
             o_ref[0, 0] = jnp.sum(x_ref[...])
         return pl.pallas_call(
             k2, out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            out_specs=pl.BlockSpec(memory_space=pltpu.TPUMemorySpace.SMEM),
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
         )(x)[0, 0]
 
     x = jnp.ones((rows, 128), jnp.float32)
