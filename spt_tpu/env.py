@@ -43,12 +43,13 @@ class Environment(NamedTuple):
     # Neighborhood-packed copy for ONE-take bilinear: row (y*W + x) holds
     # the 2x2 texel block [c00 | c01 | c10 | c11] a bilinear fetch anchored
     # at (y, x) needs (x+1 wrapped, y+1 clamped — pre-applied at build).
-    # TPU `take` cost is per-lane ADDRESSING, not bytes (measured: an
-    # (N, 3) take costs ~1.4x a single-channel one, and batching 4
-    # addresses does not amortize), so fetching 12 contiguous floats at
-    # ONE address replaces the 4-address gather that was ~49 ms of the
-    # HDR bench frame.  None when disabled (SPT_ENV_PACKED=0) or
-    # procedural-only; 4x the map's memory when built.
+    # Measured on real TPU (benchmarks/env_packed_ab.py): a raw (N, 12)
+    # take costs ~3.5x an (N, 3) one — XLA's gather cost scales with the
+    # fetched row width past ~4 floats, so one 12-wide address is NOT
+    # cheaper than four 3-wide ones (50.4 vs 51.0 ms micro; 98.3 vs 102.0
+    # Mrays/s on the HDR bench e2e).  Ships default-OFF (SPT_ENV_PACKED=1
+    # opts in); kept because the build/pack path is tested and the trade
+    # may flip on other TPU generations.  4x the map's memory when built.
     packed: Optional[jnp.ndarray] = None   # (H*W, 12) float32
 
 
@@ -141,7 +142,7 @@ def pack_bilinear(image: np.ndarray) -> np.ndarray:
 def _pack_enabled() -> bool:
     import os
 
-    return os.environ.get("SPT_ENV_PACKED", "1") != "0"
+    return os.environ.get("SPT_ENV_PACKED", "0") == "1"
 
 
 def make_hdr_environment(

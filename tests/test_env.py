@@ -92,17 +92,18 @@ class TestPackedBilinear:
                                        rtol=1e-6, atol=1e-6)
 
     def test_environment_color_uses_packed(self, monkeypatch):
-        """make_hdr_environment builds the packed table (SPT_ENV_PACKED=0
-        disables) and environment_color_v routes through it with identical
-        radiometry."""
+        """make_hdr_environment builds the packed table only on opt-in
+        (SPT_ENV_PACKED=1; default off — measured slower on real TPU) and
+        environment_color_v routes through it with identical radiometry."""
         from spt_tpu import env as env_mod
         from spt_tpu.ops.vec3 import Vec3
 
         img = env_mod.synthetic_equirect(32)
+        monkeypatch.setenv("SPT_ENV_PACKED", "1")
         e = env_mod.make_hdr_environment(img, intensity=0.8, max_clamp=5.0)
         assert e.packed is not None
         assert e.packed.shape == (32 * 64, 12)
-        monkeypatch.setenv("SPT_ENV_PACKED", "0")
+        monkeypatch.delenv("SPT_ENV_PACKED")
         e_off = env_mod.make_hdr_environment(img)
         assert e_off.packed is None
 

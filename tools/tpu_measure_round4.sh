@@ -21,11 +21,16 @@ step() {
 # 1. the headline round-4 capability: instanced vs streamed bigmesh
 step "bigmesh instanced"            python bench.py --scene bigmesh
 SPT_INSTANCED=0 step "bigmesh streamed (A/B)" python bench.py --scene bigmesh
-# 2. the packed one-take env on the hdr config
-step "hdr packed env"               python bench.py --scene hdr
-SPT_ENV_PACKED=0 step "hdr 4-take env (A/B)"  python bench.py --scene hdr
+# 2. the env fetch A/B on the hdr config (packed ships default-OFF after
+#    the 08-19 measurement: 98.3 packed vs 102.0 four-take Mrays/s e2e)
+step "hdr 4-take env (default)"     python bench.py --scene hdr
+SPT_ENV_PACKED=1 step "hdr packed env (A/B)"  python bench.py --scene hdr
 step "env packed micro"             python benchmarks/env_packed_ab.py
-# 3. regression check on the other configs
+# 3. the texture-resolution trade on the chair (256^2 default vs the old
+#    128^2): the round-3 16.31 Mrays/s chair number was at 128^2
+step "gltf 256^2 tex (default)"     python bench.py --scene gltf
+SPT_TEX_BUDGET=131072 step "gltf 128^2 tex (A/B)" python bench.py --scene gltf
+# 4. regression check on the other configs
 step "bench --all"                  python bench.py --all
 # 4. the per-lane traversal spike (VERDICT r3 #3)
 step "per-lane spike"               python tools/spike_perlane.py
