@@ -104,6 +104,279 @@ def _make_finish(r, mat_ov, sg):
     return finish
 
 
+def _rounds_on() -> bool:
+    import os
+
+    return os.environ.get("SPT_INST_ROUNDS", "1") != "0"
+
+
+def _rounds_ok(inst_refs) -> bool:
+    """Per-LANE rounds traversal applies when every instance shares ONE
+    BLAS mesh (the canonical instancing shape — and the only one where a
+    round's cluster visit list indexes a single tri_pack range) and there
+    is more than one instance (at I=1 rounds is the union scheme with
+    extra bookkeeping).  Simulated on the production bigmesh bounce-1 ray
+    set (tools/bigmesh_sim.py): rounds opens 8,827 clusters where the
+    per-instance union scheme opens 19,741 (and its converged-bound limit
+    is 5,325 vs 14,025) — per-lane visit sets are tiny (median 1 instance
+    crossed) and the tile-union over 14 of 16 instances was the waste."""
+    blas_lo, inst_lo = inst_refs[0], inst_refs[4]
+    return _rounds_on() and blas_lo.shape[0] == 1 and inst_lo.shape[0] > 1
+
+
+def _next_inst(inst_lo, inst_hi, icount, o, invw, tmin, bound,
+               last_tn, last_id):
+    """Per-lane nearest unconsumed instance, front-to-back.
+
+    Each lane walks its crossed instances in (tnear, id) lexicographic
+    order; (last_tn, last_id) is the per-lane cursor (strictly advanced
+    every round, so each instance is visited at most once per lane).
+    `bound` is the per-LANE upper bound (min of tmax and the lane's best
+    hit) — a lane whose bound has shrunk past an instance's entry skips it
+    outright, the per-lane analog of the union scheme's _box_flag1 recheck
+    (which only fires when EVERY lane's bound cleared the box).  Returns
+    (cur_tn, cur_id) with cur_id = -1 where no instance remains."""
+    s, l = bound.shape
+
+    def body(i, st):
+        cur_tn, cur_id = st
+        t0x = (inst_lo[i, 0] - o.x) * invw[0]
+        t1x = (inst_hi[i, 0] - o.x) * invw[0]
+        t0y = (inst_lo[i, 1] - o.y) * invw[1]
+        t1y = (inst_hi[i, 1] - o.y) * invw[1]
+        t0z = (inst_lo[i, 2] - o.z) * invw[2]
+        t1z = (inst_hi[i, 2] - o.z) * invw[2]
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), bound),
+        )
+        # candidate: box interval alive AND strictly after the cursor
+        ok = ((tnear <= tfar)
+              & ((tnear > last_tn) | ((tnear == last_tn) & (i > last_id))))
+        upd = ok & ((tnear < cur_tn) | ((tnear == cur_tn) & (i < cur_id)))
+        return (jnp.where(upd, tnear, cur_tn), jnp.where(upd, i, cur_id))
+
+    big_id = jnp.full((s, l), 0x7FFFFFFF, jnp.int32)
+    cur_tn, cur_id = jax.lax.fori_loop(
+        0, icount, body, (jnp.full((s, l), _BIG_T), big_id))
+    return cur_tn, jnp.where(cur_tn < _BIG_T, cur_id, -1)
+
+
+_BIG_T = np.float32(1e30)
+
+
+def _lane_planes(inst_tab, icount, cur_id):
+    """Per-lane instance row columns (r[9], t[3], mat_ov, sg) via masked
+    scalar accumulate — the machine's cheap per-lane 'gather' for a tiny
+    table (I scalar-broadcast selects per column; no dynamic_gather, whose
+    ~8 us/address-plane cost refuted per-lane TRIANGLE fetch,
+    docs/DESIGN.md).  Lanes with cur_id = -1 accumulate nothing and keep
+    zeros — their transformed direction is 0, which every downstream test
+    rejects (slab via bound, Moller-Trumbore via |a| <= eps)."""
+    shape = cur_id.shape
+    cols = list(range(12)) + [13, 14]
+
+    def body(i, acc):
+        m = cur_id == i
+        return tuple(jnp.where(m, inst_tab[i, c], a)
+                     for c, a in zip(cols, acc))
+
+    init = tuple(jnp.zeros(shape, jnp.float32) for _ in cols)
+    return jax.lax.fori_loop(0, icount, body, init)
+
+
+def _lane_xform(planes, o: Vec3, d: Vec3, active):
+    """Per-lane world->object: like _xform_rays but with (S, L) coefficient
+    planes; inactive lanes get direction 0 (rejected everywhere)."""
+    r = planes
+    zero = jnp.zeros_like(o.x)
+    oo = Vec3(
+        r[0] * o.x + r[1] * o.y + r[2] * o.z + r[9],
+        r[3] * o.x + r[4] * o.y + r[5] * o.z + r[10],
+        r[6] * o.x + r[7] * o.y + r[8] * o.z + r[11],
+    )
+    dd = Vec3(
+        jnp.where(active, r[0] * d.x + r[1] * d.y + r[2] * d.z, zero),
+        jnp.where(active, r[3] * d.x + r[4] * d.y + r[5] * d.z, zero),
+        jnp.where(active, r[6] * d.x + r[7] * d.y + r[8] * d.z, zero),
+    )
+    return oo, dd
+
+
+def _lane_finish(planes):
+    """Winner-resolution hook with PER-LANE transform planes: instance
+    material override + normal back to world via sign(det) * R_ofw^T —
+    the vector-plane form of _make_finish (each lane's winner came from
+    its OWN instance this round)."""
+    r, mat_ov, sg = planes[:12], planes[12], planes[13]
+    mat_ov_i = mat_ov.astype(jnp.int32)
+
+    def finish(mat, nx, ny, nz):
+        return (
+            jnp.where(mat_ov_i >= 0, mat_ov_i, mat),
+            sg * (r[0] * nx + r[3] * ny + r[6] * nz),
+            sg * (r[1] * nx + r[4] * ny + r[7] * nz),
+            sg * (r[2] * nx + r[5] * ny + r[8] * nz),
+        )
+
+    return finish
+
+
+def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
+                             sph_c, sph_r, sph_m, o, d, tmax,
+                             with_uv: bool = False):
+    """Per-LANE instanced closest hit: every round each lane is rewritten
+    into the object space of ITS OWN next-crossed instance (front-to-back)
+    and one shared-BLAS cluster pass serves all lanes at once.
+
+    The union scheme (inst_closest_tile below) opens, per flagged
+    instance, the cluster-union of the WHOLE tile; with incoherent bounce
+    rays a condensed tile unions 14 of 16 instances while the median lane
+    crosses 1 (measured, tools/bigmesh_sim.py), so most opens test rays
+    that never touched the instance.  Here the per-round cluster flags are
+    the union of per-lane flags in each lane's own frame — 2.2x fewer
+    opens flag-time, and the per-lane bound gives exact per-lane
+    front-to-back termination (converged-limit 3.7x) where the union
+    recheck needs every lane to agree.  The BLAS is SHARED (single mesh),
+    so the block test needs no per-lane triangle gather — only the 14
+    transform coefficients are per-lane, built by masked scalar
+    accumulate.  Hit t stays world t (directions unnormalized), so one
+    carry folds across rounds; normals return per-lane via _lane_finish.
+
+    Requires _rounds_ok (single-mesh BLAS); the reference's per-thread
+    IAS->GAS descent (OptixBackend.cpp:916-1034) gets the same per-ray
+    independence from hardware."""
+    (blas_lo, blas_hi, tri_pack, blas_okey,
+     inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
+    s, l = o.x.shape
+    icount = inst_lo.shape[0]
+
+    carry0, rinv = _sphere_pass_closest(
+        n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
+    )
+    if with_uv:
+        zero_sl = jnp.zeros(o.x.shape, jnp.float32)
+        carry0 = carry0 + (zero_sl, zero_sl)
+
+    from spt_tpu.ops.pallas_trace import _inv_dir
+
+    invw = (_inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z))
+    tmax3 = tmax.reshape(1, s, l)
+    neg = jnp.full((s, l), -_BIG_T)
+
+    cur_tn0, cur_id0 = _next_inst(
+        inst_lo, inst_hi, icount, o, invw, tmin,
+        jnp.minimum(tmax, carry0[0]), neg,
+        jnp.full((s, l), -1, jnp.int32))
+
+    def cond(st):
+        return jnp.any(st[1] >= 0)
+
+    def body(st):
+        cur_tn, cur_id, carry = st[0], st[1], st[2:]
+        active = cur_id >= 0
+        planes = _lane_planes(inst_tab, icount, cur_id)
+        oo, dd = _lane_xform(planes, o, d, active)
+        oo3, dd3, iinv3 = _ray_planes(oo, dd, s, l)
+        oct_ = _octant(dd)
+        bound = jnp.where(active, jnp.minimum(tmax, carry[0]),
+                          -_BIG_T).reshape(1, s, l)
+        cflags = _box_flags(blas_lo[0], blas_hi[0], oo3, iinv3, tmin, bound)
+        ccount, ckey0 = _visit_keys(cflags, blas_okey, oct_)
+        open_cluster = make_cluster_opener(
+            k, s, l, oo3, dd3, tmin, tmax3, with_uv,
+            finish=_lane_finish(planes),
+        )
+
+        def open_cl(_, kc):
+            ckey, cr = kc[0], kc[1:]
+            mm = jnp.min(ckey)
+            cr = open_cluster(tri_pack[mm & _OKEY_ID_MASK], cr)
+            return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+
+        carry = jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
+        nxt_tn, nxt_id = _next_inst(
+            inst_lo, inst_hi, icount, o, invw, tmin,
+            jnp.minimum(tmax, carry[0]), cur_tn, cur_id)
+        return (nxt_tn, nxt_id) + carry
+
+    out_carry = jax.lax.while_loop(cond, body,
+                                   (cur_tn0, cur_id0) + carry0)[2:]
+    return closest_epilogue(out_carry, o, d, rinv, with_uv)
+
+
+def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
+                         sph_c, sph_r, sph_m, o, d, tmax):
+    """Per-lane rounds occlusion (see inst_closest_tile_rounds): a blocked
+    lane leaves the extraction immediately (bound -1), so rounds shrink to
+    the unresolved lanes; same contract as inst_any_tile."""
+    (blas_lo, blas_hi, tri_pack, blas_okey,
+     inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
+    s, l = o.x.shape
+    icount = inst_lo.shape[0]
+
+    blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
+    blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
+
+    def traced(blocked0):
+        from spt_tpu.ops.pallas_trace import _inv_dir
+
+        invw = (_inv_dir(d.x), _inv_dir(d.y), _inv_dir(d.z))
+        tmax3 = tmax.reshape(1, s, l)
+        neg = jnp.full((s, l), -_BIG_T)
+
+        def live_bound(blocked):
+            return jnp.where(blocked != 0, jnp.float32(-1.0), tmax)
+
+        cur_tn0, cur_id0 = _next_inst(
+            inst_lo, inst_hi, icount, o, invw, tmin,
+            live_bound(blocked0), neg, jnp.full((s, l), -1, jnp.int32))
+
+        def cond(st):
+            return jnp.any(st[1] >= 0)
+
+        def body(st):
+            cur_tn, cur_id, blocked = st
+            active = (cur_id >= 0) & (blocked == 0)
+            planes = _lane_planes(inst_tab, icount, cur_id)
+            oo, dd = _lane_xform(planes, o, d, active)
+            oo3, dd3, iinv3 = _ray_planes(oo, dd, s, l)
+            oct_ = _octant(dd)
+            lb = jnp.where(active, tmax, -_BIG_T).reshape(1, s, l)
+            cflags = _box_flags(blas_lo[0], blas_hi[0], oo3, iinv3, tmin, lb)
+            ccount, ckey0 = _visit_keys(cflags, blas_okey, oct_)
+
+            def ccond(cc):
+                ii, _, blocked = cc
+                return (ii < ccount) & ~jnp.all(blocked != 0)
+
+            def cbody(cc):
+                ii, ckey, blocked = cc
+                mm = jnp.min(ckey)
+                blk = tri_pack[mm & _OKEY_ID_MASK]
+                return (ii + 1,
+                        jnp.where(ckey == mm, _OKEY_MISS, ckey),
+                        tri_block_any(blk, k, oo3, dd3, tmin, tmax3,
+                                      blocked))
+
+            _, _, blocked = jax.lax.while_loop(
+                ccond, cbody, (jnp.int32(0), ckey0, blocked))
+            nxt_tn, nxt_id = _next_inst(
+                inst_lo, inst_hi, icount, o, invw, tmin,
+                live_bound(blocked), cur_tn, cur_id)
+            return nxt_tn, nxt_id, blocked
+
+        return jax.lax.while_loop(cond, body,
+                                  (cur_tn0, cur_id0, blocked0))[2]
+
+    return jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b,
+                        traced, blocked0)
+
+
 def inst_closest_tile(inst_refs, k, n_sph, tmin,
                       sph_c, sph_r, sph_m, o, d, tmax,
                       with_uv: bool = False):
@@ -111,12 +384,20 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
     kernel: sphere pass + TLAS cull + per-opened-instance object-space
     cluster traversal.
 
+    Single-mesh scenes route to the per-lane rounds traversal
+    (inst_closest_tile_rounds; SPT_INST_ROUNDS=0 re-routes here for the
+    A/B); the per-instance union scheme below stays the multi-mesh path.
+
     `inst_refs` = (blas_lo (M, CMAX, 3), blas_hi, tri_pack (M*CMAX, K, 24),
     blas_okey (8*M, CMAX, 1) — row octant*M + mesh, one dynamic leading
     index — inst_lo (I, 3), inst_hi, inst_okey (8, I, 1), inst_tab
     (I, 16)) VMEM refs.  Same value-plane contract as
     pallas_trace.closest_hit_tile; reused by the standalone kernels AND the
     fused bounce/frame kernels (ops/pallas_bounce)."""
+    if _rounds_ok(inst_refs):
+        return inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
+                                        sph_c, sph_r, sph_m, o, d, tmax,
+                                        with_uv=with_uv)
     (blas_lo, blas_hi, tri_pack, blas_okey,
      inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
     s, l = o.x.shape
@@ -188,7 +469,11 @@ def inst_any_tile(inst_refs, k, n_sph, tmin,
     blocked flags.  Same empty-interval-reports-blocked contract as
     pallas_trace.any_hit_tile, same early exits as pallas_stream's
     streaming variant (whole-subtile skip, saturation exit, settled lanes
-    leaving the box tests)."""
+    leaving the box tests).  Single-mesh scenes route to the per-lane
+    rounds variant (see inst_closest_tile)."""
+    if _rounds_ok(inst_refs):
+        return inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
+                                    sph_c, sph_r, sph_m, o, d, tmax)
     (blas_lo, blas_hi, tri_pack, blas_okey,
      inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
     s, l = o.x.shape

@@ -270,6 +270,118 @@ class TestInstTrace:
         assert (np.asarray(ref) == np.asarray(pal)).mean() > 0.99
 
 
+def _build_single_mesh(with_mirror=False, mat_override=None):
+    """Four transformed copies of ONE soup + a sphere — the single-mesh
+    BLAS shape that routes to the per-lane rounds traversal
+    (pallas_inst._rounds_ok)."""
+    rng = np.random.default_rng(23)
+    sc = SceneDesc()
+    sc.add_material(Material(base_color=[0.8, 0.2, 0.2]))
+    sc.add_material(Material(base_color=[0.2, 0.8, 0.2]))
+    sc.add_material(Material(base_color=[0.2, 0.2, 0.8]))
+    m0 = sc.add_mesh(_soup_mesh(rng, material_id=0))
+    sc.add_instance(m0, _translate(-2.0, 0.0, 0.0))
+    sc.add_instance(m0, _translate(2.0, 0.5, -1.0) @ _rot_y(35.0)
+                    @ _scale(0.7, 1.3, 0.9))
+    third = _translate(0.0, -1.5, 1.0) @ _rot_y(-60.0)
+    if with_mirror:
+        third = third @ _scale(-1.0, 1.0, 1.0)
+    if mat_override is not None:
+        sc.add_instance(m0, third, material_id=mat_override)
+    else:
+        sc.add_instance(m0, third)
+    sc.add_instance(m0, _translate(0.0, 2.0, -2.0) @ _rot_y(10.0))
+    sc.add_sphere([0.0, 0.0, -5.0], 1.0, 2)
+    dev = flatten_scene(sc)
+    if dev.inst is None:
+        import spt_tpu.ops.bvh as bvh
+        from spt_tpu.scene.desc import NO_MATERIAL
+        from spt_tpu.scene.flatten import _maybe_build_inst
+
+        orig = bvh.MAX_RESIDENT_TRIS
+        try:
+            bvh.MAX_RESIDENT_TRIS = dev.num_triangles - 1
+            recs = [(inst.mesh_id, inst.world_from_object,
+                     int(inst.material_id)
+                     if inst.material_id != NO_MATERIAL else -1)
+                    for inst in sc.instances]
+            ia = _maybe_build_inst(sc, recs, dev.num_triangles, 64)
+        finally:
+            bvh.MAX_RESIDENT_TRIS = orig
+        dev = dev._replace(inst=ia)
+    return dev
+
+
+class TestInstRounds:
+    """Per-lane rounds traversal (single-mesh BLAS, the bigmesh shape):
+    parity against the chunked world-space reference AND against the
+    per-instance union scheme (SPT_INST_ROUNDS=0)."""
+
+    def test_routes_to_rounds(self):
+        dev = _build_single_mesh()
+        ia = dev.inst
+        assert ia.num_meshes == 1 and ia.num_instances == 4
+        refs = (ia.blas_lo, ia.blas_hi, ia.tri_pack, ia.blas_okey,
+                ia.inst_lo, ia.inst_hi, ia.inst_okey, ia.inst)
+        assert pinst._rounds_ok(refs)
+
+    @pytest.mark.parametrize("with_mirror,mat_override",
+                             [(False, None), (True, None), (False, 1)])
+    def test_closest_matches_chunked(self, with_mirror, mat_override):
+        dev = _build_single_mesh(with_mirror=with_mirror,
+                                 mat_override=mat_override)
+        ov, dv = _rays(np.random.default_rng(3))
+        ref = isect._intersect_chunked(dev, ov, dv,
+                                       np.float32(0.0), np.float32(np.inf))
+        pal = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_ref, t_pal = np.asarray(ref.t), np.asarray(pal.t)
+        agree = ((np.isinf(t_ref) & np.isinf(t_pal))
+                 | (np.abs(np.nan_to_num(t_ref - t_pal, nan=1.0)) < 2e-3))
+        assert agree.mean() > 0.99, f"{(~agree).sum()} lanes disagree"
+        hitm = np.isfinite(t_ref) & agree
+        assert hitm.sum() > 50
+        np.testing.assert_array_equal(
+            np.asarray(ref.mat_id)[hitm], np.asarray(pal.mat_id)[hitm])
+        if mat_override is not None:
+            assert (np.asarray(pal.mat_id)[hitm] == mat_override).any()
+        nr = np.stack([np.asarray(ref.normal.x), np.asarray(ref.normal.y),
+                       np.asarray(ref.normal.z)], -1)[hitm]
+        npal = np.stack([np.asarray(pal.normal.x), np.asarray(pal.normal.y),
+                         np.asarray(pal.normal.z)], -1)[hitm]
+        nr /= np.maximum(np.linalg.norm(nr, axis=1, keepdims=True), 1e-20)
+        npal /= np.maximum(np.linalg.norm(npal, axis=1, keepdims=True),
+                           1e-20)
+        assert ((nr * npal).sum(1) > 0.999).mean() > 0.99
+
+    def test_rounds_matches_union(self, monkeypatch):
+        """The two instanced traversals are the same arithmetic in a
+        different order — they must agree wherever grazing-ray float
+        noise doesn't flip a winner."""
+        dev = _build_single_mesh()
+        ov, dv = _rays(np.random.default_rng(5))
+        pal_r = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        monkeypatch.setenv("SPT_INST_ROUNDS", "0")
+        pal_u = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_r, t_u = np.asarray(pal_r.t), np.asarray(pal_u.t)
+        agree = ((np.isinf(t_r) & np.isinf(t_u))
+                 | (np.abs(np.nan_to_num(t_r - t_u, nan=1.0)) < 1e-3))
+        assert agree.mean() > 0.995, f"{(~agree).sum()} lanes disagree"
+        hitm = np.isfinite(t_r) & agree
+        np.testing.assert_array_equal(
+            np.asarray(pal_r.mat_id)[hitm], np.asarray(pal_u.mat_id)[hitm])
+
+    def test_anyhit_matches_chunked_and_union(self, monkeypatch):
+        dev = _build_single_mesh()
+        ov, dv = _rays(np.random.default_rng(7))
+        tmax = np.float32(4.0)
+        ref = isect._occluded_chunked(dev, ov, dv, np.float32(1e-4), tmax)
+        pal_r = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        assert (np.asarray(ref) == np.asarray(pal_r)).mean() > 0.99
+        monkeypatch.setenv("SPT_INST_ROUNDS", "0")
+        pal_u = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        assert (np.asarray(pal_u) == np.asarray(pal_r)).mean() > 0.995
+
+
 class TestInstFused:
     def test_fused_matches_staged(self):
         """The fused kernels route 'instanced' scenes through
