@@ -11,8 +11,9 @@ copies).
 
 Child knobs (env): SPT_RES (WxH, default 512x384), SPT_CHAIN (default 8),
 SPT_SCENE (bigmesh | chair), SPT_CHILD_SORT_STAGES (optional
-cfg.ray_sort_stages override), plus whatever experiment knobs the child
-inherits from the parent environment.
+cfg.ray_sort_stages override), SPT_CHILD_NO_SHADOW (shadow_rays=False —
+isolates the any-hit passes' share), plus whatever experiment knobs the
+child inherits from the parent environment.
 """
 
 import os
@@ -43,6 +44,8 @@ kw = {}
 st = os.environ.get("SPT_CHILD_SORT_STAGES")
 if st is not None:
     kw["ray_sort_stages"] = int(st)
+if os.environ.get("SPT_CHILD_NO_SHADOW"):
+    kw["shadow_rays"] = False  # measurement: isolates the any-hit share
 cfg = RenderConfig(width=W, height=H, spp=1, max_depth=4, ray_sort=True,
                    **kw)
 cam = Camera(position=tuple(center + np.array([0.3, 0.35, 1.0]) * radius),

@@ -69,9 +69,14 @@ class Geo:
         self.n_inst = len(tab)
         self.cmax = self.blas_lo.shape[1]
         # world AABBs of each (instance, super) pair from the object super
-        # box corners through world_from_object
+        # box corners through world_from_object (only when cmax tiles into
+        # SUPER_FAN groups — the InstAccel BLAS doesn't pad to the fan the
+        # way the stream accel does; sim_pairs is a refuted scheme anyway)
         from spt_tpu.ops.bvh import SUPER_FAN
         self.fan = SUPER_FAN
+        if self.cmax % self.fan:
+            self.pair_lo = self.pair_hi = None
+            return
         self.n_sup = self.cmax // self.fan
         pair_lo = np.empty((self.n_inst, self.n_sup, 3), np.float32)
         pair_hi = np.empty((self.n_inst, self.n_sup, 3), np.float32)
