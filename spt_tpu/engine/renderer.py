@@ -76,7 +76,17 @@ def _frame_step_k(
     frame step).  Each dispatch through the device runtime costs ~2-4 ms of
     host/relay overhead (measured on the axon tunnel with a trivial op);
     batching frames amortizes it for non-interactive rendering (bench, CLI
-    with a static camera).  Stats are summed across the k frames."""
+    with a static camera).  Stats are summed across the k frames.
+
+    `k` may be a TRACED scalar: the Renderer jits this ONCE per config with
+    a dynamic k and runs every chain length — including interactive k=1 —
+    through the same executable.  One program per config is also what
+    retired the mixed-program workaround: running the separate single-step
+    and k-frame mesh programs in one process makes the axon client fail
+    with InvalidArgument on the batched program's SECOND execution
+    (tools/repro_mixed_programs.py: synthetic two-program ladders up to
+    Pallas+DMA all PASS, so the trigger needs real-renderer program scale;
+    tools/repro_batched_mesh.py --mixed reproduces it)."""
     from spt_tpu.integrators.wavefront import WavefrontStats
 
     def body(_, carry):
@@ -116,14 +126,28 @@ def _jitted_step(cfg: RenderConfig):
 
 @functools.lru_cache(maxsize=64)
 def _jitted_step_k(cfg: RenderConfig, k: int):
-    # NO buffer donation here, deliberately: donating the render state to
-    # the k-frame program makes the axon TPU client abort on the SECOND
-    # execution of the executable (Rust panic "index out of bounds: len 32"
-    # in client.rs loaded_executable_execute — an input-aliasing table
-    # overflow; reproduced deterministically, gone without donation).  The
-    # cost is one extra copy of the accumulation buffer per k frames —
-    # microseconds against the ~2-4 ms/frame the batching saves.
+    """STATIC-k chain program — kept for tools/repro_batched_mesh.py (the
+    mixed-program repro needs a program distinct from the dynamic one the
+    Renderer uses); the product path is _jitted_step_dyn."""
     return jax.jit(functools.partial(_frame_step_k, cfg, k))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_step_dyn(cfg: RenderConfig):
+    # The chain length k rides as a TRACED int32 (argument 5), so one
+    # executable serves every chain length including interactive k=1 —
+    # see _frame_step_k's docstring for why one-program-per-config matters
+    # on axon.  NO buffer donation here, deliberately: donating the render
+    # state to the chain program makes the axon TPU client abort on the
+    # SECOND execution of the executable (Rust panic "index out of bounds:
+    # len 32" in client.rs loaded_executable_execute — an input-aliasing
+    # table overflow; reproduced deterministically, gone without
+    # donation).  The cost is one extra copy of the accumulation buffer
+    # per call — microseconds against the ~2-4 ms/dispatch batching saves.
+    def step_dyn(scene, env, lights, camera, rstate, k):
+        return _frame_step_k(cfg, k, scene, env, lights, camera, rstate)
+
+    return jax.jit(step_dyn)
 
 
 @functools.lru_cache(maxsize=64)
@@ -183,7 +207,8 @@ class Renderer:
             self.env = replicate(self.mesh, self.env)
             self.lights = replicate(self.mesh, self.lights)
         else:
-            self._step = _jitted_step(self.cfg)
+            self._step = None
+            self._step_dyn = _jitted_step_dyn(self.cfg)
         self._resolve = _jitted_resolve(self.cfg)
 
     def toggle_integrator(self) -> str:
@@ -202,7 +227,7 @@ class Renderer:
         else:
             new = getattr(self, "_wavefront_integrator", "masked")
         self.cfg = self.cfg.replace(integrator=new)
-        self._step = _jitted_step(self.cfg)
+        self._step_dyn = _jitted_step_dyn(self.cfg)
         self._resolve = _jitted_resolve(self.cfg)
         self.state = state_mod.reset(self.state)
         return new
@@ -213,29 +238,29 @@ class Renderer:
         """Advance the progressive render by one frame (cfg.spp samples)."""
         if check_camera and self.camera.has_moved_since_last_check():
             self.state = state_mod.reset(self.state)
-        self._ran_single_step = True
-        self.state, self.last_stats = self._step(
-            self.scene, self.env, self.lights, self.camera.rays(), self.state
+        if self.mesh is not None:
+            self.state, self.last_stats = self._step(
+                self.scene, self.env, self.lights, self.camera.rays(),
+                self.state
+            )
+            return
+        self.state, self.last_stats = self._step_dyn(
+            self.scene, self.env, self.lights, self.camera.rays(),
+            self.state, jnp.asarray(1, jnp.int32)
         )
 
     def render_frames(self, k: int, check_camera: bool = False) -> None:
         """Advance by `k` frames in one device dispatch (static camera).
 
-        Falls back to per-frame stepping on a multi-chip mesh (the sharded
-        step has its own program) or for k <= 1.  Summed stats land in
-        last_stats.
-
-        Mesh (accel) scenes batch too: the round-2 axon failure (client
-        abort re-executing the batched mesh program) no longer reproduces
-        for a process that runs ONLY the batched program —
-        tools/repro_batched_mesh.py runs 4 back-to-back executions of the
-        16-frame chair program cleanly.  MIXING the single-step and batched
-        mesh programs in one process still aborts (InvalidArgument on the
-        later program's execute), so once render_frame has run on an accel
-        scene this process stays on per-frame stepping."""
-        mixed_mesh_programs = (self.scene.accel is not None
-                               and getattr(self, "_ran_single_step", False))
-        if k <= 1 or self.mesh is not None or mixed_mesh_programs:
+        Single-chip this is the SAME executable as render_frame (the chain
+        length is a traced scalar, _jitted_step_dyn) — which is what makes
+        mixing interactive frames and chains safe on axon: running two
+        distinct mesh programs in one process aborts the client on the
+        batched program's second execution (see _frame_step_k's
+        docstring).  Falls back to per-frame stepping on a multi-chip mesh
+        (the sharded step is its own program).  Summed stats land in
+        last_stats."""
+        if self.mesh is not None:
             from spt_tpu.integrators.wavefront import WavefrontStats
 
             rays = bounces = None
@@ -251,9 +276,9 @@ class Renderer:
             return
         if check_camera and self.camera.has_moved_since_last_check():
             self.state = state_mod.reset(self.state)
-        step_k = _jitted_step_k(self.cfg, k)
-        self.state, self.last_stats = step_k(
-            self.scene, self.env, self.lights, self.camera.rays(), self.state
+        self.state, self.last_stats = self._step_dyn(
+            self.scene, self.env, self.lights, self.camera.rays(),
+            self.state, jnp.asarray(max(k, 1), jnp.int32)
         )
 
     def render(self, frames: int = 1) -> np.ndarray:

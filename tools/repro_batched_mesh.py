@@ -11,6 +11,16 @@ which round 2 worked around by disabling render_frames for accel scenes.
 Run ON THE TPU from the repo root:
     python -m tools.repro_batched_mesh [k] [executions]
 Exit 0 = batched mesh programs re-execute fine (the gate can come off).
+
+--mixed reproduces the OTHER failure (round-4, still live on 08-19):
+run the single-step mesh program first, then the static-k chain program
+in the same process — the chain's SECOND execution fails with
+InvalidArgument.  The synthetic two-program ladder
+(tools/repro_mixed_programs.py: XLA / Pallas / Pallas+DMA / Pallas+DMA
+with a multi-MB operand) all PASSES, so the trigger needs real-renderer
+program scale or structure.  The product no longer hits it at all: the
+Renderer runs every chain length through ONE dynamic-k executable
+(renderer._jitted_step_dyn), so two mesh programs never coexist.
 """
 import sys
 import time
@@ -28,8 +38,10 @@ from spt_tpu.io.gltf import bounding_box, load_gltf
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    execs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    args = [a for a in sys.argv[1:] if a != "--mixed"]
+    mixed = "--mixed" in sys.argv[1:]
+    k = int(args[0]) if args else 16
+    execs = int(args[1]) if len(args) > 1 else 4
     W, H = 512, 384
     desc = load_gltf(
         "/root/reference/assets/models/rattan_dining_chair/scene.gltf"
@@ -43,6 +55,16 @@ def main():
     r = Renderer(desc, cfg, camera=cam)
 
     step_k = _jitted_step_k(cfg, k)
+    if mixed:
+        # the abort trigger: one single-step program execution first (use
+        # the static single-step program, not the renderer's dynamic one)
+        from spt_tpu.engine.renderer import _jitted_step
+
+        r.state, r.last_stats = _jitted_step(cfg)(
+            r.scene, r.env, r.lights, r.camera.rays(), r.state
+        )
+        print("single-step ok,",
+              float(np.asarray(r.state.accum[:1]).sum()), flush=True)
     for i in range(execs):
         t0 = time.perf_counter()
         r.state, r.last_stats = step_k(
