@@ -13,6 +13,9 @@
 //   spt_morton_codes     triangle-centroid 30-bit Morton codes
 //   spt_cluster_build    full cluster-accel build: morton sort + per-cluster
 //                        AABBs over the sorted order
+//   spt_split_build      median-split cluster build (the default since
+//                        round 4.1): recursive longest-axis object-median
+//                        partition with cluster-aligned cuts + AABBs
 //
 // Build: g++ -O3 -march=native -shared -fPIC spt_native.cpp -o libspt_native.so
 
@@ -186,6 +189,121 @@ int spt_cluster_build(const float* v0, const float* e1, const float* e2,
             const bool degen = b1[0] == 0 && b1[1] == 0 && b1[2] == 0 &&
                                b2[0] == 0 && b2[1] == 0 && b2[2] == 0;
             if (degen) continue;
+            any = true;
+            for (int k = 0; k < 3; ++k) {
+                const float p0 = a[k];
+                const float p1 = a[k] + b1[k];
+                const float p2 = a[k] + b2[k];
+                lo[k] = std::min(lo[k], std::min(p0, std::min(p1, p2)));
+                hi[k] = std::max(hi[k], std::max(p0, std::max(p1, p2)));
+            }
+        }
+        for (int k = 0; k < 3; ++k) {
+            cl_lo[c * 3 + k] = any ? lo[k] : 1e30f;
+            cl_hi[c * 3 + k] = any ? hi[k] : -1e30f;
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Median-split cluster build (ops/bvh.py:_split_order): recursive
+// longest-axis object-median partition of the non-degenerate triangles,
+// cut points rounded to cluster_size multiples so every cluster boundary
+// of the final order aligns with a split plane; degenerate (padding)
+// triangles go last.  On thin-feature meshes this produces cluster AABBs
+// with ~2x less total surface area than the raw Morton cut, which
+// directly shrinks the traversal flag unions (docs/DESIGN.md).  Same
+// contract as spt_cluster_build.
+// ---------------------------------------------------------------------------
+int spt_split_build(const float* v0, const float* e1, const float* e2,
+                    int64_t n, int cluster_size,
+                    int64_t* order /* n */,
+                    float* cl_lo /* (n/cluster_size)*3 */,
+                    float* cl_hi /* (n/cluster_size)*3 */) {
+    if (n % cluster_size != 0) return -1;
+    const int64_t cs = cluster_size;
+
+    std::vector<float> cent(static_cast<size_t>(n) * 3);
+    std::vector<int64_t> real;
+    real.reserve(static_cast<size_t>(n));
+    std::vector<int64_t> degen;
+    for (int64_t i = 0; i < n; ++i) {
+        const float* a = v0 + i * 3;
+        const float* b1 = e1 + i * 3;
+        const float* b2 = e2 + i * 3;
+        const bool dg = b1[0] == 0 && b1[1] == 0 && b1[2] == 0 &&
+                        b2[0] == 0 && b2[1] == 0 && b2[2] == 0;
+        for (int k = 0; k < 3; ++k) {
+            const float p0 = a[k];
+            const float p1 = a[k] + b1[k];
+            const float p2 = a[k] + b2[k];
+            cent[i * 3 + k] = 0.5f * (std::min(p0, std::min(p1, p2)) +
+                                      std::max(p0, std::max(p1, p2)));
+        }
+        (dg ? degen : real).push_back(i);
+    }
+
+    // iterative stack of [first, last) ranges over `real`
+    std::vector<std::pair<int64_t, int64_t>> stack;
+    if (!real.empty()) stack.emplace_back(0, static_cast<int64_t>(real.size()));
+    std::vector<std::pair<int64_t, int64_t>> done;  // emitted in order below
+    while (!stack.empty()) {
+        auto [first, last] = stack.back();
+        stack.pop_back();
+        const int64_t m = last - first;
+        if (m <= cs) {
+            done.emplace_back(first, last);
+            continue;
+        }
+        // longest centroid axis
+        float lo[3] = {1e30f, 1e30f, 1e30f};
+        float hi[3] = {-1e30f, -1e30f, -1e30f};
+        for (int64_t j = first; j < last; ++j) {
+            const float* c = cent.data() + real[j] * 3;
+            for (int k = 0; k < 3; ++k) {
+                lo[k] = std::min(lo[k], c[k]);
+                hi[k] = std::max(hi[k], c[k]);
+            }
+        }
+        int ax = 0;
+        for (int k = 1; k < 3; ++k)
+            if (hi[k] - lo[k] > hi[ax] - lo[ax]) ax = k;
+        // cluster-aligned cut nearest the median
+        int64_t cut = ((m + cs) / (2 * cs)) * cs;
+        cut = std::min(std::max(cut, cs), (m - 1) / cs * cs);
+        // stable full sort (not nth_element): keeps the emitted leaf order
+        // identical to the numpy fallback's stable argsort, so the two
+        // builders produce bit-identical accel tables
+        std::stable_sort(
+            real.begin() + first, real.begin() + last,
+            [&](int64_t a, int64_t b) {
+                return cent[a * 3 + ax] < cent[b * 3 + ax];
+            });
+        // LIFO: push right first so the left range is emitted first and
+        // `done` comes out in concatenation order
+        stack.emplace_back(first + cut, last);
+        stack.emplace_back(first, first + cut);
+    }
+
+    int64_t w = 0;
+    for (const auto& r : done)
+        for (int64_t j = r.first; j < r.second; ++j) order[w++] = real[j];
+    for (int64_t i : degen) order[w++] = i;
+
+    const int64_t n_clusters = n / cs;
+    for (int64_t c = 0; c < n_clusters; ++c) {
+        float lo[3] = {1e30f, 1e30f, 1e30f};
+        float hi[3] = {-1e30f, -1e30f, -1e30f};
+        bool any = false;
+        for (int j = 0; j < cs; ++j) {
+            const int64_t t = order[c * cs + j];
+            const float* a = v0 + t * 3;
+            const float* b1 = e1 + t * 3;
+            const float* b2 = e2 + t * 3;
+            const bool dg = b1[0] == 0 && b1[1] == 0 && b1[2] == 0 &&
+                            b2[0] == 0 && b2[1] == 0 && b2[2] == 0;
+            if (dg) continue;
             any = true;
             for (int k = 0; k < 3; ++k) {
                 const float p0 = a[k];

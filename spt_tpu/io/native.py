@@ -72,6 +72,9 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
+        if hasattr(lib, "spt_split_build"):
+            lib.spt_split_build.restype = ctypes.c_int
+            lib.spt_split_build.argtypes = lib.spt_cluster_build.argtypes
         lib.spt_morton_codes.restype = None
         lib.spt_morton_codes.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -103,13 +106,19 @@ def rgbe_decode(payload: bytes, width: int, height: int) -> Optional[np.ndarray]
 
 
 def cluster_build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-                  cluster_size: int):
-    """Native Morton-sort + cluster AABBs.  Inputs must already be padded to
-    a cluster_size multiple.  Returns (order (N,) int64, lo (C,3), hi (C,3))
-    or None to use the numpy fallback."""
+                  cluster_size: int, mode: str = "morton"):
+    """Native cluster build: Morton sort (mode='morton') or median split
+    (mode='median', spt_split_build) + cluster AABBs.  Inputs must already
+    be padded to a cluster_size multiple.  Returns (order (N,) int64,
+    lo (C,3), hi (C,3)) or None to use the numpy fallback."""
     lib = load()
     if lib is None:
         return None
+    fn = lib.spt_cluster_build
+    if mode == "median":
+        if not hasattr(lib, "spt_split_build"):
+            return None
+        fn = lib.spt_split_build
     n = v0.shape[0]
     v0 = np.ascontiguousarray(v0, np.float32)
     e1 = np.ascontiguousarray(e1, np.float32)
@@ -118,11 +127,11 @@ def cluster_build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     c = n // cluster_size
     lo = np.empty((c, 3), np.float32)
     hi = np.empty((c, 3), np.float32)
-    rc = lib.spt_cluster_build(
+    rc = fn(
         _fptr(v0), _fptr(e1), _fptr(e2), ctypes.c_int64(n), cluster_size,
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _fptr(lo), _fptr(hi),
     )
     if rc != 0:
-        raise ValueError(f"spt_cluster_build failed: {rc}")
+        raise ValueError(f"native cluster build ({mode}) failed: {rc}")
     return order, lo, hi

@@ -1,4 +1,4 @@
-"""Mesh acceleration: Morton-ordered triangle clusters ("cluster BVH").
+"""Mesh acceleration: spatially clustered triangle blocks ("cluster BVH").
 
 The reference gets BVHs for free from Embree (rtcCommitScene,
 EmbreeBackend.cpp:181) and OptiX (optixAccelBuild, OptixBackend.cpp:916-1180).
@@ -7,13 +7,17 @@ and data-dependent gathers serialize on TPU (measured: lane gathers are a 9x
 loss even for simple compaction).  Instead we use the packet/stream-tracing
 shape that SIMD ray tracers (including Embree's own packet mode) use:
 
-- BUILD (host, numpy, once per scene): sort triangles by the Morton code of
-  their AABB centroid, cut the sorted order into fixed-size clusters of
-  `cluster_size` triangles, and store one AABB per cluster.  This is exactly
-  the leaf level of an LBVH [Karras 2012] — the upper tree is replaced by a
-  flat vector pass because the consumer culls at ray-TILE granularity, where
-  a few hundred AABB tests are one broadcast VPU pass, cheaper than any
-  branchy tree walk.
+- BUILD (host, native C++ with a numpy fallback, once per scene): order the
+  triangles spatially — default: recursive longest-axis object-median split
+  with cluster-aligned cuts (_split_order; SPT_CLUSTER=morton restores the
+  round-1..4.0 Morton-curve cut, which measures ~2x more cluster-AABB
+  surface area on thin-feature meshes, tools/cluster_sim.py) — cut the
+  order into fixed-size clusters of `cluster_size` triangles, and store one
+  AABB per cluster.  This is the leaf level of a (median-split or LBVH
+  [Karras 2012]) BVH — the upper tree is replaced by a flat vector pass
+  because the consumer culls at ray-TILE granularity, where a few hundred
+  AABB tests are one broadcast VPU pass, cheaper than any branchy tree
+  walk.
 - TRAVERSE (device): one (C, S, 128) broadcast slab pass flags every cluster
   a ray tile might hit, a short scalar scan compacts the flagged ids into a
   front-to-back visit list (per ray-direction octant), and the triangle loop
@@ -265,6 +269,50 @@ def build_inst_accel(meshes, instances, cluster_size: int = 64) -> InstAccel:
     )
 
 
+def _split_order(lo: np.ndarray, hi: np.ndarray, cs: int) -> np.ndarray:
+    """Recursive longest-axis object-median split -> triangle permutation.
+
+    Like the Morton curve, consecutive `cs`-sized groups of the returned
+    order become clusters — but cut points land on cs multiples, so no
+    cluster straddles a split plane.  On the rattan chair this gives
+    clusters with 2.2x less total AABB surface area than the raw Morton
+    cut (the curve snakes between thin woven rods and drags fat boxes
+    across them; tools/cluster_sim.py scores both on production ray
+    sets), which directly shrinks the per-tile flag unions that set the
+    open count at every traversal tier.  Iterative stack, centroid keys.
+    """
+    centroid = 0.5 * (lo + hi)
+    out = []
+    stack = [np.arange(len(centroid))]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= cs:
+            out.append(idx)
+            continue
+        c = centroid[idx]
+        ax = int((c.max(0) - c.min(0)).argmax())
+        part = idx[np.argsort(c[:, ax], kind="stable")]
+        n = len(idx)
+        # cut at the cs multiple nearest the median so EVERY cluster
+        # boundary of the final concatenated order aligns with a split
+        # plane (only the last, partial cluster may be short); integer
+        # round-half-up, matching native spt_split_build bit-exactly
+        cut = (n + cs) // (2 * cs) * cs
+        cut = min(max(cs, cut), (n - 1) // cs * cs)
+        stack.append(part[cut:])
+        stack.append(part[:cut])
+    return np.concatenate(out)
+
+
+def _cluster_mode() -> str:
+    """SPT_CLUSTER picks the build: 'median' (default) or 'morton' (the
+    round-1..4.0 build, kept for A/B and as the native-lib path)."""
+    import os
+
+    mode = os.environ.get("SPT_CLUSTER", "median")
+    return mode if mode in ("median", "morton") else "median"
+
+
 def _morton3(x: np.ndarray) -> np.ndarray:
     """Interleave 10-bit quantized coords -> 30-bit Morton codes. x: (N, 3)
     in [0, 1]."""
@@ -289,12 +337,15 @@ def build_mesh_accel(
     uv: np.ndarray = None,
     force_stream: bool = False,
 ) -> MeshAccel:
-    """Sort triangles along the Morton curve and cut into clusters.
+    """Order triangles spatially (median split, or the Morton curve under
+    SPT_CLUSTER=morton) and cut into clusters.
 
     Prefers the native builder (native/spt_native.cpp, the rtcCommitScene
-    role) and falls back to the vectorized numpy build.  Both operate on the
-    cluster-size-padded soup and produce identical cluster AABBs (padding is
-    degenerate and sorts last either way).
+    role) and falls back to the numpy build.  Both operate on the
+    cluster-size-padded soup and produce matching cluster AABBs (padding is
+    degenerate and sorts last either way; the native median build may
+    distribute exactly-tied centroids differently — a don't-care for the
+    min-over-all closest-hit contract).
     """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
@@ -315,7 +366,8 @@ def build_mesh_accel(
 
     from spt_tpu.io import native
 
-    built = native.cluster_build(v0, e1, e2, cluster_size)
+    built = native.cluster_build(v0, e1, e2, cluster_size,
+                                 mode=_cluster_mode())
     if built is not None:
         order, cl_lo, cl_hi = built
     else:
@@ -325,13 +377,19 @@ def build_mesh_accel(
         hi = np.maximum(np.maximum(v0, v1), v2)
         centroid = 0.5 * (lo + hi)
         degenerate = (np.abs(e1).sum(1) == 0) & (np.abs(e2).sum(1) == 0)
-        scene_lo = centroid[~degenerate].min(0) if (~degenerate).any() else np.zeros(3)
-        scene_hi = centroid[~degenerate].max(0) if (~degenerate).any() else np.ones(3)
-        extent = np.maximum(scene_hi - scene_lo, 1e-12)
-        norm = (centroid - scene_lo) / extent
-        codes = _morton3(norm)
-        codes[degenerate] = np.uint64(0xFFFFFFFFFFFF)  # padding sorts last
-        order = np.argsort(codes, kind="stable")
+        if _cluster_mode() == "median" and (~degenerate).any():
+            real = np.nonzero(~degenerate)[0]
+            order = np.concatenate(
+                [real[_split_order(lo[real], hi[real], cluster_size)],
+                 np.nonzero(degenerate)[0]])
+        else:
+            scene_lo = centroid[~degenerate].min(0) if (~degenerate).any() else np.zeros(3)
+            scene_hi = centroid[~degenerate].max(0) if (~degenerate).any() else np.ones(3)
+            extent = np.maximum(scene_hi - scene_lo, 1e-12)
+            norm = (centroid - scene_lo) / extent
+            codes = _morton3(norm)
+            codes[degenerate] = np.uint64(0xFFFFFFFFFFFF)  # padding sorts last
+            order = np.argsort(codes, kind="stable")
         los, his = lo[order], hi[order]
         degs = degenerate[order]
         los = np.where(degs[:, None], np.inf, los)

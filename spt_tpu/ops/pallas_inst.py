@@ -110,6 +110,20 @@ def _rounds_on() -> bool:
     return os.environ.get("SPT_INST_ROUNDS", "1") != "0"
 
 
+def _recheck_on() -> bool:
+    """Mid-round per-open recheck (SPT_INST_RECHECK=1 opts in): re-slab one
+    cluster box against the CURRENT per-lane bound before its block test.
+    The chair-scale version of this was removed (whole-tile SCALAR bound
+    pins at tmax when any lane misses everything, docs/DESIGN.md
+    _box_flags note); the rounds traversal carries a PER-LANE bound, and
+    the bigmesh sim puts its converged-limit open reduction at ~40 %
+    (tools/bigmesh_sim.py rounds inf vs oracle) — whether the per-open
+    cond sync eats the win is a measurement, not a guess."""
+    import os
+
+    return os.environ.get("SPT_INST_RECHECK", "0") == "1"
+
+
 def _rounds_ok(inst_refs) -> bool:
     """Per-LANE rounds traversal applies when every instance shares ONE
     BLAS mesh (the canonical instancing shape — and the only one where a
@@ -292,11 +306,32 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
             finish=_lane_finish(planes),
         )
 
-        def open_cl(_, kc):
-            ckey, cr = kc[0], kc[1:]
-            mm = jnp.min(ckey)
-            cr = open_cluster(tri_pack[mm & _OKEY_ID_MASK], cr)
-            return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+        if _recheck_on():
+
+            def open_cl(_, kc):
+                ckey, cr = kc[0], kc[1:]
+                mm = jnp.min(ckey)
+                cid = mm & _OKEY_ID_MASK
+                # re-slab against the bound tightened by this round's
+                # earlier opens (per-LANE, so converged lanes drop out
+                # individually — see _recheck_on)
+                bnow = jnp.where(active, jnp.minimum(tmax, cr[0]),
+                                 -_BIG_T).reshape(1, s, l)
+                alive = _box_flag1(blas_lo[0], blas_hi[0], cid,
+                                   oo3, iinv3, tmin, bnow)
+                cr = jax.lax.cond(
+                    alive,
+                    lambda c: open_cluster(tri_pack[cid], c),
+                    lambda c: c, cr)
+                return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+
+        else:
+
+            def open_cl(_, kc):
+                ckey, cr = kc[0], kc[1:]
+                mm = jnp.min(ckey)
+                cr = open_cluster(tri_pack[mm & _OKEY_ID_MASK], cr)
+                return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
 
         carry = jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
         nxt_tn, nxt_id = _next_inst(

@@ -575,3 +575,27 @@ class TestInstTextured:
         w, g = np.asarray(want), np.asarray(got)
         assert np.abs(w - g).max() < 5e-3
         assert (np.abs(w - g).max(-1) > 1e-3).mean() < 0.01
+
+
+class TestInstRecheck:
+    """SPT_INST_RECHECK=1: the mid-round per-open bound recheck must be
+    radiometrically invisible — a cluster whose slab interval is empty
+    under the CURRENT per-lane bound cannot contain an improving hit."""
+
+    def test_closest_matches_no_recheck(self, monkeypatch):
+        dev = _build_single_mesh(with_mirror=True)
+        ov, dv = _rays(np.random.default_rng(11))
+        base = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        monkeypatch.setenv("SPT_INST_RECHECK", "1")
+        rech = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_b, t_r = np.asarray(base.t), np.asarray(rech.t)
+        agree = ((np.isinf(t_b) & np.isinf(t_r))
+                 | (np.abs(np.nan_to_num(t_b - t_r, nan=1.0)) < 1e-5))
+        assert agree.all(), f"{(~agree).sum()} lanes disagree"
+        hitm = np.isfinite(t_b)
+        np.testing.assert_array_equal(
+            np.asarray(base.mat_id)[hitm], np.asarray(rech.mat_id)[hitm])
+        for ax in ("x", "y", "z"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(base.normal, ax))[hitm],
+                np.asarray(getattr(rech.normal, ax))[hitm], atol=1e-6)
