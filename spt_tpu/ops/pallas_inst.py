@@ -113,12 +113,13 @@ def _rounds_on() -> bool:
 def _recheck_on() -> bool:
     """Mid-round per-open recheck (SPT_INST_RECHECK=1 opts in): re-slab one
     cluster box against the CURRENT per-lane bound before its block test.
-    The chair-scale version of this was removed (whole-tile SCALAR bound
-    pins at tmax when any lane misses everything, docs/DESIGN.md
-    _box_flags note); the rounds traversal carries a PER-LANE bound, and
-    the bigmesh sim puts its converged-limit open reduction at ~40 %
-    (tools/bigmesh_sim.py rounds inf vs oracle) — whether the per-open
-    cond sync eats the win is a measurement, not a guess."""
+    The bigmesh sim put the converged-limit open reduction at ~40 %
+    (tools/bigmesh_sim.py rounds inf vs oracle), but MEASURED on the real
+    TPU the variant is a NET LOSS — bigmesh 51.9 vs 49.8 ms/frame: the
+    per-open scalar slab + lax.cond costs more than the skipped block
+    tests return, because by the time the bound has converged most
+    remaining opens are already cheap (few live sub-blocks).  Kept as a
+    gated negative result; parity test TestInstRecheck."""
     import os
 
     return os.environ.get("SPT_INST_RECHECK", "0") == "1"
@@ -314,11 +315,29 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
                 cid = mm & _OKEY_ID_MASK
                 # re-slab against the bound tightened by this round's
                 # earlier opens (per-LANE, so converged lanes drop out
-                # individually — see _recheck_on)
+                # individually — see _recheck_on).  The six bounds are
+                # dynamic SCALAR reads straight off the (M, CMAX, 3) refs
+                # — blas_lo[0][cid, k] loads the plane into vregs first
+                # and the dynamic index on the VALUE is a dynamic_slice
+                # Mosaic cannot lower (same trap as the _box_flags B=1
+                # variant, pallas_trace._box_flag1 docstring)
                 bnow = jnp.where(active, jnp.minimum(tmax, cr[0]),
                                  -_BIG_T).reshape(1, s, l)
-                alive = _box_flag1(blas_lo[0], blas_hi[0], cid,
-                                   oo3, iinv3, tmin, bnow)
+                t0x = (blas_lo[0, cid, 0] - oo3[0]) * iinv3[0]
+                t1x = (blas_hi[0, cid, 0] - oo3[0]) * iinv3[0]
+                t0y = (blas_lo[0, cid, 1] - oo3[1]) * iinv3[1]
+                t1y = (blas_hi[0, cid, 1] - oo3[1]) * iinv3[1]
+                t0z = (blas_lo[0, cid, 2] - oo3[2]) * iinv3[2]
+                t1z = (blas_hi[0, cid, 2] - oo3[2]) * iinv3[2]
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bnow),
+                )
+                alive = jnp.any(tnear <= tfar)
                 cr = jax.lax.cond(
                     alive,
                     lambda c: open_cluster(tri_pack[cid], c),
