@@ -599,3 +599,46 @@ class TestInstRecheck:
             np.testing.assert_allclose(
                 np.asarray(getattr(base.normal, ax))[hitm],
                 np.asarray(getattr(rech.normal, ax))[hitm], atol=1e-6)
+
+
+class TestInstOracle:
+    """End-to-end radiometric ground truth for the instanced tier: the
+    fused per-lane rounds pipeline (the bigmesh production shape) must
+    match the scalar numpy oracle, which traces the SAME scene through its
+    flattened world-space triangle soup — the two implementations share no
+    traversal code, so this closes the loop the per-component parity
+    tests (vs the chunked XLA reference) only cover transitively."""
+
+    def test_instanced_render_matches_oracle(self):
+        import tests.reference_cpu as ref
+        from spt_tpu.camera import Camera
+        from spt_tpu.config import RenderConfig
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import transport, wavefront as wf
+        from spt_tpu.lights import LightManager
+
+        dev = _build_single_mesh()
+        assert pb._accel_mode(dev) == "instanced"
+        # single-mesh BLAS + several instances: the rounds-eligible shape
+        assert dev.inst.blas_lo.shape[0] == 1 and dev.inst.inst.shape[0] > 1
+
+        cfg = RenderConfig(width=32, height=24, spp=1, max_depth=3,
+                           swizzle=False)
+        lm = LightManager()
+        lm.add_directional_light((0.2, -0.6, -1.0), (1.0, 0.95, 0.9), 2.0)
+        lights = lm.device()
+        env = make_procedural_environment()
+        cam = Camera(position=(0.0, 0.5, 7.0), target=(0.0, 0.0, 0.0),
+                     fov_degrees=55.0, aspect_ratio=cfg.width / cfg.height)
+        ps = transport.gen_primary(cfg, cam.rays(), 0)
+        got, _ = wf._wavefront_masked(
+            cfg, dev, env, lights, ps, jnp.zeros((3,), jnp.int32),
+            fused=True)
+        img = np.asarray(got).reshape(cfg.height, cfg.width, 3)
+
+        nps = ref.NpScene(dev)
+        lref = ref.lights_from_device(lights)
+        want = ref.render_image(cfg, nps, lref, cam, frame=0)
+        err = float(np.sqrt(np.mean((img - want) ** 2)))
+        scale = float(np.sqrt(np.mean(want ** 2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
