@@ -190,6 +190,65 @@ def sim_rounds(g, o, d, bound, label):
     return opens
 
 
+def sim_rounds_exit(g, o, d, bound, oracle):
+    """UPPER BOUND on a whole-tile early exit added to the shipped rounds
+    kernel: order each round's flagged clusters by tile-min tnear (per-lane
+    tnear in the lane's own object frame) and terminate the open loop once
+    every remaining cluster's entry lies beyond EVERY active lane's bound.
+
+    Modeled optimistically — each lane's bound starts at its CONVERGED
+    value min(oracle closest t, its current instance's box exit tfar) —
+    so the printed count is the BEST the exit could ever do; the real
+    kernel's bounds only reach that after the winning opens have run.
+    Compare against rounds/inf (shipped flag-time) and rounds/oracle (the
+    per-open recheck's converged limit, measured a NET LOSS at 51.9 vs
+    49.8 ms because it pays 6 scalar slab reads + lax.cond per open; the
+    exit costs one comparison per iteration instead)."""
+    opens_ship = opens_exit = 0
+    for t_i, (ot, dt, bt) in enumerate(tile_iter(o, d, bound)):
+        it = inv_of(dt)
+        n = len(ot)
+        orc = oracle[t_i * LANES:t_i * LANES + n]
+        f, tn = slab(g.inst_lo, g.inst_hi, ot, it, bt)
+        # instance exit t per (I, lane)
+        t0 = (g.inst_lo[:, None] - ot[None]) * it[None]
+        t1 = (g.inst_hi[:, None] - ot[None]) * it[None]
+        tf = np.minimum(np.maximum(t0, t1).min(-1), bt[None])
+        order = np.argsort(np.where(f, tn, np.inf), axis=0)
+        counts = f.sum(0)
+        lane_cf = np.zeros((g.n_inst, n, g.cmax), bool)
+        lane_tn = np.full((g.n_inst, n, g.cmax), np.inf, np.float32)
+        for i in range(g.n_inst):
+            lanes = np.nonzero(f[i])[0]
+            if not len(lanes):
+                continue
+            oo, dd, iv = g.obj_rays(i, ot[lanes], dt[lanes])
+            cf, ctn = slab(g.blas_lo[g.mesh[i]], g.blas_hi[g.mesh[i]],
+                           oo, iv, bt[lanes])
+            lane_cf[i, lanes] = cf.T
+            lane_tn[i, lanes] = np.where(cf, ctn, np.inf).T
+        for r in range(int(counts.max()) if n else 0):
+            active = np.nonzero(counts > r)[0]
+            if not len(active):
+                break
+            inst_r = order[r]
+            fl = lane_cf[inst_r[active], active]          # (A, cmax)
+            tl = lane_tn[inst_r[active], active]
+            u = fl.any(0)
+            opens_ship += int(u.sum())
+            tile_tn = tl.min(0)                           # min over lanes
+            elane = np.minimum(orc[active], tf[inst_r[active], active])
+            emax = elane[np.isfinite(elane)].max() if np.isfinite(
+                elane).any() else -np.inf
+            opens_exit += int((u & (tile_tn <= emax)).sum())
+    n_tiles = len(o) // LANES
+    print(f"  rounds /exit-UB: {opens_exit} opens "
+          f"({opens_exit / n_tiles:.0f}/tile) vs shipped {opens_ship} -> "
+          f"{opens_exit * OPEN_US / 1e3:.1f} vs "
+          f"{opens_ship * OPEN_US / 1e3:.1f} ms model (optimistic bound)")
+    return opens_exit
+
+
 def first_inst_key(g, o, d):
     """Entry-instance id (first crossed front-to-back; n_inst = none)."""
     inv = inv_of(d)
@@ -233,6 +292,7 @@ def main():
         sim_current(g, o1, d1, bound, lbl)
         sim_pairs(g, o1, d1, bound, lbl)
         sim_rounds(g, o1, d1, bound, lbl)
+    sim_rounds_exit(g, o1, d1, inf, oracle)
 
     # alternative sort keys, scored with the oracle bound under each scheme
     a = scene.accel
