@@ -51,6 +51,20 @@ class Environment(NamedTuple):
     # opts in); kept because the build/pack path is tested and the trade
     # may flip on other TPU generations.  4x the map's memory when built.
     packed: Optional[jnp.ndarray] = None   # (H*W, 12) float32
+    # 2x-supersampled prefilter for ONE-take "snap" bilinear: texel
+    # (Y, X) of the (2H, 2W, 3) table is the exact texel-center bilinear
+    # sample of `image` at the half-texel grid point (y = Y/2, x = X/2)
+    # (wrap in x, pole-clamp in y — the _derive_taps semantics baked in
+    # at build).  A lookup rounds its continuous tap position to the
+    # nearest half texel and fetches ONE (N, 3) row: XLA's per-lane
+    # gather cost scales with the fetched row WIDTH and not the table
+    # size (measured — see `packed` above and docs/DESIGN.md "HDR
+    # environment lookups"), so this costs ~1/4 of the four-take
+    # bilinear while agreeing with it exactly AT the grid and within a
+    # quarter-texel interpolation offset between grid points.  4x the
+    # map's memory, HBM-resident.  SPT_ENV_SNAP=0 opts out (exact
+    # four-take bilinear everywhere).
+    snap: Optional[jnp.ndarray] = None     # (2H, 2W, 3) float32
 
 
 def procedural_sky(direction: jnp.ndarray) -> jnp.ndarray:
@@ -145,6 +159,48 @@ def _pack_enabled() -> bool:
     return os.environ.get("SPT_ENV_PACKED", "0") == "1"
 
 
+def make_snap_table(image: np.ndarray) -> np.ndarray:
+    """(H, W, 3) -> (2H, 2W, 3): the texel-center bilinear sample of
+    `image` at every half-texel grid point (Environment.snap).  Separable:
+    even rows/cols are source texels (lerp weight 0), odd ones the mean of
+    the two neighbors — x wraps (equirect seam), y clamps (poles), exactly
+    _derive_taps' rules, so S[Y, X] == bilinear(image, x=X/2, y=Y/2) for
+    every grid point including the seam column 2W-1 (x = W-0.5 == -0.5
+    wrapped) and the pole rows."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[0], img.shape[1]
+    sx = np.empty((h, 2 * w, 3), np.float32)
+    sx[:, 0::2] = img
+    sx[:, 1::2] = 0.5 * (img + np.roll(img, -1, axis=1))
+    s = np.empty((2 * h, 2 * w, 3), np.float32)
+    s[0::2] = sx
+    s[1::2] = 0.5 * (sx + sx[np.minimum(np.arange(h) + 1, h - 1)])
+    return s
+
+
+SNAP_MIN_H = 512  # snap only when the quarter-texel offset is negligible
+
+
+def _snap_on(h: int) -> bool:
+    """Resolution-gated default: the snap table displaces each lookup by
+    at most a quarter SOURCE texel, so its error shrinks with the map —
+    measured against the exact four-take bilinear on the synthetic
+    sun-sky (post-clamp relative L2 over uniform directions): 5.9 % at
+    H=64, 1.0 % at 256, 0.25 % at 1024.  Auto-enables at H >= 512 where
+    the error is comfortably inside the repo's 1 % radiometric budget;
+    smaller maps keep the exact path (every oracle-gate fixture uses
+    32-64 rows).  SPT_ENV_SNAP=0 forces exact bilinear everywhere,
+    SPT_ENV_SNAP=1 forces snap at any size (measurement knob)."""
+    import os
+
+    v = os.environ.get("SPT_ENV_SNAP", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return h >= SNAP_MIN_H
+
+
 def make_hdr_environment(
     image: np.ndarray, intensity: float = 0.8, max_clamp: float = 5.0
 ) -> Environment:
@@ -157,6 +213,8 @@ def make_hdr_environment(
         intensity=jnp.asarray(intensity, jnp.float32),
         max_clamp=jnp.asarray(max_clamp, jnp.float32),
         packed=jnp.asarray(pack_bilinear(img_np)) if _pack_enabled() else None,
+        snap=(jnp.asarray(make_snap_table(img_np))
+              if _snap_on(img_np.shape[0]) else None),
     )
 
 
@@ -295,6 +353,26 @@ def sample_equirect_packed_v(h: int, w: int, packed: jnp.ndarray,
     return v3.Vec3.from_array(top * (1.0 - fy) + bot * fy)
 
 
+def sample_equirect_snap_v(h: int, w: int, snap: jnp.ndarray,
+                           d: "v3.Vec3") -> "v3.Vec3":
+    """Snap-bilinear equirect lookup (Environment.snap): round the
+    continuous tap position to the nearest half texel of the SOURCE map
+    and fetch the prefiltered value with ONE (N, 3) flat take — the
+    bilinear result displaced by at most a quarter source texel, for a
+    quarter of the four-take gather cost (the whole cost of this lookup
+    is takes; see sample_equirect_v).  h, w are the SOURCE dims; `snap`
+    is (2h, 2w, 3).  Wrap/clamp mirror _derive_taps: x wraps (column -1
+    == 2w-1 is the seam blend), y clamps (pole rows saturate)."""
+    theta = jnp.arctan2(d.z, d.x)
+    phi = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    x2 = (theta + jnp.pi) * (w / jnp.pi) - 1.0    # 2 * (u*w - 0.5)
+    y2 = phi * (2.0 * h / jnp.pi) - 1.0           # 2 * (v*h - 0.5)
+    xs = jnp.mod(jnp.round(x2).astype(jnp.int32), 2 * w)
+    ys = jnp.clip(jnp.round(y2).astype(jnp.int32), 0, 2 * h - 1)
+    flat = snap.reshape(4 * h * w, 3)
+    return v3.Vec3.from_array(jnp.take(flat, ys * (2 * w) + xs, axis=0))
+
+
 def sample_equirect_v(image: jnp.ndarray, d: "v3.Vec3") -> "v3.Vec3":
     """Bilinear equirect lookup (device_programs.cu:374-387), Vec3 form.
     The four texel gathers are unavoidable; everything else is lane math."""
@@ -348,6 +426,9 @@ def environment_color_v(env: Environment, direction: "v3.Vec3",
         if need is None:
             need = jnp.ones(d.x.shape, bool)
         tex = sample_equirect_pallas(env.image, d, need)
+    elif env.snap is not None:
+        tex = sample_equirect_snap_v(env.image.shape[0],
+                                     env.image.shape[1], env.snap, d)
     elif env.packed is not None:
         tex = sample_equirect_packed_v(env.image.shape[0],
                                        env.image.shape[1], env.packed, d)
