@@ -5,6 +5,7 @@ Times ONE full deferred-env evaluation (the hdr bench's dominant op) at
 
   four-take   sample_equirect_v        (round-3 optimum: 4 flat takes)
   packed      sample_equirect_packed_v (one (N,12) take)
+  snap        sample_equirect_snap_v   (one (N,3) take off the 2x table)
   take-width  raw jnp.take micro: (N,1) vs (N,3) vs (N,12) at the same
               addresses — isolates the addressing-vs-bytes question the
               packed design rests on
@@ -27,7 +28,8 @@ from spt_tpu.utils.cache import enable_default_cache
 
 enable_default_cache()
 
-from spt_tpu.env import (pack_bilinear, sample_equirect_packed_v,
+from spt_tpu.env import (make_snap_table, pack_bilinear,
+                         sample_equirect_packed_v, sample_equirect_snap_v,
                          sample_equirect_v, synthetic_equirect)
 from spt_tpu.ops.vec3 import Vec3
 
@@ -86,6 +88,11 @@ def main():
                (dx, dy, dz))
     print(f"packed one-take   : {tp * 1e3:.1f} ms/eval  "
           f"({t4 / tp:.2f}x)")
+    snap = jnp.asarray(make_snap_table(img))
+    ts = _time(_chain(lambda v: sample_equirect_snap_v(H, W, snap, v)),
+               (dx, dy, dz))
+    print(f"snap one-take     : {ts * 1e3:.1f} ms/eval  "
+          f"({t4 / ts:.2f}x)")
 
     # raw take width micro at identical addresses
     idx0 = jnp.asarray(rng.integers(0, H * W, (N,)), jnp.int32)

@@ -62,8 +62,9 @@ class Environment(NamedTuple):
     # environment lookups"), so this costs ~1/4 of the four-take
     # bilinear while agreeing with it exactly AT the grid and within a
     # quarter-texel interpolation offset between grid points.  4x the
-    # map's memory, HBM-resident.  SPT_ENV_SNAP=0 opts out (exact
-    # four-take bilinear everywhere).
+    # map's memory, HBM-resident.  Ships default-OFF (SPT_ENV_SNAP=1
+    # opts in) because the between-grid error is content-dependent
+    # (~13 % rel-L2 on a noise map) — see _snap_on.
     snap: Optional[jnp.ndarray] = None     # (2H, 2W, 3) float32
 
 
@@ -178,27 +179,23 @@ def make_snap_table(image: np.ndarray) -> np.ndarray:
     return s
 
 
-SNAP_MIN_H = 512  # snap only when the quarter-texel offset is negligible
-
-
 def _snap_on(h: int) -> bool:
-    """Resolution-gated default: the snap table displaces each lookup by
-    at most a quarter SOURCE texel, so its error shrinks with the map —
-    measured against the exact four-take bilinear on the synthetic
-    sun-sky (post-clamp relative L2 over uniform directions): 5.9 % at
-    H=64, 1.0 % at 256, 0.25 % at 1024.  Auto-enables at H >= 512 where
-    the error is comfortably inside the repo's 1 % radiometric budget;
-    smaller maps keep the exact path (every oracle-gate fixture uses
-    32-64 rows).  SPT_ENV_SNAP=0 forces exact bilinear everywhere,
-    SPT_ENV_SNAP=1 forces snap at any size (measurement knob)."""
+    """Opt-in only (SPT_ENV_SNAP=1), like `packed`.  The snap table
+    displaces each lookup by at most a quarter SOURCE texel, so its
+    error shrinks with the map — measured against the exact four-take
+    bilinear on the synthetic sun-sky (post-clamp relative L2 over
+    uniform directions): 5.9 % at H=64, 1.0 % at 256, 0.25 % at 1024.
+    But the bound is content-dependent, not resolution-bounded: a
+    noise-like map measures ~13 % rel-L2 at the same displacement, so a
+    real HDR probe with small bright sources can exceed the 1 %
+    radiometric budget at any resolution.  The round-4 resolution-gated
+    default (H >= 512) shipped exactly that silent deviation and was
+    reverted: the default render now always uses the exact four-take
+    bilinear (cudaFilterModeLinear parity, device_programs.cu:374-387),
+    and snap is a measured speed/fidelity trade the user opts into."""
     import os
 
-    v = os.environ.get("SPT_ENV_SNAP", "auto")
-    if v == "0":
-        return False
-    if v == "1":
-        return True
-    return h >= SNAP_MIN_H
+    return os.environ.get("SPT_ENV_SNAP", "0") == "1"
 
 
 def make_hdr_environment(

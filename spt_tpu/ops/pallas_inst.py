@@ -126,17 +126,26 @@ def _recheck_on() -> bool:
 
 
 def _rounds_ok(inst_refs) -> bool:
-    """Per-LANE rounds traversal applies when every instance shares ONE
-    BLAS mesh (the canonical instancing shape — and the only one where a
-    round's cluster visit list indexes a single tri_pack range) and there
-    is more than one instance (at I=1 rounds is the union scheme with
-    extra bookkeeping).  Simulated on the production bigmesh bounce-1 ray
-    set (tools/bigmesh_sim.py): rounds opens 8,827 clusters where the
+    """Per-LANE rounds traversal applies whenever there is more than one
+    instance (at I=1 rounds is the union scheme with extra bookkeeping).
+    Simulated on the production bigmesh bounce-1 ray set
+    (tools/bigmesh_sim.py): rounds opens 8,827 clusters where the
     per-instance union scheme opens 19,741 (and its converged-bound limit
     is 5,325 vs 14,025) — per-lane visit sets are tiny (median 1 instance
-    crossed) and the tile-union over 14 of 16 instances was the waste."""
-    blas_lo, inst_lo = inst_refs[0], inst_refs[4]
-    return _rounds_on() and blas_lo.shape[0] == 1 and inst_lo.shape[0] > 1
+    crossed) and the tile-union over 14 of 16 instances was the waste.
+
+    Round 5 extended the scheme to heterogeneous BLAS tables (the
+    reference's actual IAS shape, OptixBackend.cpp:1185-1308): each round
+    serializes on ONE mesh id (the minimum among the lanes' next-crossed
+    instances), so only lanes whose candidate uses that mesh trace this
+    round and the block test keeps its shared-triangle-block property.
+    Per-lane front-to-back order is unaffected (each lane's own cursor
+    only advances on its own rounds); a tile mixing M' meshes pays ~M'x
+    the round count, and the post-sort tiles that dominate are mesh-pure.
+    Single-mesh scenes compile the exact round-4 body (the per-round mesh
+    extraction is statically elided at M == 1)."""
+    inst_lo = inst_refs[4]
+    return _rounds_on() and inst_lo.shape[0] > 1
 
 
 def _next_inst(inst_lo, inst_hi, icount, o, invw, tmin, bound,
@@ -184,16 +193,18 @@ def _next_inst(inst_lo, inst_hi, icount, o, invw, tmin, bound,
 _BIG_T = np.float32(1e30)
 
 
-def _lane_planes(inst_tab, icount, cur_id):
-    """Per-lane instance row columns (r[9], t[3], mat_ov, sg) via masked
-    scalar accumulate — the machine's cheap per-lane 'gather' for a tiny
-    table (I scalar-broadcast selects per column; no dynamic_gather, whose
-    ~8 us/address-plane cost refuted per-lane TRIANGLE fetch,
+def _lane_planes(inst_tab, icount, cur_id, with_mesh: bool = False):
+    """Per-lane instance row columns (r[9], t[3], [mesh,] mat_ov, sg) via
+    masked scalar accumulate — the machine's cheap per-lane 'gather' for a
+    tiny table (I scalar-broadcast selects per column; no dynamic_gather,
+    whose ~8 us/address-plane cost refuted per-lane TRIANGLE fetch,
     docs/DESIGN.md).  Lanes with cur_id = -1 accumulate nothing and keep
     zeros — their transformed direction is 0, which every downstream test
-    rejects (slab via bound, Moller-Trumbore via |a| <= eps)."""
+    rejects (slab via bound, Moller-Trumbore via |a| <= eps).  The mesh
+    column (12) is fetched only for multi-mesh rounds (with_mesh) so the
+    single-mesh kernel body is unchanged."""
     shape = cur_id.shape
-    cols = list(range(12)) + [13, 14]
+    cols = list(range(12)) + ([12] if with_mesh else []) + [13, 14]
 
     def body(i, acc):
         m = cur_id == i
@@ -226,8 +237,9 @@ def _lane_finish(planes):
     """Winner-resolution hook with PER-LANE transform planes: instance
     material override + normal back to world via sign(det) * R_ofw^T —
     the vector-plane form of _make_finish (each lane's winner came from
-    its OWN instance this round)."""
-    r, mat_ov, sg = planes[:12], planes[12], planes[13]
+    its OWN instance this round).  mat_ov/sg sit at the tuple tail so the
+    multi-mesh planes (with the mesh column at [12]) index the same."""
+    r, mat_ov, sg = planes[:12], planes[-2], planes[-1]
     mat_ov_i = mat_ov.astype(jnp.int32)
 
     def finish(mat, nx, ny, nz):
@@ -262,13 +274,19 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
     accumulate.  Hit t stays world t (directions unnormalized), so one
     carry folds across rounds; normals return per-lane via _lane_finish.
 
-    Requires _rounds_ok (single-mesh BLAS); the reference's per-thread
-    IAS->GAS descent (OptixBackend.cpp:916-1034) gets the same per-ray
-    independence from hardware."""
+    Heterogeneous BLAS tables (the reference's IAS shape,
+    OptixBackend.cpp:1185-1308) serialize each round on ONE mesh id —
+    the minimum among candidate lanes — so the shared-block property
+    holds within the round and only that mesh's lanes advance their
+    cursors (statically elided at M == 1; see _rounds_ok).  The
+    reference's per-thread IAS->GAS descent (OptixBackend.cpp:916-1034)
+    gets the same per-ray independence from hardware."""
     (blas_lo, blas_hi, tri_pack, blas_okey,
      inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
     s, l = o.x.shape
     icount = inst_lo.shape[0]
+    m_count, cmax = blas_lo.shape[0], blas_lo.shape[1]
+    multi = m_count > 1
 
     carry0, rinv = _sphere_pass_closest(
         n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax
@@ -293,15 +311,28 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
 
     def body(st):
         cur_tn, cur_id, carry = st[0], st[1], st[2:]
-        active = cur_id >= 0
-        planes = _lane_planes(inst_tab, icount, cur_id)
+        has_cand = cur_id >= 0
+        planes = _lane_planes(inst_tab, icount, cur_id, with_mesh=multi)
+        if multi:
+            # this round's BLAS: the minimum mesh id among candidate
+            # lanes — only those lanes trace now, the rest hold their
+            # cursor (see _rounds_ok; per-lane order is unaffected)
+            mesh_l = planes[12].astype(jnp.int32)
+            mesh_r = jnp.min(jnp.where(has_cand, mesh_l,
+                                       jnp.int32(0x7FFF)))
+            active = has_cand & (mesh_l == mesh_r)
+        else:
+            mesh_r = 0
+            active = has_cand
         oo, dd = _lane_xform(planes, o, d, active)
         oo3, dd3, iinv3 = _ray_planes(oo, dd, s, l)
         oct_ = _octant(dd)
         bound = jnp.where(active, jnp.minimum(tmax, carry[0]),
                           -_BIG_T).reshape(1, s, l)
-        cflags = _box_flags(blas_lo[0], blas_hi[0], oo3, iinv3, tmin, bound)
-        ccount, ckey0 = _visit_keys(cflags, blas_okey, oct_)
+        cflags = _box_flags(blas_lo[mesh_r], blas_hi[mesh_r],
+                            oo3, iinv3, tmin, bound)
+        okey_row = oct_ * m_count + mesh_r if multi else oct_
+        ccount, ckey0 = _visit_keys(cflags, blas_okey, okey_row)
         open_cluster = make_cluster_opener(
             k, s, l, oo3, dd3, tmin, tmax3, with_uv,
             finish=_lane_finish(planes),
@@ -317,18 +348,18 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
                 # earlier opens (per-LANE, so converged lanes drop out
                 # individually — see _recheck_on).  The six bounds are
                 # dynamic SCALAR reads straight off the (M, CMAX, 3) refs
-                # — blas_lo[0][cid, k] loads the plane into vregs first
+                # — blas_lo[m][cid, k] loads the plane into vregs first
                 # and the dynamic index on the VALUE is a dynamic_slice
                 # Mosaic cannot lower (same trap as the _box_flags B=1
                 # variant, pallas_trace._box_flag1 docstring)
                 bnow = jnp.where(active, jnp.minimum(tmax, cr[0]),
                                  -_BIG_T).reshape(1, s, l)
-                t0x = (blas_lo[0, cid, 0] - oo3[0]) * iinv3[0]
-                t1x = (blas_hi[0, cid, 0] - oo3[0]) * iinv3[0]
-                t0y = (blas_lo[0, cid, 1] - oo3[1]) * iinv3[1]
-                t1y = (blas_hi[0, cid, 1] - oo3[1]) * iinv3[1]
-                t0z = (blas_lo[0, cid, 2] - oo3[2]) * iinv3[2]
-                t1z = (blas_hi[0, cid, 2] - oo3[2]) * iinv3[2]
+                t0x = (blas_lo[mesh_r, cid, 0] - oo3[0]) * iinv3[0]
+                t1x = (blas_hi[mesh_r, cid, 0] - oo3[0]) * iinv3[0]
+                t0y = (blas_lo[mesh_r, cid, 1] - oo3[1]) * iinv3[1]
+                t1y = (blas_hi[mesh_r, cid, 1] - oo3[1]) * iinv3[1]
+                t0z = (blas_lo[mesh_r, cid, 2] - oo3[2]) * iinv3[2]
+                t1z = (blas_hi[mesh_r, cid, 2] - oo3[2]) * iinv3[2]
                 tnear = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.maximum(jnp.minimum(t0z, t1z), tmin),
@@ -340,7 +371,7 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
                 alive = jnp.any(tnear <= tfar)
                 cr = jax.lax.cond(
                     alive,
-                    lambda c: open_cluster(tri_pack[cid], c),
+                    lambda c: open_cluster(tri_pack[base + cid], c),
                     lambda c: c, cr)
                 return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
 
@@ -349,13 +380,18 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
             def open_cl(_, kc):
                 ckey, cr = kc[0], kc[1:]
                 mm = jnp.min(ckey)
-                cr = open_cluster(tri_pack[mm & _OKEY_ID_MASK], cr)
+                cr = open_cluster(tri_pack[base + (mm & _OKEY_ID_MASK)], cr)
                 return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
 
+        base = mesh_r * cmax if multi else 0
         carry = jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
         nxt_tn, nxt_id = _next_inst(
             inst_lo, inst_hi, icount, o, invw, tmin,
             jnp.minimum(tmax, carry[0]), cur_tn, cur_id)
+        if multi:
+            # only this round's mesh advanced; the rest hold their cursor
+            nxt_tn = jnp.where(active, nxt_tn, cur_tn)
+            nxt_id = jnp.where(active, nxt_id, cur_id)
         return (nxt_tn, nxt_id) + carry
 
     out_carry = jax.lax.while_loop(cond, body,
@@ -372,6 +408,8 @@ def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
      inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
     s, l = o.x.shape
     icount = inst_lo.shape[0]
+    m_count, cmax = blas_lo.shape[0], blas_lo.shape[1]
+    multi = m_count > 1
 
     blocked0 = _sphere_pass_any(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax)
     blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
@@ -395,14 +433,26 @@ def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
 
         def body(st):
             cur_tn, cur_id, blocked = st
-            active = (cur_id >= 0) & (blocked == 0)
-            planes = _lane_planes(inst_tab, icount, cur_id)
+            has_cand = cur_id >= 0
+            planes = _lane_planes(inst_tab, icount, cur_id,
+                                  with_mesh=multi)
+            if multi:
+                mesh_l = planes[12].astype(jnp.int32)
+                mesh_r = jnp.min(jnp.where(has_cand, mesh_l,
+                                           jnp.int32(0x7FFF)))
+                active = has_cand & (blocked == 0) & (mesh_l == mesh_r)
+            else:
+                mesh_r = 0
+                active = has_cand & (blocked == 0)
             oo, dd = _lane_xform(planes, o, d, active)
             oo3, dd3, iinv3 = _ray_planes(oo, dd, s, l)
             oct_ = _octant(dd)
             lb = jnp.where(active, tmax, -_BIG_T).reshape(1, s, l)
-            cflags = _box_flags(blas_lo[0], blas_hi[0], oo3, iinv3, tmin, lb)
-            ccount, ckey0 = _visit_keys(cflags, blas_okey, oct_)
+            cflags = _box_flags(blas_lo[mesh_r], blas_hi[mesh_r],
+                                oo3, iinv3, tmin, lb)
+            okey_row = oct_ * m_count + mesh_r if multi else oct_
+            ccount, ckey0 = _visit_keys(cflags, blas_okey, okey_row)
+            base = mesh_r * cmax if multi else 0
 
             def ccond(cc):
                 ii, _, blocked = cc
@@ -411,7 +461,7 @@ def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
             def cbody(cc):
                 ii, ckey, blocked = cc
                 mm = jnp.min(ckey)
-                blk = tri_pack[mm & _OKEY_ID_MASK]
+                blk = tri_pack[base + (mm & _OKEY_ID_MASK)]
                 return (ii + 1,
                         jnp.where(ckey == mm, _OKEY_MISS, ckey),
                         tri_block_any(blk, k, oo3, dd3, tmin, tmax3,
@@ -422,6 +472,9 @@ def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
             nxt_tn, nxt_id = _next_inst(
                 inst_lo, inst_hi, icount, o, invw, tmin,
                 live_bound(blocked), cur_tn, cur_id)
+            if multi:
+                nxt_tn = jnp.where(active, nxt_tn, cur_tn)
+                nxt_id = jnp.where(active, nxt_id, cur_id)
             return nxt_tn, nxt_id, blocked
 
         return jax.lax.while_loop(cond, body,
@@ -438,9 +491,11 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
     kernel: sphere pass + TLAS cull + per-opened-instance object-space
     cluster traversal.
 
-    Single-mesh scenes route to the per-lane rounds traversal
-    (inst_closest_tile_rounds; SPT_INST_ROUNDS=0 re-routes here for the
-    A/B); the per-instance union scheme below stays the multi-mesh path.
+    Multi-instance scenes route to the per-lane rounds traversal
+    (inst_closest_tile_rounds — since round 5 including heterogeneous
+    BLAS tables via per-round mesh serialization; SPT_INST_ROUNDS=0
+    re-routes here for the A/B); the per-instance union scheme below
+    stays the I=1 path and the measured baseline.
 
     `inst_refs` = (blas_lo (M, CMAX, 3), blas_hi, tri_pack (M*CMAX, K, 24),
     blas_okey (8*M, CMAX, 1) — row octant*M + mesh, one dynamic leading
@@ -523,7 +578,7 @@ def inst_any_tile(inst_refs, k, n_sph, tmin,
     blocked flags.  Same empty-interval-reports-blocked contract as
     pallas_trace.any_hit_tile, same early exits as pallas_stream's
     streaming variant (whole-subtile skip, saturation exit, settled lanes
-    leaving the box tests).  Single-mesh scenes route to the per-lane
+    leaving the box tests).  Multi-instance scenes route to the per-lane
     rounds variant (see inst_closest_tile)."""
     if _rounds_ok(inst_refs):
         return inst_any_tile_rounds(inst_refs, k, n_sph, tmin,

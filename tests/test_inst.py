@@ -382,6 +382,52 @@ class TestInstRounds:
         assert (np.asarray(pal_u) == np.asarray(pal_r)).mean() > 0.995
 
 
+class TestInstRoundsMultiMesh:
+    """Round 5: per-lane rounds over HETEROGENEOUS BLAS tables — the
+    reference's actual IAS shape (OptixBackend.cpp:1185-1308).  Each
+    round serializes on one mesh id; parity against the union scheme and
+    (through TestInstTrace, whose fixture now routes here) against the
+    chunked world-space reference."""
+
+    def test_multimesh_routes_to_rounds(self):
+        dev = _build_instanced()
+        ia = dev.inst
+        assert ia.num_meshes == 2 and ia.num_instances == 4
+        refs = (ia.blas_lo, ia.blas_hi, ia.tri_pack, ia.blas_okey,
+                ia.inst_lo, ia.inst_hi, ia.inst_okey, ia.inst)
+        assert pinst._rounds_ok(refs)
+
+    @pytest.mark.parametrize("with_mirror,mat_override",
+                             [(False, None), (True, 1)])
+    def test_rounds_matches_union(self, monkeypatch, with_mirror,
+                                  mat_override):
+        dev = _build_instanced(with_mirror=with_mirror,
+                               mat_override=mat_override)
+        ov, dv = _rays(np.random.default_rng(13))
+        pal_r = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        monkeypatch.setenv("SPT_INST_ROUNDS", "0")
+        pal_u = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        t_r, t_u = np.asarray(pal_r.t), np.asarray(pal_u.t)
+        agree = ((np.isinf(t_r) & np.isinf(t_u))
+                 | (np.abs(np.nan_to_num(t_r - t_u, nan=1.0)) < 1e-3))
+        assert agree.mean() > 0.995, f"{(~agree).sum()} lanes disagree"
+        hitm = np.isfinite(t_r) & agree
+        assert hitm.sum() > 50
+        np.testing.assert_array_equal(
+            np.asarray(pal_r.mat_id)[hitm], np.asarray(pal_u.mat_id)[hitm])
+        np.testing.assert_array_equal(
+            np.asarray(pal_r.kind)[hitm], np.asarray(pal_u.kind)[hitm])
+
+    def test_anyhit_matches_union(self, monkeypatch):
+        dev = _build_instanced()
+        ov, dv = _rays(np.random.default_rng(17))
+        tmax = np.float32(4.0)
+        pal_r = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        monkeypatch.setenv("SPT_INST_ROUNDS", "0")
+        pal_u = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        assert (np.asarray(pal_u) == np.asarray(pal_r)).mean() > 0.995
+
+
 class TestInstFused:
     def test_fused_matches_staged(self):
         """The fused kernels route 'instanced' scenes through
