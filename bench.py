@@ -116,6 +116,22 @@ def build_workload(scene_name: str, width: int, height: int):
                      target=tuple(center), fov_degrees=45.0,
                      aspect_ratio=width / height)
         return Renderer(desc, cfg, camera=cam)
+    if scene_name == "stream":
+        # Config #7: reference-scale UNIQUE mesh — the chair grid baked to
+        # ~98k distinct triangles (no shared BLAS), exercising the
+        # HBM-streaming tier that inherits the reference's any-mesh promise
+        # (EmbreeBackend.cpp:181).  Same camera/rays as bigmesh, so the
+        # instanced-vs-stream delta on identical workload is this number
+        # vs the bigmesh one.
+        from spt_tpu.scene import build_unique_grid_scene
+
+        desc, center, radius = build_unique_grid_scene()
+        cfg = RenderConfig(width=width, height=height, spp=1, max_depth=4)
+        cam = Camera(position=tuple(center + np.array([0.3, 0.35, 1.0])
+                                    * radius),
+                     target=tuple(center), fov_degrees=45.0,
+                     aspect_ratio=width / height)
+        return Renderer(desc, cfg, camera=cam)
     if scene_name == "gltf":
         from spt_tpu.io.gltf import bounding_box, load_gltf
 
@@ -141,7 +157,8 @@ def run_all():
     import os
     import subprocess
 
-    for scene in ("default", "cornell", "gltf", "hdr", "anim", "bigmesh"):
+    for scene in ("default", "cornell", "gltf", "hdr", "anim", "bigmesh",
+                  "stream"):
         cmd = [sys.executable, os.path.abspath(__file__), "--scene", scene]
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
@@ -177,12 +194,15 @@ def main():
         scene_name = sys.argv[sys.argv.index("--scene") + 1]
         if scene_name == "gltf":
             width, height = 512, 384
-        if scene_name == "bigmesh":
+        if scene_name in ("bigmesh", "stream"):
             # shorter chains: (a) frames are ~10x the chair's, so 32 still
             # amortizes the sync to <1%; (b) DMA-scratch kernels have
             # faulted the TPU worker at ~128 chained invocations (axon
             # quirk), and the stream kernels DMA every opened super.
             width, height, iters = 512, 384, 32
+        if scene_name == "stream":
+            # every opened super is a DMA: keep chains shorter still
+            iters = 16
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
 
@@ -258,9 +278,10 @@ def main():
         "spp": cfg.spp,
         "max_depth": cfg.max_depth,
     }
-    if scene_name == "bigmesh":
-        # which mesh-scale tier actually ran (instanced TLAS/BLAS by
-        # default; SPT_INSTANCED=0 re-routes through HBM streaming)
+    if scene_name in ("bigmesh", "stream"):
+        # which mesh-scale tier actually ran (instanced TLAS/BLAS for the
+        # replicated grid, stream for the baked-unique one;
+        # SPT_INSTANCED=0 re-routes bigmesh through HBM streaming)
         from spt_tpu.ops.pallas_bounce import _accel_mode
 
         result["tier"] = _accel_mode(r.scene) or "staged"

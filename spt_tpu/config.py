@@ -73,6 +73,15 @@ class RenderConfig:
     # GPU shade skips direct light on tagged dielectrics
     # (device_programs.cu:462 "matType != MATERIAL_TYPE_DIELECTRIC")
     direct_light_dielectric: bool = False
+    # Quirk 7 (SURVEY.md §5): the CPU megakernel weights its dielectric
+    # branches by the ior-derived transparency factor
+    # (PathTracer.cpp:177-209 with Material::getTransparency(),
+    # Material.h:62-73): reflection x (1 - transparency), refraction x
+    # transparency, total-internal-reflection x 1.  The GPU's tagged
+    # dielectric is a pure delta BSDF (throughput unchanged,
+    # device_programs.cu:498-543) and is the default here; True reproduces
+    # the CPU weighting for A/B, consuming DeviceMaterials.transparency.
+    cpu_transparency: bool = False
     # Trace shadow rays for direct lighting (CPU semantics, Light.cpp:16-40).
     shadow_rays: bool = True
 

@@ -63,14 +63,18 @@ def run_viewer(renderer, max_fps: float = 30.0) -> None:
     import termios
     import tty
 
-    try:
+    def _grid():
+        """Terminal size -> display grid (ptys can report 0x0; clamp to a
+        usable window either way)."""
         size = os.get_terminal_size()
+        return (min(max(size.columns, 40), 160),
+                min(max(size.lines - 2, 12), 50))
+
+    try:
+        cols, rows = _grid()
     except OSError:
         print("No TTY available; use headless mode instead.")
         return
-    # ptys can report 0x0; clamp to a usable window either way.
-    cols = min(max(size.columns, 40), 160)
-    rows = min(max(size.lines - 2, 12), 50)
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
@@ -110,6 +114,21 @@ def run_viewer(renderer, max_fps: float = 30.0) -> None:
 
             renderer.render_frame()
             frames += 1
+            # Follow terminal resizes (the reference's framebuffer-size
+            # callback role, GLRenderer.cpp window resize ->
+            # OptixBackend::resize): the DISPLAY grid re-reads the
+            # terminal every frame and re-clears on change; the render
+            # resolution itself stays put (changing it means a program
+            # rebuild — Renderer.resize is the API for that, and a
+            # mid-flight Mosaic recompile would stall the viewer for
+            # minutes on a mesh scene).
+            try:
+                new_cols, new_rows = _grid()
+            except OSError:
+                new_cols, new_rows = cols, rows
+            if (new_cols, new_rows) != (cols, rows):
+                cols, rows = new_cols, new_rows
+                sys.stdout.write("\x1b[2J")
             frame = _to_ansi(renderer.image(), cols, rows)
             sys.stdout.write("\x1b[H" + frame)
             now = time.time()

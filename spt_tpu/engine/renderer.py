@@ -187,7 +187,8 @@ class Renderer:
                             and self.cfg.integrator != "megakernel")
         self.mesh = None
         if multi_device:
-            from spt_tpu.parallel import make_mesh, shard_pixels, sharded_frame_step
+            from spt_tpu.parallel import (make_mesh, shard_pixels,
+                                          sharded_frame_step_dyn)
             from spt_tpu.parallel.sharding import replicate
 
             if self.cfg.integrator == "megakernel":
@@ -201,7 +202,9 @@ class Renderer:
                     "device mesh"
                 )
             self.mesh = make_mesh()
-            self._step = sharded_frame_step(self.cfg, self.mesh)
+            # dynamic-k chain on the mesh too (round 5): render_frames
+            # issues ONE dispatch whatever k, same as single-chip
+            self._step = sharded_frame_step_dyn(self.cfg, self.mesh)
             self.state = shard_pixels(self.mesh, self.state)
             self.scene = replicate(self.mesh, self.scene)
             self.env = replicate(self.mesh, self.env)
@@ -232,6 +235,38 @@ class Renderer:
         self.state = state_mod.reset(self.state)
         return new
 
+    def resize(self, width: int, height: int) -> None:
+        """Change the render resolution in place: rebuild the jitted
+        programs for the new dimensions, reset accumulation, keep
+        scene/camera/lights — the reference's buffer-reallocation-on-
+        dimension-change contract (OptixBackend::resize,
+        OptixBackend.cpp:1508-1543, which reallocates the output and
+        wavefront buffers and restarts accumulation; GLRenderer's
+        framebuffer callback drives it).  The camera keeps its pose but
+        adopts the new aspect ratio.  Program rebuilds hit the
+        config-keyed jit caches, so toggling between two sizes recompiles
+        nothing.
+
+        On a device mesh the new height must still tile across devices —
+        the same gate __init__ applies — otherwise the renderer drops to
+        single-chip for the new size rather than render a lie."""
+        if (width, height) == (self.cfg.width, self.cfg.height):
+            return
+        self.cfg = self.cfg.replace(width=width, height=height)
+        self.camera.set_aspect_ratio(width / height)
+        self.state = state_mod.init_state(self.cfg.num_pixels)
+        self.last_stats = None
+        if self.mesh is not None and height % self.mesh.devices.size == 0:
+            from spt_tpu.parallel import shard_pixels, sharded_frame_step_dyn
+
+            self._step = sharded_frame_step_dyn(self.cfg, self.mesh)
+            self.state = shard_pixels(self.mesh, self.state)
+        else:
+            self.mesh = None
+            self._step = None
+            self._step_dyn = _jitted_step_dyn(self.cfg)
+        self._resolve = _jitted_resolve(self.cfg)
+
     # --- frame loop -----------------------------------------------------------
 
     def render_frame(self, check_camera: bool = True) -> None:
@@ -241,7 +276,7 @@ class Renderer:
         if self.mesh is not None:
             self.state, self.last_stats = self._step(
                 self.scene, self.env, self.lights, self.camera.rays(),
-                self.state
+                self.state, jnp.asarray(1, jnp.int32)
             )
             return
         self.state, self.last_stats = self._step_dyn(
@@ -257,26 +292,15 @@ class Renderer:
         mixing interactive frames and chains safe on axon: running two
         distinct mesh programs in one process aborts the client on the
         batched program's second execution (see _frame_step_k's
-        docstring).  Falls back to per-frame stepping on a multi-chip mesh
-        (the sharded step is its own program).  Summed stats land in
-        last_stats."""
-        if self.mesh is not None:
-            from spt_tpu.integrators.wavefront import WavefrontStats
-
-            rays = bounces = None
-            for _ in range(k):
-                self.render_frame(check_camera=check_camera)
-                s = self.last_stats
-                rays = s.rays_per_bounce if rays is None else rays + s.rays_per_bounce
-                bounces = (s.bounces_run if bounces is None
-                           else jnp.maximum(bounces, s.bounces_run))
-            if rays is not None:
-                self.last_stats = WavefrontStats(rays_per_bounce=rays,
-                                                 bounces_run=bounces)
-            return
+        docstring).  On a device mesh the chain is one dispatch too
+        (parallel.sharded_frame_step_dyn, round 5): the traced-k
+        fori_loop rides inside the shard_map body, so a k-frame mesh
+        render pays one relay round trip and one telemetry psum instead
+        of k of each.  Summed stats land in last_stats."""
         if check_camera and self.camera.has_moved_since_last_check():
             self.state = state_mod.reset(self.state)
-        self.state, self.last_stats = self._step_dyn(
+        step = self._step if self.mesh is not None else self._step_dyn
+        self.state, self.last_stats = step(
             self.scene, self.env, self.lights, self.camera.rays(),
             self.state, jnp.asarray(max(k, 1), jnp.int32)
         )

@@ -59,8 +59,11 @@ class Environment(NamedTuple):
     # nearest half texel and fetches ONE (N, 3) row: XLA's per-lane
     # gather cost scales with the fetched row WIDTH and not the table
     # size (measured — see `packed` above and docs/DESIGN.md "HDR
-    # environment lookups"), so this costs ~1/4 of the four-take
-    # bilinear while agreeing with it exactly AT the grid and within a
+    # environment lookups"), so this costs HALF the four-take bilinear
+    # (measured on real TPU, benchmarks/env_packed_ab.py: 25.4 vs 50.8
+    # ms per 2M-lane eval — 2.0x, not the 4x a pure take-count model
+    # predicts; the interpolation arithmetic the four-take pays is not
+    # free) while agreeing with it exactly AT the grid and within a
     # quarter-texel interpolation offset between grid points.  4x the
     # map's memory, HBM-resident.  Ships default-OFF (SPT_ENV_SNAP=1
     # opts in) because the between-grid error is content-dependent

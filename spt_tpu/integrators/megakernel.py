@@ -53,8 +53,21 @@ def render_megakernel(
 ) -> jnp.ndarray:
     """cfg.spp samples averaged -> (H, W, 3) linear radiance (the spp loop of
     PathTracer::traceRay, PathTracer.cpp:280-303 — minus its per-sample
-    tonemap quirk; resolve happens once downstream)."""
-    acc = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
-    for s in range(cfg.spp):
-        acc = acc + render_sample(cfg, scene, env, lights, camera, frame_index, s)
+    tonemap quirk; resolve happens once downstream).
+
+    Rolled like the wavefront's sample loop (wavefront.py render_wavefront):
+    the program contains ONE sample regardless of spp — sample_index reaches
+    only the RNG seeding, as a traced scalar.  With static bounds
+    lax.fori_loop lowers to scan, so jax.grad through a multi-sample render
+    (the inverse-rendering path, examples/inverse_albedo.py) still works."""
+    import jax
+
+    acc0 = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+
+    def one_sample(s, acc):
+        return acc + render_sample(cfg, scene, env, lights, camera,
+                                   frame_index, s)
+
+    acc = (jax.lax.fori_loop(0, cfg.spp, one_sample, acc0)
+           if cfg.spp > 1 else one_sample(0, acc0))
     return (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)

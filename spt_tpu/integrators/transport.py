@@ -394,6 +394,14 @@ def shade_core(
     d_dir = v3.where(~can_refract | (xi_d < fr), reflect_dir, refr_dir)
     d_org = p + d_dir * cfg.ray_offset_dir
     d_thr = ps.throughput  # delta BSDF, throughput unchanged (cu:537)
+    if cfg.cpu_transparency:
+        # quirk 7 (PathTracer.cpp:177-209): reflection x (1-transparency),
+        # refraction x transparency, TIR x 1 — the CPU's conscious energy
+        # loss, reproduced for A/B (cfg docstring)
+        w_d = jnp.where(xi_d < fr, 1.0 - mat.transparency,
+                        jnp.where(can_refract, mat.transparency,
+                                  jnp.float32(1.0)))
+        d_thr = d_thr * w_d
 
     # Metal (cu:545-666): GGX NDF half-vector sampling, D cancels in the
     # throughput; degenerate cases fall back to a mirror bounce.

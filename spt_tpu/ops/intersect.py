@@ -146,11 +146,24 @@ def _intersect_unrolled(scene, o: Vec3, d: Vec3, tmin, tmax) -> HitV:
     rinv = zeros
 
     textured = scene.tri_uv is not None
+    tri_ns = getattr(scene, "tri_ns", None)
     uvx = uvy = zeros
     for i in range(scene.num_triangles):
         ok, t, (nx, ny, nz), (bu, bv) = _tri_scalar_test(
             scene, i, o, d, tmin, tmax, best_t, with_uv=True
         )
+        if tri_ns is not None:
+            # interpolated shading normal (scalar row reads, hoisted by
+            # XLA); zero rows fall back to geometric — the same per-lane
+            # select the pallas openers apply (make_cluster_opener)
+            rn = tri_ns[i]
+            snx = rn[0] + bu * rn[3] + bv * rn[6]
+            sny = rn[1] + bu * rn[4] + bv * rn[7]
+            snz = rn[2] + bu * rn[5] + bv * rn[8]
+            ns_ok = snx * snx + sny * sny + snz * snz > 1e-12
+            nx = jnp.where(ns_ok, snx, nx)
+            ny = jnp.where(ns_ok, sny, ny)
+            nz = jnp.where(ns_ok, snz, nz)
         best_t = jnp.where(ok, t, best_t)
         kind = jnp.where(ok, KIND_TRIANGLE, kind)
         mat = jnp.where(ok, scene.tri_mat[i], mat)
@@ -327,7 +340,8 @@ def _intersect_chunked(scene, o: Vec3, d: Vec3, tmin, tmax, chunk_size=128) -> H
     ).astype(jnp.int32)
 
     uvx = uvy = None
-    if scene.tri_uv is not None:
+    tri_ns = getattr(scene, "tri_ns", None)
+    if scene.tri_uv is not None or tri_ns is not None:
         # Re-evaluate the winning triangle's barycentrics (one MT per lane —
         # cheaper than carrying (u, v) through every chunk's running min).
         wv0 = scene.tri_v0[ti]
@@ -340,9 +354,22 @@ def _intersect_chunked(scene, o: Vec3, d: Vec3, tmin, tmax, chunk_size=128) -> H
         bu = inv_a * jnp.sum(s * h, axis=-1)
         q = jnp.cross(s, we1)
         bv = inv_a * jnp.sum(da * q, axis=-1)
-        r = scene.tri_uv[ti]
-        uvx = jnp.where(is_tri, r[:, 0] + bu * r[:, 2] + bv * r[:, 4], 0.0)
-        uvy = jnp.where(is_tri, r[:, 1] + bu * r[:, 3] + bv * r[:, 5], 0.0)
+        if scene.tri_uv is not None:
+            r = scene.tri_uv[ti]
+            uvx = jnp.where(is_tri, r[:, 0] + bu * r[:, 2] + bv * r[:, 4],
+                            0.0)
+            uvy = jnp.where(is_tri, r[:, 1] + bu * r[:, 3] + bv * r[:, 5],
+                            0.0)
+        if tri_ns is not None:
+            # interpolated shading normal; zero rows (mesh without
+            # NORMALs) keep the geometric normal — the pallas openers'
+            # with_ns semantics (pallas_trace.make_cluster_opener)
+            rn = tri_ns[ti]
+            sn = (rn[:, 0:3] + bu[:, None] * rn[:, 3:6]
+                  + bv[:, None] * rn[:, 6:9])
+            use = (is_tri
+                   & (jnp.sum(sn * sn, axis=-1) > 1e-12))
+            normal_a = jnp.where(use[:, None], sn, normal_a)
 
     return HitV(
         t=best_t, normal=Vec3.from_array(normal_a), mat_id=mat_id,

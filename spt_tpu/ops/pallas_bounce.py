@@ -314,6 +314,17 @@ def _rolled_closest(scene, o, d, tmin):
         nx = e1y * e2z - e1z * e2y
         ny = e1z * e2x - e1x * e2z
         nz = e1x * e2y - e1y * e2x
+        if scene.tri_ns is not None:
+            # interpolated shading normal (scalar row reads); zero rows
+            # keep the geometric normal (make_cluster_opener semantics)
+            ns = scene.tri_ns
+            snx = ns[i, 0] + u * ns[i, 3] + v * ns[i, 6]
+            sny = ns[i, 1] + u * ns[i, 4] + v * ns[i, 7]
+            snz = ns[i, 2] + u * ns[i, 5] + v * ns[i, 8]
+            ns_ok = snx * snx + sny * sny + snz * snz > 1e-12
+            nx = jnp.where(ns_ok, snx, nx)
+            ny = jnp.where(ns_ok, sny, ny)
+            nz = jnp.where(ns_ok, snz, nz)
         return (jnp.where(ok, t, bt),
                 jnp.where(ok, scene.tri_mat[i], bm),
                 jnp.where(ok, isect.KIND_TRIANGLE, bk),
@@ -609,14 +620,17 @@ def _make_trace_impls(accel_dims, accel_refs,
     mode ("instanced" repurposes the cluster slots for the BLAS tables and
     the super slots for the instance AABBs/keys)."""
     if accel_dims is None:
-        def closest(scene, ps):
+        def closest(scene, ps, bounce=None):
             return _rolled_closest(scene, ps.origin, ps.direction, tmin=0.0)
 
-        return closest, _rolled_occluded
+        def occluded(scene, o, d, tmin=1e-4, tmax=None, bounce=None):
+            return _rolled_occluded(scene, o, d, tmin=tmin, tmax=tmax)
+
+        return closest, occluded
 
     import numpy as _np
 
-    mode, n_clusters, k = accel_dims
+    mode, n_clusters, k, with_ns = accel_dims
     if mode == "stream":
         from spt_tpu.ops import pallas_stream
 
@@ -625,14 +639,14 @@ def _make_trace_impls(accel_dims, accel_refs,
         stream_refs = (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey,
                        tri_hbm)
 
-        def closest_res(ps, tmax):
+        def closest_res(ps, tmax, bounce=None):
             return pallas_stream.stream_closest_tile(
                 stream_refs, k, n_sphs, _np.float32(0.0),
                 sph_c, sph_r, sph_m, ps.origin, ps.direction, tmax,
-                scratch, sem, with_uv=with_uv,
+                scratch, sem, with_uv=with_uv, with_ns=with_ns,
             )
 
-        def any_res(o, d, tmin, tm):
+        def any_res(o, d, tmin, tm, bounce=None):
             return pallas_stream.stream_any_tile(
                 stream_refs, k, n_sphs, _np.float32(tmin),
                 sph_c, sph_r, sph_m, o, d, tm, scratch, sem,
@@ -642,51 +656,51 @@ def _make_trace_impls(accel_dims, accel_refs,
 
         inst_refs = accel_refs[:8]
 
-        def closest_res(ps, tmax):
+        def closest_res(ps, tmax, bounce=None):
             return pallas_inst.inst_closest_tile(
                 inst_refs, k, n_sphs, _np.float32(0.0),
                 sph_c, sph_r, sph_m, ps.origin, ps.direction, tmax,
-                with_uv=with_uv,
+                with_uv=with_uv, bounce=bounce,
             )
 
-        def any_res(o, d, tmin, tm):
+        def any_res(o, d, tmin, tm, bounce=None):
             return pallas_inst.inst_any_tile(
                 inst_refs, k, n_sphs, _np.float32(tmin),
-                sph_c, sph_r, sph_m, o, d, tm,
+                sph_c, sph_r, sph_m, o, d, tm, bounce=bounce,
             )
     else:
         from spt_tpu.ops import pallas_trace
 
         vmem_refs = accel_refs[:4]
 
-        def closest_res(ps, tmax):
+        def closest_res(ps, tmax, bounce=None):
             return pallas_trace.closest_hit_tile(
                 vmem_refs, n_clusters, k, n_sphs,
                 _np.float32(0.0), sph_c, sph_r, sph_m,
                 ps.origin, ps.direction, tmax, with_uv=with_uv,
             )
 
-        def any_res(o, d, tmin, tm):
+        def any_res(o, d, tmin, tm, bounce=None):
             return pallas_trace.any_hit_tile(
                 vmem_refs, n_clusters, k, n_sphs,
                 _np.float32(tmin), sph_c, sph_r, sph_m, o, d, tm,
             )
 
-    def closest(scene, ps):
+    def closest(scene, ps, bounce=None):
         # dead lanes trace with tmax = 0 (see transport.trace_bounce)
         tmax = jnp.where(ps.alive, _np.float32(1e30), _np.float32(0.0))
-        res = closest_res(ps, tmax)
+        res = closest_res(ps, tmax, bounce)
         t, nx, ny, nz, mat, kind = res[:6]
         t = jnp.where(kind != isect.KIND_MISS, t, jnp.float32(jnp.inf))
         return isect.HitV(t=t, normal=Vec3(nx, ny, nz), mat_id=mat, kind=kind,
                           uvx=res[6] if with_uv else None,
                           uvy=res[7] if with_uv else None)
 
-    def occluded(scene, o, d, tmin=1e-4, tmax=None):
+    def occluded(scene, o, d, tmin=1e-4, tmax=None, bounce=None):
         tm = _np.float32(1e30) if tmax is None else tmax
         tm = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), o.x.shape)
         tm = jnp.minimum(tm, _np.float32(1e30))
-        blocked = any_res(o, d, tmin, tm)
+        blocked = any_res(o, d, tmin, tm, bounce)
         return blocked != 0
 
     return closest, occluded
@@ -731,14 +745,14 @@ def _apply_env_term(env_fn, ps, new_ps, missed):
 
 
 def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
-            env_dims,
+            env_dims, has_ns: bool,
             n_lights: int, n_tris: int, n_sphs: int, n_mats: int,
             # scalar params
             params_ref,
             # path state (blocked)
             ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
             # scene tables (full)
-            tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
+            tri_v0, tri_e1, tri_e2, tri_mat, tri_nsb, sph_c, sph_r, sph_m,
             m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans, m_texid,
             l_kind, l_vec, l_color, l_int, l_att,
             e_v0, e_e1, e_e2, e_le, e_area,
@@ -779,6 +793,7 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
         ) if has_emitters else None
         scene = DeviceScene(
             tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=_Col(tri_mat),
+            tri_ns=tri_nsb if has_ns else None,
             sph_center=sph_c, sph_radius=_Col(sph_r), sph_mat=_Col(sph_m),
             materials=DeviceMaterials(
                 base_color=m_base, metallic=_Col(m_metal),
@@ -795,11 +810,11 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
             attenuation=l_att,
         )
 
-        hit = closest_impl(scene, ps)
+        hit = closest_impl(scene, ps, bounce=bounce)
         new_ps, missed = transport.shade_core(
             cfg, scene, lights, ps, hit, bounce, is_last,
             gather_materials=_gather_materials_select,
-            occluded_fn=occluded_impl,
+            occluded_fn=functools.partial(occluded_impl, bounce=bounce),
             texture_fn=texture_fn,
         )
         if env_fn is not None:
@@ -867,10 +882,13 @@ def _accel_inputs(scene: DeviceScene):
     stream_dummy = jnp.zeros((1, 1, 128), jnp.float32)
     inst_dummy = jnp.zeros((1, 16), jnp.float32)
 
+    ns_dummy = jnp.zeros((1, 9), jnp.float32)
     if mode is not None:
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
-        tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32)]
+        # accel modes read shading normals from tri_pack cols 19-27, not
+        # the flat table
+        tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32), ns_dummy]
         if mode == "instanced":
             # cluster slots carry the shared BLAS; super slots carry the
             # TLAS (instance world boxes + keys); inst is the transforms
@@ -878,7 +896,8 @@ def _accel_inputs(scene: DeviceScene):
             accel_tables = [ia.blas_lo, ia.blas_hi, ia.tri_pack,
                             ia.blas_okey, ia.inst_lo, ia.inst_hi,
                             ia.inst_okey, ia.inst, tex]
-            return ((mode, ia.tri_pack.shape[0], ia.cluster_size), n_tex,
+            return ((mode, ia.tri_pack.shape[0], ia.cluster_size,
+                     ia.tri_pack.shape[-1] >= 28), n_tex,
                     accel_tables, tri_tables, stream_dummy)
         if mode == "stream":
             accel_tables = [a.cluster_lo, a.cluster_hi, pack_dummy,
@@ -889,11 +908,13 @@ def _accel_inputs(scene: DeviceScene):
             accel_tables = [a.cluster_lo, a.cluster_hi, a.tri_pack,
                             a.cl_okey, z83, z83, zi, inst_dummy, tex]
             tri_stream = stream_dummy
-        return ((mode, a.num_clusters, a.cluster_size), n_tex,
+        return ((mode, a.num_clusters, a.cluster_size,
+                 a.tri_pack.shape[-1] >= 28), n_tex,
                 accel_tables, tri_tables, tri_stream)
     accel_tables = [z83, z83, pack_dummy, zi, z83, z83, zi, inst_dummy, tex]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                  col(scene.tri_mat)]
+                  col(scene.tri_mat),
+                  scene.tri_ns if scene.tri_ns is not None else ns_dummy]
     return None, n_tex, accel_tables, tri_tables, stream_dummy
 
 
@@ -1027,6 +1048,7 @@ def fused_bounce(
 
     kern = functools.partial(
         _kernel, cfg, has_emitters, accel_dims, n_tex, env_dims,
+        accel_dims is None and scene.tri_ns is not None,
         lights.count,
         scene.num_triangles, scene.num_spheres, mats.count,
     )
@@ -1058,10 +1080,10 @@ def fused_bounce(
 # --- whole-frame kernel: the depth loop in VMEM ---------------------------------
 
 def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
-                  n_tex: int, env_dims, n_sphs: int,
+                  n_tex: int, env_dims, has_ns: bool, n_sphs: int,
                   params_ref,
                   ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, rng, alive, emok,
-                  tri_v0, tri_e1, tri_e2, tri_mat, sph_c, sph_r, sph_m,
+                  tri_v0, tri_e1, tri_e2, tri_mat, tri_nsb, sph_c, sph_r, sph_m,
                   m_base, m_metal, m_rough, m_ior, m_type, m_emis, m_trans,
                   m_texid,
                   l_kind, l_vec, l_color, l_int, l_att,
@@ -1103,6 +1125,7 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     ) if has_emitters else None
     scene = DeviceScene(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2, tri_mat=_Col(tri_mat),
+        tri_ns=tri_nsb if has_ns else None,
         sph_center=sph_c, sph_radius=_Col(sph_r), sph_mat=_Col(sph_m),
         materials=DeviceMaterials(
             base_color=m_base, metallic=_Col(m_metal),
@@ -1136,12 +1159,12 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
             alive=calive != 0,
             emission_ok=cemok != 0,
         )
-        hit = closest_impl(scene, ps)
+        hit = closest_impl(scene, ps, bounce=bounce)
         new_ps, missed = transport.shade_core(
             cfg, scene, lights, ps, hit, bounce,
             bounce == cfg.max_depth - 1,
             gather_materials=_gather_materials_select,
-            occluded_fn=occluded_impl,
+            occluded_fn=functools.partial(occluded_impl, bounce=bounce),
             texture_fn=texture_fn,
         )
         if env_fn is not None:
@@ -1261,7 +1284,9 @@ def fused_frame(
     )
 
     kern = functools.partial(_frame_kernel, cfg, has_emitters, accel_dims,
-                             n_tex, env_dims, scene.num_spheres)
+                             n_tex, env_dims,
+                             accel_dims is None and scene.tri_ns is not None,
+                             scene.num_spheres)
     outs = pl.pallas_call(
         kern,
         grid=grid,

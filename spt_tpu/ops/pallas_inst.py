@@ -91,14 +91,18 @@ def _make_finish(r, mat_ov, sg):
     world space via the inverse-transpose, n_w = sign(det) * R_ofw^T n_o
     (the sign keeps mirrored instances oriented like the flattened path's
     world-space cross product; downstream normalizes,
-    transport.shade_core)."""
+    transport.shade_core).  Interpolated VERTEX normals (geom False) take
+    the pure inverse-transpose — the cross product picks up det's sign
+    from the winding, a vertex normal field does not
+    (EmbreeBackend.cpp:60-79)."""
 
-    def finish(mat, nx, ny, nz):
+    def finish(mat, nx, ny, nz, geom=None):
+        s = sg if geom is None else jnp.where(geom, sg, jnp.float32(1.0))
         return (
             jnp.where(mat_ov >= 0, mat_ov, mat),
-            sg * (r[0] * nx + r[3] * ny + r[6] * nz),
-            sg * (r[1] * nx + r[4] * ny + r[7] * nz),
-            sg * (r[2] * nx + r[5] * ny + r[8] * nz),
+            s * (r[0] * nx + r[3] * ny + r[6] * nz),
+            s * (r[1] * nx + r[4] * ny + r[7] * nz),
+            s * (r[2] * nx + r[5] * ny + r[8] * nz),
         )
 
     return finish
@@ -108,6 +112,15 @@ def _rounds_on() -> bool:
     import os
 
     return os.environ.get("SPT_INST_ROUNDS", "1") != "0"
+
+
+def _hybrid_on() -> bool:
+    """Runtime union-at-bounce-0 hybrid (SPT_INST_HYBRID=0 disables):
+    engages only when the caller threads the traced bounce scalar (the
+    fused kernels do; standalone calls default to rounds only)."""
+    import os
+
+    return os.environ.get("SPT_INST_HYBRID", "1") != "0"
 
 
 def _recheck_on() -> bool:
@@ -238,16 +251,18 @@ def _lane_finish(planes):
     material override + normal back to world via sign(det) * R_ofw^T —
     the vector-plane form of _make_finish (each lane's winner came from
     its OWN instance this round).  mat_ov/sg sit at the tuple tail so the
-    multi-mesh planes (with the mesh column at [12]) index the same."""
+    multi-mesh planes (with the mesh column at [12]) index the same.
+    Vertex normals skip the sign(det) factor — see _make_finish."""
     r, mat_ov, sg = planes[:12], planes[-2], planes[-1]
     mat_ov_i = mat_ov.astype(jnp.int32)
 
-    def finish(mat, nx, ny, nz):
+    def finish(mat, nx, ny, nz, geom=None):
+        s = sg if geom is None else jnp.where(geom, sg, jnp.float32(1.0))
         return (
             jnp.where(mat_ov_i >= 0, mat_ov_i, mat),
-            sg * (r[0] * nx + r[3] * ny + r[6] * nz),
-            sg * (r[1] * nx + r[4] * ny + r[7] * nz),
-            sg * (r[2] * nx + r[5] * ny + r[8] * nz),
+            s * (r[0] * nx + r[3] * ny + r[6] * nz),
+            s * (r[1] * nx + r[4] * ny + r[7] * nz),
+            s * (r[2] * nx + r[5] * ny + r[8] * nz),
         )
 
     return finish
@@ -336,6 +351,7 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
         open_cluster = make_cluster_opener(
             k, s, l, oo3, dd3, tmin, tmax3, with_uv,
             finish=_lane_finish(planes),
+            with_ns=tri_pack.shape[-1] >= 28,
         )
 
         if _recheck_on():
@@ -486,7 +502,7 @@ def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
 
 def inst_closest_tile(inst_refs, k, n_sph, tmin,
                       sph_c, sph_r, sph_m, o, d, tmax,
-                      with_uv: bool = False):
+                      with_uv: bool = False, bounce=None):
     """Full instanced closest-hit for one (S, L) ray tile inside a Pallas
     kernel: sphere pass + TLAS cull + per-opened-instance object-space
     cluster traversal.
@@ -502,11 +518,38 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
     index — inst_lo (I, 3), inst_hi, inst_okey (8, I, 1), inst_tab
     (I, 16)) VMEM refs.  Same value-plane contract as
     pallas_trace.closest_hit_tile; reused by the standalone kernels AND the
-    fused bounce/frame kernels (ops/pallas_bounce)."""
+    fused bounce/frame kernels (ops/pallas_bounce).
+
+    `bounce` (optional traced scalar): when given on a rounds-eligible
+    scene, bounce 0 routes through the union scheme at RUNTIME (lax.cond)
+    — the hybrid: camera tiles cross 1-2 instances coherently, so the
+    tile-union ~equals the per-lane need and the union scheme skips the
+    rounds bookkeeping (round-4 measurement: rounds cost bounce0 ~2.5
+    ms/frame on bigmesh vs union, docs/DESIGN.md); incoherent bounces
+    >= 1 keep rounds.  SPT_INST_HYBRID=0 disables."""
     if _rounds_ok(inst_refs):
-        return inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
-                                        sph_c, sph_r, sph_m, o, d, tmax,
-                                        with_uv=with_uv)
+        def rounds(_):
+            return inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
+                                            sph_c, sph_r, sph_m, o, d,
+                                            tmax, with_uv=with_uv)
+
+        if bounce is not None and _hybrid_on():
+            def union(_):
+                return inst_closest_tile_union(inst_refs, k, n_sph, tmin,
+                                               sph_c, sph_r, sph_m, o, d,
+                                               tmax, with_uv=with_uv)
+
+            return jax.lax.cond(jnp.asarray(bounce) == 0, union, rounds, 0)
+        return rounds(0)
+    return inst_closest_tile_union(inst_refs, k, n_sph, tmin,
+                                   sph_c, sph_r, sph_m, o, d, tmax,
+                                   with_uv=with_uv)
+
+
+def inst_closest_tile_union(inst_refs, k, n_sph, tmin,
+                            sph_c, sph_r, sph_m, o, d, tmax,
+                            with_uv: bool = False):
+    """The per-instance union scheme (see inst_closest_tile)."""
     (blas_lo, blas_hi, tri_pack, blas_okey,
      inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
     s, l = o.x.shape
@@ -553,6 +596,7 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
             open_cluster = make_cluster_opener(
                 k, s, l, oo3, dd3, tmin, tmax3, with_uv,
                 finish=_make_finish(r, mat_ov, sg),
+                with_ns=tri_pack.shape[-1] >= 28,
             )
 
             def open_cl(_, kc):
@@ -573,16 +617,39 @@ def inst_closest_tile(inst_refs, k, n_sph, tmin,
 
 
 def inst_any_tile(inst_refs, k, n_sph, tmin,
-                  sph_c, sph_r, sph_m, o, d, tmax):
+                  sph_c, sph_r, sph_m, o, d, tmax, bounce=None):
     """Instanced occlusion for one (S, L) ray tile; returns (S, L) int32
     blocked flags.  Same empty-interval-reports-blocked contract as
     pallas_trace.any_hit_tile, same early exits as pallas_stream's
     streaming variant (whole-subtile skip, saturation exit, settled lanes
     leaving the box tests).  Multi-instance scenes route to the per-lane
-    rounds variant (see inst_closest_tile)."""
+    rounds variant (see inst_closest_tile).
+
+    `bounce` (optional traced scalar): bounce-0 shadow rays go to the
+    union scheme at runtime — they all point at ONE light from 1-2
+    coherently-crossed instances, so the global front-to-back instance
+    order the union scheme exploits matches every lane and rounds
+    bookkeeping is pure overhead (the hybrid of inst_closest_tile,
+    applied to the ~8 ms/frame shadow share DESIGN.md measured)."""
     if _rounds_ok(inst_refs):
-        return inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
-                                    sph_c, sph_r, sph_m, o, d, tmax)
+        def rounds(_):
+            return inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
+                                        sph_c, sph_r, sph_m, o, d, tmax)
+
+        if bounce is not None and _hybrid_on():
+            def union(_):
+                return inst_any_tile_union(inst_refs, k, n_sph, tmin,
+                                           sph_c, sph_r, sph_m, o, d, tmax)
+
+            return jax.lax.cond(jnp.asarray(bounce) == 0, union, rounds, 0)
+        return rounds(0)
+    return inst_any_tile_union(inst_refs, k, n_sph, tmin,
+                               sph_c, sph_r, sph_m, o, d, tmax)
+
+
+def inst_any_tile_union(inst_refs, k, n_sph, tmin,
+                        sph_c, sph_r, sph_m, o, d, tmax):
+    """The per-instance union occlusion scheme (see inst_any_tile)."""
     (blas_lo, blas_hi, tri_pack, blas_okey,
      inst_lo, inst_hi, inst_okey, inst_tab) = inst_refs
     s, l = o.x.shape

@@ -89,7 +89,8 @@ def _recheck_on() -> bool:
 
 def stream_closest_tile(stream_refs, k, n_sph, tmin,
                         sph_c, sph_r, sph_m, o, d, tmax,
-                        scratch, sem, with_uv: bool = False):
+                        scratch, sem, with_uv: bool = False,
+                        with_ns: bool = False):
     """Full streaming closest-hit for one (S, L) ray tile inside a Pallas
     kernel: sphere pass + supercluster cull + per-opened-super DMA +
     cluster-level min-extraction loop.
@@ -119,8 +120,11 @@ def stream_closest_tile(stream_refs, k, n_sph, tmin,
     sflags = _box_flags(sup_lo, sup_hi, o3, inv3, tmin, bound0)
     scount, skey0 = _visit_keys(sflags, sup_okey, oct_)
 
+    # with_ns cannot be derived from the scratch block (always 128 wide);
+    # the caller reads it off the accel's tri_pack width (bvh.PACK_NS)
     open_cluster = make_cluster_opener(k, s, l, o3, d3, tmin,
-                                       tmax.reshape(1, s, l), with_uv)
+                                       tmax.reshape(1, s, l), with_uv,
+                                       with_ns=with_ns)
 
     def open_super(j, key_and_carry):
         skey, carry = key_and_carry[0], key_and_carry[1:]
@@ -253,7 +257,7 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
                         traced, blocked0)
 
 
-def _stream_closest_kernel(k, n_sph, tmin, with_uv,
+def _stream_closest_kernel(k, n_sph, tmin, with_uv, with_ns,
                            ox, oy, oz, dx, dy, dz, tmaxr,
                            cl_lo, cl_hi, cl_okey,
                            sup_lo, sup_hi, sup_okey,
@@ -266,7 +270,7 @@ def _stream_closest_kernel(k, n_sph, tmin, with_uv,
         (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm),
         k, n_sph, tmin, sph_c, sph_r, sph_m,
         Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
-        scratch, sem, with_uv=with_uv,
+        scratch, sem, with_uv=with_uv, with_ns=with_ns,
     )
     for r, v in zip(outs, res):
         r[:] = v
@@ -343,7 +347,8 @@ def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0,
                   + ([f32, f32] if with_uv else []))
     outs, n = _stream_call(
         _stream_closest_kernel, accel, scene, o, d, tmin, tmax,
-        out_shapes=out_shapes, extra_statics=(with_uv,),
+        out_shapes=out_shapes,
+        extra_statics=(with_uv, accel.tri_pack.shape[-1] >= 28),
     )
     outs = [x.reshape(n) for x in outs]
     t, nx, ny, nz, mat, kind = outs[:6]

@@ -230,16 +230,17 @@ def _tri_block_test(blk, k, o3, d3, tmin, tmax3):
             u.reshape(k, s, l), v.reshape(k, s, l))
 
 
-def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
+def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_bary: bool):
     """Sub-blocked closest-distance pass over one packed cluster.
 
     Returns (tm, wi[, pu, pv]): per-lane (S, L) minimum hit distance (_BIG
     when no row hits), the winning packed row index (-1 none; ties resolve
     to the highest row, matching the old whole-block argmax), and the
-    winner's barycentrics when `with_uv`.  Each sub-block's ~16
-    intermediates stay at vreg scale instead of spilling a (K, S, L) chain
-    through VMEM (see _sub_k), and all math runs on flat (KB, S*L) 2-D
-    shapes (see _flat2)."""
+    winner's barycentrics when `with_bary` (texture uv interpolation
+    and/or shading-normal interpolation both consume them).  Each
+    sub-block's ~16 intermediates stay at vreg scale instead of spilling a
+    (K, S, L) chain through VMEM (see _sub_k), and all math runs on flat
+    (KB, S*L) 2-D shapes (see _flat2)."""
     kb = _sub_k(k)
     sl = s * l
     o2, d2 = _flat2(o3), _flat2(d3)
@@ -248,7 +249,7 @@ def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
     tm = jnp.full((1, sl), _BIG)
     wi = jnp.full((1, sl), -1, jnp.int32)
     pu = pv = None
-    if with_uv:
+    if with_bary:
         pu = jnp.zeros((1, sl), jnp.float32)
         pv = jnp.zeros((1, sl), jnp.float32)
     for k0 in range(0, k, kb):
@@ -266,7 +267,7 @@ def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
         wi_s = jnp.max(jnp.where(eq, iota_kb + k0, -1), axis=0,
                        keepdims=True)
         improved = tm_s < tm
-        if with_uv:
+        if with_bary:
             uniq = eq & ((iota_kb + k0) == wi_s)
             pu = jnp.where(improved,
                            jnp.sum(jnp.where(uniq, bu, 0.0), 0,
@@ -277,7 +278,7 @@ def tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv: bool):
         wi = jnp.where(improved, wi_s, wi)
         tm = jnp.where(improved, tm_s, tm)
     out = (tm.reshape(s, l), wi.reshape(s, l))
-    if with_uv:
+    if with_bary:
         out = out + (pu.reshape(s, l), pv.reshape(s, l))
     return out
 
@@ -331,23 +332,33 @@ def _sphere_pass_closest(n_sph, sph_c, sph_r, sph_m, o, d, tmin, tmax):
 
 
 def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool,
-                        finish=None):
+                        finish=None, with_ns: bool = False):
     """Build `open_cluster(blk, carry) -> carry`: Moller-Trumbore one packed
-    (K, 24) cluster block against the subtile and fold any winners into the
-    closest-hit carry (t, mat, kind, ax, ay, az[, uvx, uvy]).
+    (K, 24|28) cluster block against the subtile and fold any winners into
+    the closest-hit carry (t, mat, kind, ax, ay, az[, uvx, uvy]).
 
     Shared by the VMEM tracer (blocks read straight from the resident
     tri_pack), the HBM-streaming tracer (blocks DMA'd per supercluster,
     ops/pallas_stream), and the instanced tracer (ops/pallas_inst), whose
-    `finish(mat, nx, ny, nz)` hook remaps the winning material (instance
-    override) and transforms the object-space normal to world space before
-    it is folded into the carry."""
+    `finish(mat, nx, ny, nz, geom)` hook remaps the winning material
+    (instance override) and transforms the object-space normal to world
+    space before it is folded into the carry — `geom` flags lanes whose
+    normal is the winding-derived cross product (which picks up the
+    instance's sign(det)) rather than an interpolated vertex normal
+    (which must NOT: vertex normals transform by the pure
+    inverse-transpose, EmbreeBackend.cpp:60-79).
+
+    `with_ns`: the block carries packed shading normals (cols 19-27,
+    bvh.PACK_NS); the winner's normal becomes n0 + u*dn1 + v*dn2, with a
+    per-lane fallback to the geometric normal where the mesh packed
+    zeros (no NORMAL attribute)."""
     kb = _sub_k(k)
     iota_kb = jax.lax.broadcasted_iota(jnp.int32, (kb, s * l), 0)
+    with_bary = with_uv or with_ns
 
     def open_cluster(blk, carry):
         best_t = carry[0]
-        res = tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_uv)
+        res = tri_block_min(blk, k, s, l, o3, d3, tmin, tmax3, with_bary)
         tm, wi = res[0], res[1]
         win = tm < best_t
 
@@ -370,8 +381,20 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool,
 
             pmat = pick(12).astype(jnp.int32)
             pnx, pny, pnz = pick(9), pick(10), pick(11)
+            geom = None
+            if with_ns:
+                pu, pv = res[2], res[3]
+                snx = pick(19) + pu * pick(22) + pv * pick(25)
+                sny = pick(20) + pu * pick(23) + pv * pick(26)
+                snz = pick(21) + pu * pick(24) + pv * pick(27)
+                # zero-packed rows (mesh without NORMALs) and degenerate
+                # interpolations keep the geometric normal
+                geom = snx * snx + sny * sny + snz * snz <= 1e-12
+                pnx = jnp.where(geom, pnx, snx)
+                pny = jnp.where(geom, pny, sny)
+                pnz = jnp.where(geom, pnz, snz)
             if finish is not None:
-                pmat, pnx, pny, pnz = finish(pmat, pnx, pny, pnz)
+                pmat, pnx, pny, pnz = finish(pmat, pnx, pny, pnz, geom)
             best_mat = jnp.where(win, pmat, best_mat)
             ax = jnp.where(win, pnx, ax)
             ay = jnp.where(win, pny, ay)
@@ -429,6 +452,8 @@ def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
     kernels (ops/pallas_bounce) so mesh scenes keep path state in VMEM."""
     cl_lo, cl_hi, tri_pack, cl_okey = accel_refs
     s, l = o.x.shape
+    # the static pack width carries the shading-normal flag (bvh.PACK_NS)
+    with_ns = tri_pack.shape[-1] >= 28
     oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
             + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
             + (jnp.sum(d.z) < 0).astype(jnp.int32))
@@ -449,7 +474,8 @@ def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
     count, key0 = _visit_keys(flags, cl_okey, oct_)
 
     open_cluster = make_cluster_opener(k, s, l, o3, d3, tmin,
-                                       tmax.reshape(1, s, l), with_uv)
+                                       tmax.reshape(1, s, l), with_uv,
+                                       with_ns=with_ns)
 
     def open_body(j, key_and_carry):
         key, carry = key_and_carry[0], key_and_carry[1:]

@@ -96,6 +96,78 @@ def _sharded_step(
     return new_state, global_stats
 
 
+def _sharded_step_k(
+    cfg: RenderConfig,
+    scene: DeviceScene,
+    env: Environment,
+    lights: DeviceLights,
+    camera: CameraRays,
+    rstate: state_mod.RenderState,
+    k,
+):
+    """Per-shard body for the dynamic-k frame chain: `k` progressive
+    frames in ONE program per chip (the multi-chip twin of
+    renderer._frame_step_k).  The chain length is a TRACED int32 driving
+    a fori_loop, so one executable serves every chain length — k-frame
+    batches amortize the ~2-4 ms/dispatch relay overhead on a mesh
+    exactly as they do single-chip, instead of paying it per frame.
+    Telemetry is summed across frames INSIDE the loop and psum'd across
+    chips once at the end (k-1 fewer collectives than per-frame
+    stepping; same totals)."""
+    n_shards = jax.lax.psum(1, AXIS)
+    shard_rows = cfg.height // n_shards
+    row0 = jax.lax.axis_index(AXIS) * shard_rows
+
+    import jax.numpy as jnp
+
+    def body(_, carry):
+        st, rays, bounces = carry
+        img, stats = render_wavefront(
+            cfg, scene, env, lights, camera,
+            frame_index=st.frame_index, row0=row0, rows=shard_rows,
+        )
+        st2 = state_mod.RenderState(
+            accum=st.accum + img.reshape(-1, 3) * float(cfg.spp),
+            sample_count=st.sample_count + float(cfg.spp),
+            frame_index=st.frame_index + 1,
+        )
+        return (st2, rays + stats.rays_per_bounce,
+                jnp.maximum(bounces, stats.bounces_run))
+
+    st, rays, bounces = jax.lax.fori_loop(
+        0, k, body,
+        (rstate, jnp.zeros((cfg.max_depth,), jnp.int32), jnp.int32(0)),
+    )
+    global_stats = WavefrontStats(
+        rays_per_bounce=jax.lax.psum(rays, AXIS),
+        bounces_run=jax.lax.pmax(bounces, AXIS),
+    )
+    return st, global_stats
+
+
+def sharded_frame_step_dyn(cfg: RenderConfig, mesh: Mesh):
+    """Build the jitted multi-chip dynamic-k chain step:
+    step(scene, env, lights, camera, rstate, k) -> (rstate, stats).
+    One executable per config serves every chain length (k traced),
+    mirroring renderer._jitted_step_dyn; the Renderer routes both
+    render_frame (k=1) and render_frames through it on a mesh."""
+    n = mesh.devices.size
+    assert cfg.height % n == 0, (
+        f"image height {cfg.height} must divide the mesh size {n}"
+    )
+    state_specs = state_mod.RenderState(
+        accum=P(AXIS, None), sample_count=P(), frame_index=P()
+    )
+    fn = shard_map(
+        functools.partial(_sharded_step_k, cfg),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), state_specs, P()),
+        out_specs=(state_specs, P()),
+        check_rep=False,
+    )
+    return jax.jit(fn, donate_argnums=(4,))
+
+
 def sharded_frame_step(cfg: RenderConfig, mesh: Mesh):
     """Build the jitted multi-chip frame step:
     step(scene, env, lights, camera, rstate) -> (rstate, stats)."""

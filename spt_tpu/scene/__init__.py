@@ -23,6 +23,7 @@ from spt_tpu.scene.builder import (
     build_cornell_box_scene,
     build_chair_grid_scene,
     build_hdr_glass_scene,
+    build_unique_grid_scene,
 )
 from spt_tpu.scene.flatten import DeviceScene, flatten_scene
 
@@ -42,6 +43,7 @@ __all__ = [
     "build_cornell_box_scene",
     "build_chair_grid_scene",
     "build_hdr_glass_scene",
+    "build_unique_grid_scene",
     "DeviceScene",
     "flatten_scene",
 ]

@@ -162,3 +162,56 @@ def build_chair_grid_scene(nx: int = 4, nz: int = 4, path: str = None):
     center[2] += (nz - 1) * dz / 2
     radius = float(np.linalg.norm(hi - lo)) * max(nx, nz)
     return desc, center, radius
+
+
+def build_unique_grid_scene(nx: int = 4, nz: int = 4, path: str = None):
+    """The chair grid with every copy baked to a UNIQUE mesh (~98k unique
+    triangles at 4x4): positions pre-transformed per cell, one instance per
+    mesh.  No shared BLAS exists, so the instanced tier declines and the
+    scene exercises the HBM-streaming tier (ops/pallas_stream) — the tier
+    that inherits the reference's any-mesh promise (EmbreeBackend.cpp:181,
+    one rtcCommitScene whatever the size).  BASELINE stream config; shared
+    by bench.py --scene stream.  Returns (desc, center, radius)."""
+    from spt_tpu.io.gltf import bounding_box, load_gltf
+    from spt_tpu.scene.desc import MeshData, NO_MATERIAL
+
+    if path is None:
+        path = ("/root/reference/assets/models/rattan_dining_chair/"
+                "scene.gltf")
+    src = load_gltf(path)
+    lo, hi = bounding_box(src)
+    dx, dz = (hi - lo)[0] * 1.3, (hi - lo)[2] * 1.3
+    desc = SceneDesc()
+    for m in src.materials:
+        desc.add_material(m)
+    for gx in range(nx):
+        for gz in range(nz):
+            t = np.eye(4, dtype=np.float32)
+            t[0, 3], t[2, 3] = gx * dx, gz * dz
+            for inst in src.instances:
+                mesh = src.meshes[inst.mesh_id]
+                xf = t @ inst.world_from_object
+                pos_h = np.concatenate(
+                    [mesh.positions,
+                     np.ones((mesh.vertex_count, 1), np.float32)], axis=1)
+                world = (pos_h @ xf.T)[:, :3].astype(np.float32)
+                nrm = None
+                if mesh.normals is not None:
+                    ofw = np.linalg.inv(np.asarray(xf, np.float64))[:3, :3]
+                    nrm = mesh.normals.astype(np.float64) @ ofw
+                    nrm /= np.maximum(
+                        np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+                    nrm = nrm.astype(np.float32)
+                mid = desc.add_mesh(MeshData(
+                    positions=world, indices=mesh.indices, normals=nrm,
+                    texcoords=mesh.texcoords,
+                    material_id=mesh.material_id))
+                desc.add_instance(
+                    mid, material_id=(inst.material_id
+                                      if inst.material_id != NO_MATERIAL
+                                      else NO_MATERIAL))
+    center = 0.5 * (lo + hi)
+    center[0] += (nx - 1) * dx / 2
+    center[2] += (nz - 1) * dz / 2
+    radius = float(np.linalg.norm(hi - lo)) * max(nx, nz)
+    return desc, center, radius

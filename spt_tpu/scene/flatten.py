@@ -84,6 +84,13 @@ class DeviceScene(NamedTuple):
     # The flat world-space arrays above stay authoritative for the XLA
     # fallback and the CPU oracle; this is the fast path's view.
     inst: Optional["InstAccel"] = None
+    # Per-triangle WORLD-space shading normals [n0 | n1-n0 | n2-n0],
+    # (T, 9) float32 — vertex NORMALs transformed by the instance
+    # inverse-transpose (EmbreeBackend.cpp:60-79's fidelity, which the
+    # reference's backends then drop by shading with Ng); interpolated at
+    # the hit by every intersector.  None when no mesh carries normals;
+    # meshes without normals contribute zero rows (geometric fallback).
+    tri_ns: Optional[jnp.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -114,7 +121,8 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
     """Bake instance transforms and build the padded SoA arrays (plus the
     cluster accel for large meshes — the rtcCommitScene/optixAccelBuild
     analog, EmbreeBackend.cpp:181 / OptixBackend.cpp:916-1180)."""
-    v0s, v1s, v2s, tri_mats, tri_uvs = [], [], [], [], []
+    v0s, v1s, v2s, tri_mats, tri_uvs, tri_nss = [], [], [], [], [], []
+    has_ns = False
     inst_records = []  # (mesh_id, world_from_object, mat_override) per VALID instance
     for inst in desc.instances:
         if inst.mesh_id >= len(desc.meshes):
@@ -146,6 +154,20 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
             ).astype(np.float32))
         else:
             tri_uvs.append(np.zeros((idx.shape[0], 6), np.float32))
+        if mesh.normals is not None and len(mesh.normals) == mesh.vertex_count:
+            # normals -> world by the inverse-transpose
+            # (EmbreeBackend.cpp:70-79); row-vector form n_w = n_o @ R_ofw
+            ofw = np.linalg.inv(np.asarray(xf, np.float64))[:3, :3]
+            nw = (mesh.normals.astype(np.float64) @ ofw)
+            nw /= np.maximum(np.linalg.norm(nw, axis=1, keepdims=True),
+                             1e-20)
+            nw = nw.astype(np.float32)
+            n0 = nw[idx[:, 0]]
+            tri_nss.append(np.concatenate(
+                [n0, nw[idx[:, 1]] - n0, nw[idx[:, 2]] - n0], axis=1))
+            has_ns = True
+        else:
+            tri_nss.append(np.zeros((idx.shape[0], 9), np.float32))
 
     if v0s:
         v0 = np.concatenate(v0s)
@@ -153,12 +175,29 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         v2 = np.concatenate(v2s)
         tri_mat = np.concatenate(tri_mats)
         tri_uv = np.concatenate(tri_uvs)
+        tri_ns = np.concatenate(tri_nss)
     else:
         v0 = np.zeros((0, 3), np.float32)
         v1 = np.zeros((0, 3), np.float32)
         v2 = np.zeros((0, 3), np.float32)
         tri_mat = np.zeros((0,), np.int32)
         tri_uv = np.zeros((0, 6), np.float32)
+        tri_ns = np.zeros((0, 9), np.float32)
+
+    if has_ns and v0.shape[0]:
+        # Drop the table when interpolation is everywhere the geometric
+        # normal anyway (flat meshes like the ground plane, whose vertex
+        # normals are constant and aligned with the winding): those scenes
+        # keep the exact normal-less programs — the default/cornell hot
+        # paths pay nothing for this feature.
+        ng = np.cross(v1 - v0, v2 - v0)
+        ngl = np.linalg.norm(ng, axis=1, keepdims=True)
+        real = ngl[:, 0] > 1e-20
+        ngn = ng / np.maximum(ngl, 1e-20)
+        varying = np.abs(tri_ns[:, 3:9]).max(axis=1) > 1e-6
+        nonzero = np.abs(tri_ns[:, 0:3]).max(axis=1) > 1e-12
+        off_geom = np.abs(tri_ns[:, 0:3] - ngn).max(axis=1) > 1e-3
+        has_ns = bool((real & nonzero & (varying | off_geom)).any())
 
     t_pad = _pad_to(v0.shape[0], pad_multiple)
     pad_n = t_pad - v0.shape[0]
@@ -169,6 +208,7 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         v2 = np.concatenate([v2, zero])
         tri_mat = np.concatenate([tri_mat, np.zeros(pad_n, np.int32)])
         tri_uv = np.concatenate([tri_uv, np.zeros((pad_n, 6), np.float32)])
+        tri_ns = np.concatenate([tri_ns, np.zeros((pad_n, 9), np.float32)])
 
     if desc.spheres:
         centers = np.stack([s.center for s in desc.spheres]).astype(np.float32)
@@ -215,7 +255,8 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
 
         cluster_size = int(os.environ.get("SPT_CLUSTER_SIZE", cluster_size))
         accel = build_mesh_accel(v0, v1 - v0, v2 - v0, tri_mat,
-                                 cluster_size=cluster_size, uv=tri_uv)
+                                 cluster_size=cluster_size, uv=tri_uv,
+                                 ns=tri_ns if has_ns else None)
     inst_accel = _maybe_build_inst(desc, inst_records, v0.shape[0],
                                    cluster_size)
 
@@ -236,6 +277,7 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         tri_uv=jnp.asarray(tri_uv) if textures is not None else None,
         textures=textures,
         inst=inst_accel,
+        tri_ns=jnp.asarray(tri_ns) if has_ns else None,
     )
 
 
@@ -281,7 +323,30 @@ def _maybe_build_inst(desc: SceneDesc, inst_records, total_tris: int,
             ).astype(np.float32)
         else:
             uv = None
-        meshes.append((mv0, e1, e2, mat, uv))
+        if mesh.normals is not None and len(mesh.normals) == mesh.vertex_count:
+            # OBJECT-space shading normals; the traversal's finish hook
+            # applies the per-instance inverse-transpose (no sign(det) —
+            # pallas_inst._make_finish)
+            nrm = mesh.normals.astype(np.float64)
+            nrm = nrm / np.maximum(
+                np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+            nrm = nrm.astype(np.float32)
+            n0 = nrm[idx[:, 0]]
+            ns = np.concatenate(
+                [n0, nrm[idx[:, 1]] - n0, nrm[idx[:, 2]] - n0], axis=1)
+            # same triviality drop as the flat path: a mesh whose vertex
+            # normals are everywhere the winding normal packs flat
+            ng = np.cross(e1, e2)
+            ngl = np.linalg.norm(ng, axis=1, keepdims=True)
+            real = ngl[:, 0] > 1e-20
+            ngn = ng / np.maximum(ngl, 1e-20)
+            varying = np.abs(ns[:, 3:9]).max(axis=1) > 1e-6
+            off = np.abs(ns[:, 0:3] - ngn).max(axis=1) > 1e-3
+            if not (real & (varying | off)).any():
+                ns = None
+        else:
+            ns = None
+        meshes.append((mv0, e1, e2, mat, uv, ns))
 
     instances = [(local[mid], xf, mat_ov)
                  for mid, xf, mat_ov in inst_records]

@@ -91,6 +91,9 @@ class NpScene:
         self.tri_e1 = np.asarray(dev_scene.tri_e1, F32)
         self.tri_e2 = np.asarray(dev_scene.tri_e2, F32)
         self.tri_mat = np.asarray(dev_scene.tri_mat)
+        self.tri_ns = (np.asarray(dev_scene.tri_ns, F32)
+                       if getattr(dev_scene, "tri_ns", None) is not None
+                       else None)
         self.sph_center = np.asarray(dev_scene.sph_center, F32)
         self.sph_radius = np.asarray(dev_scene.sph_radius, F32)
         self.sph_mat = np.asarray(dev_scene.sph_mat)
@@ -101,6 +104,7 @@ class NpScene:
         self.ior = np.asarray(m.ior, F32)
         self.mat_type = np.asarray(m.mat_type)
         self.emission = np.asarray(m.emission, F32)
+        self.transparency = np.asarray(m.transparency, F32)
         if dev_scene.emitters is not None:
             e = dev_scene.emitters
             self.em_v0 = np.asarray(e.v0, F32)
@@ -150,6 +154,14 @@ def intersect(sc: NpScene, o, d, tmin=0.0, tmax=np.inf):
 
     if best_kind == 1:
         ng = np.cross(sc.tri_e1[best_i], sc.tri_e2[best_i]).astype(F32)
+        if sc.tri_ns is not None:
+            # interpolated shading normal; zero rows keep geometric
+            # (mirrors pallas_trace.make_cluster_opener's with_ns select)
+            rn = sc.tri_ns[best_i]
+            sn = (rn[0:3] + u[best_i] * rn[3:6]
+                  + v[best_i] * rn[6:9]).astype(F32)
+            if float(sn @ sn) > 1e-12:
+                ng = sn
         return best_t, ng, int(sc.tri_mat[best_i]), 1
     if best_kind == 2:
         p = (o + F32(best_t) * d).astype(F32)
@@ -424,6 +436,14 @@ def trace_path(cfg, sc: NpScene, lights, camera, pixel: int, frame: int, sample:
                 nd = normalize(reflect(d, n))
             else:
                 nd = refr
+            if getattr(cfg, "cpu_transparency", False):
+                # quirk 7 (PathTracer.cpp:177-209): the CPU's ior-derived
+                # transparency weighting, mirrored from transport.shade_core
+                trans = sc.transparency[mid]
+                if xi < fr:
+                    throughput = throughput * F32(1.0 - trans)
+                elif can:
+                    throughput = throughput * F32(trans)
             o = (p + F32(cfg.ray_offset_dir) * nd).astype(F32)
             d = nd
             emission_ok = True

@@ -467,6 +467,43 @@ class TestInstFused:
         assert (np.abs(w - g).max(-1) > 1e-3).mean() < 0.01
 
 
+class TestInstHybrid:
+    def test_hybrid_bounce0_matches_rounds_only(self, monkeypatch):
+        """The runtime union-at-bounce-0 hybrid (round 5) picks a
+        different traversal ORDER, not different arithmetic: a fused
+        render with the hybrid on must equal one with it off."""
+        from spt_tpu.camera import Camera
+        from spt_tpu.config import RenderConfig
+        from spt_tpu.env import make_procedural_environment
+        from spt_tpu.integrators import transport, wavefront as wf
+        from spt_tpu.lights import LightManager
+
+        dev = _build_single_mesh()
+        assert pb._accel_mode(dev) == "instanced"
+        cfg = RenderConfig(width=32, height=32, spp=1, max_depth=3)
+        lm = LightManager()
+        lm.add_directional_light((0.2, -0.7, -0.4), (1.0, 1.0, 1.0), 2.0)
+        lights = lm.device()
+        env = make_procedural_environment()
+        cam = Camera(position=(0.0, 0.5, 7.0), target=(0.0, 0.0, 0.0),
+                     fov_degrees=55.0, aspect_ratio=1.0).rays()
+
+        def render():
+            ps = transport.gen_primary(cfg, cam, 0)
+            img, _ = wf._wavefront_masked(
+                cfg, dev, env, lights, ps, jnp.zeros((3,), jnp.int32),
+                fused=True)
+            return np.asarray(img)
+
+        got = render()
+        monkeypatch.setenv("SPT_INST_HYBRID", "0")
+        want = render()
+        # same arithmetic either way up to float reordering of the
+        # closest-hit carry folds
+        assert np.abs(got - want).max() < 5e-3
+        assert (np.abs(got - want).max(-1) > 1e-3).mean() < 0.01
+
+
 class TestInstScenes:
     @pytest.mark.skipif(
         not __import__("os").path.exists(

@@ -143,3 +143,45 @@ class TestShardedRenderer:
         assert r.mesh is None
         r.render_frame(check_camera=False)
         assert np.isfinite(r.image()).all()
+
+
+class TestShardedDynChain:
+    """Round 5: the mesh step is the dynamic-k chain
+    (parallel.sharded_frame_step_dyn) — render_frames on a device mesh is
+    ONE dispatch, equal to per-frame stepping."""
+
+    def test_chain_equals_per_frame_stepping(self):
+        from spt_tpu.camera import default_camera
+        from spt_tpu.engine.renderer import Renderer
+        from spt_tpu.scene import build_default_scene
+
+        cfg = CFG.replace(width=32, height=32)
+        r_chain = Renderer(build_default_scene(), cfg,
+                           camera=default_camera(cfg.width, cfg.height))
+        assert r_chain.mesh is not None
+        r_chain.render_frames(3)
+        assert r_chain.accumulated_samples == 3 * cfg.spp
+        assert int(r_chain.last_stats.rays_per_bounce[0]) == 3 * cfg.num_pixels
+
+        r_step = Renderer(build_default_scene(), cfg,
+                          camera=default_camera(cfg.width, cfg.height))
+        for _ in range(3):
+            r_step.render_frame(check_camera=False)
+        np.testing.assert_allclose(r_chain.image(), r_step.image(),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_chain_matches_single_chip_chain(self):
+        from spt_tpu.camera import default_camera
+        from spt_tpu.engine.renderer import Renderer
+        from spt_tpu.scene import build_default_scene
+
+        cfg = CFG.replace(width=32, height=32)
+        r8 = Renderer(build_default_scene(), cfg,
+                      camera=default_camera(cfg.width, cfg.height))
+        assert r8.mesh is not None
+        r8.render_frames(2)
+        r1 = Renderer(build_default_scene(), cfg, multi_device=False,
+                      camera=default_camera(cfg.width, cfg.height))
+        r1.render_frames(2)
+        np.testing.assert_allclose(r8.image(), r1.image(),
+                                   rtol=1e-3, atol=2e-3)

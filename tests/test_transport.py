@@ -400,6 +400,27 @@ class TestQuirkToggles:
         # glass cube pixels get direct light -> images differ
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
+    def test_cpu_transparency_quirk_matches_oracle(self, setup):
+        """Quirk 7 (PathTracer.cpp:177-209): reflection x (1-transparency),
+        refraction x transparency, TIR x 1.  The toggle consumes the
+        carried DeviceMaterials.transparency and is oracle-gated like the
+        other quirk toggles; glass pixels must dim vs the default delta
+        BSDF (the CPU model loses energy by construction)."""
+        scene, env, lights, cam = setup
+        cfg = CFG.replace(cpu_transparency=True)
+        img = np.asarray(render_megakernel(cfg, scene, env, lights,
+                                           cam.rays(), 0))
+        want = ref.render_image(cfg, ref.NpScene(scene),
+                                ref.lights_from_device(lights), cam, frame=0)
+        err = _rmse(img, want)
+        scale = float(np.sqrt(np.mean(want**2))) + 1e-9
+        assert err / scale < 0.01, f"relative RMSE {err/scale:.4f}"
+        base = np.asarray(render_megakernel(CFG, scene, env, lights,
+                                            cam.rays(), 0))
+        assert not np.allclose(img, base)
+        # energy is only ever removed on dielectric branches
+        assert img.sum() < base.sum()
+
     def test_no_shadow_rays_brighter(self):
         # ground plane + blocking sphere: the floor under the sphere is
         # shadowed, so disabling occlusion must brighten it.
@@ -500,3 +521,70 @@ class TestSppProgramSize:
 
         l1, l4 = lowered_len(1), lowered_len(4)
         assert l4 < 1.5 * l1, (l1, l4)
+
+    def test_megakernel_spp_does_not_bloat_program(self):
+        """Same guarantee for the megakernel (round 5): its spp loop is a
+        rolled fori_loop too — and still differentiable (fori_loop with
+        static bounds lowers to scan; test_grad covers the grad path)."""
+        import jax
+
+        from spt_tpu.camera import default_camera
+        from spt_tpu.scene import build_default_scene
+
+        scene = flatten_scene(build_default_scene())
+        env = make_procedural_environment()
+        lights = default_lights()
+
+        def lowered_len(spp):
+            cfg = RenderConfig(width=64, height=64, spp=spp, max_depth=3)
+            cam = default_camera(cfg.width, cfg.height).rays()
+            f = jax.jit(lambda sc, e, li, ca: render_megakernel(
+                cfg, sc, e, li, ca, frame_index=0))
+            return len(f.lower(scene, env, lights, cam).as_text())
+
+        l1, l4 = lowered_len(1), lowered_len(4)
+        assert l4 < 1.5 * l1, (l1, l4)
+
+    def test_megakernel_rolled_spp_matches_unrolled(self):
+        """The rolled loop renders the identical image to an explicit
+        Python sum over render_sample (same RNG streams per sample)."""
+        from spt_tpu.camera import default_camera
+        from spt_tpu.integrators import megakernel
+        from spt_tpu.scene import build_default_scene
+
+        scene = flatten_scene(build_default_scene())
+        env = make_procedural_environment()
+        lights = default_lights()
+        cfg = RenderConfig(width=32, height=24, spp=3, max_depth=3)
+        cam = default_camera(cfg.width, cfg.height).rays()
+        got = np.asarray(render_megakernel(cfg, scene, env, lights, cam, 0))
+        want = sum(
+            np.asarray(megakernel.render_sample(cfg, scene, env, lights,
+                                                cam, 0, s))
+            for s in range(cfg.spp)
+        ).reshape(24, 32, 3) / cfg.spp
+        # loop-rolled vs unrolled differ only in XLA fusion rounding
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_megakernel_grad_through_spp_loop(self):
+        """jax.grad flows through the rolled spp loop (the scan lowering)."""
+        import jax
+
+        from spt_tpu.camera import default_camera
+        from spt_tpu.scene import build_default_scene
+
+        scene = flatten_scene(build_default_scene())
+        env = make_procedural_environment()
+        lights = default_lights()
+        cfg = RenderConfig(width=16, height=16, spp=2, max_depth=2)
+        cam = default_camera(cfg.width, cfg.height).rays()
+
+        def loss(base_color):
+            s = scene._replace(materials=scene.materials._replace(
+                base_color=base_color))
+            img = render_megakernel(cfg, s, env, lights, cam, 0)
+            return jnp.mean(img)
+
+        g = jax.grad(loss)(scene.materials.base_color)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(np.abs(np.asarray(g)).sum()) > 0.0
