@@ -41,14 +41,70 @@ import numpy as np
 # HBM-streaming tracer for scenes whose tri_pack exceeds VMEM.
 SUPER_FAN = 16
 
-# tri_pack width when per-triangle shading normals are present: cols 19-27
-# hold [n0 | n1-n0 | n2-n0] (barycentric-interpolated at the winning hit —
-# the loader fidelity the reference has, GLTFLoader.cpp:219-331 /
+# tri_pack width when per-triangle shading normals are present: cols 19-23
+# hold [n0 | n1-n0 | n2-n0] quantized to 12 bits and packed two fields per
+# column (see encode_ns; barycentric-interpolated at the winning hit — the
+# loader fidelity the reference has, GLTFLoader.cpp:219-331 /
 # EmbreeBackend.cpp:60-79, which its flat-shaded backends then discard).
-# Width 24 (flat) and PACK_NS both pad to the same 128 VMEM lanes, so the
-# resident cost per triangle is identical; the static width doubles as the
-# kernels' with_ns flag.
-PACK_NS = 28
+# Packing halves the winner-resolution pick() passes the first (9-float,
+# cols 19-27) layout paid — measured ~7% of the bigmesh frame.  Width 24
+# (flat) and PACK_NS both pad to the same 128 VMEM lanes, so the resident
+# cost per triangle is identical; the static width doubles as the kernels'
+# with_ns flag (width > 24).
+PACK_NS = 25
+
+# 12-bit packed shading normals: each ns column holds TWO quantized fields
+# q_hi * 4096 + q_lo with q in [1, 4095] — the packed value is <= 2^24 - 1,
+# so the value itself, its masked-sum extraction in the cluster opener, and
+# the split-back arithmetic (floor(p/4096), p - hi*4096) are all EXACT in
+# float32.  q = 1 + round((v + 2) / NS_STEP) quantizes [-2, 2] (n0 is unit,
+# dn1/dn2 are differences of units) in ~1e-3 steps: <= 0.06 deg of normal
+# error, invisible next to the reference's flat shading.  A no-NORMAL mesh
+# packs literal 0.0 in all five columns; the resolve treats all-zero planes
+# as the geometric-fallback sentinel (q >= 1 keeps real encodings off it).
+NS_FIELDS = ((0, 1), (2, 3), (4, 5), (6, 7), (8, None))
+NS_STEP = np.float32(4.0 / 4094.0)
+
+
+def encode_ns(ns: np.ndarray) -> np.ndarray:
+    """(T, 9) float shading normals -> (T, 5) packed planes (NS_FIELDS
+    layout); all-zero rows (the flat/no-NORMAL sentinel) stay all-zero."""
+    ns = np.asarray(ns, np.float32).reshape(-1, 9)
+    q = (1.0 + np.round((np.clip(ns, -2.0, 2.0) + np.float32(2.0))
+                        / NS_STEP)).astype(np.float32)
+    out = np.zeros((ns.shape[0], 5), np.float32)
+    for c, (hi, lo) in enumerate(NS_FIELDS):
+        v = q[:, hi] * np.float32(4096.0)
+        if lo is not None:
+            v = v + q[:, lo]
+        out[:, c] = v
+    out[np.abs(ns).max(axis=1) == 0.0] = 0.0
+    return out
+
+
+def decode_ns(planes: np.ndarray) -> np.ndarray:
+    """(T, 5) packed planes -> (T, 9) QUANTIZED float shading normals —
+    exactly the values the kernels' winner resolution reconstructs
+    (identical float32 ops), so flatten stores these in tri_ns and the
+    XLA trace paths + the CPU oracle agree with the Pallas kernels
+    bit-for-bit.  All-zero rows stay zero (geometric fallback)."""
+    planes = np.asarray(planes, np.float32).reshape(-1, 5)
+    out = np.zeros((planes.shape[0], 9), np.float32)
+    for c, (hi, lo) in enumerate(NS_FIELDS):
+        h = np.floor(planes[:, c] * np.float32(1.0 / 4096.0)).astype(
+            np.float32)
+        out[:, hi] = (h - np.float32(1.0)) * NS_STEP - np.float32(2.0)
+        if lo is not None:
+            lq = planes[:, c] - h * np.float32(4096.0)
+            out[:, lo] = (lq - np.float32(1.0)) * NS_STEP - np.float32(2.0)
+    out[np.abs(planes).max(axis=1) == 0.0] = 0.0
+    return out
+
+
+def quantize_ns(ns: np.ndarray) -> np.ndarray:
+    """Round-trip a (T, 9) shading-normal table through the 12-bit packing
+    (what every renderer path actually shades with)."""
+    return decode_ns(encode_ns(ns))
 
 # Largest packed triangle table the VMEM tracer keeps resident.  Each
 # (K, 24) cluster block pads to 128 lanes in VMEM, so a triangle costs
@@ -485,7 +541,7 @@ def build_mesh_accel(
     pack[:, 12] = mats.astype(np.float32)
     pack[:, 13:19] = uvs                # texture uv0 | duv1 | duv2
     if with_ns:
-        pack[:, 19:28] = nss            # shading n0 | dn1 | dn2
+        pack[:, 19:24] = encode_ns(nss)  # shading n0 | dn1 | dn2, packed
     pack = pack.reshape(c_total, cluster_size, pack_w)
 
     # Supercluster level: one AABB over each SUPER_FAN-cluster block.

@@ -604,7 +604,7 @@ def _make_texture_sampler(tex_ref, n_tex: int):
 
 def _make_trace_impls(accel_dims, accel_refs,
                       sph_c, sph_r, sph_m, n_sphs, with_uv: bool = False,
-                      scratch=None, sem=None):
+                      scratch=None, sem=None, scratch2=None, sem2=None):
     """Build the kernel's (closest(scene, ps), occluded(...)) pair.
 
     Small scenes stream the rolled prim loops; "resident" accel scenes
@@ -644,12 +644,14 @@ def _make_trace_impls(accel_dims, accel_refs,
                 stream_refs, k, n_sphs, _np.float32(0.0),
                 sph_c, sph_r, sph_m, ps.origin, ps.direction, tmax,
                 scratch, sem, with_uv=with_uv, with_ns=with_ns,
+                scratch2=scratch2, sem2=sem2,
             )
 
         def any_res(o, d, tmin, tm, bounce=None):
             return pallas_stream.stream_any_tile(
                 stream_refs, k, n_sphs, _np.float32(tmin),
                 sph_c, sph_r, sph_m, o, d, tm, scratch, sem,
+                scratch2=scratch2, sem2=sem2,
             )
     elif mode == "instanced":
         from spt_tpu.ops import pallas_inst
@@ -716,10 +718,13 @@ def _split_tail(accel_dims, env_dims, n_outs, rest):
         rest = rest[2:]
     outs, scratch = rest[:n_outs], rest[n_outs:]
     if accel_dims is not None and accel_dims[0] == "stream":
-        stream_pair = scratch[:2]
-        scratch = scratch[2:]
+        from spt_tpu.ops.pallas_stream import _db_on
+
+        nscr = 4 if _db_on() else 2
+        stream_pair = tuple(scratch[:nscr]) + (None,) * (4 - nscr)
+        scratch = scratch[nscr:]
     else:
-        stream_pair = (None, None)
+        stream_pair = (None, None, None, None)
     env_fn = (_make_env_fn(env_dims, env_params, env_hbm, scratch[0],
                            scratch[1]) if env_dims is not None else None)
     return env_fn, outs, stream_pair
@@ -766,15 +771,15 @@ def _kernel(cfg: RenderConfig, has_emitters: bool, accel_dims, n_tex: int,
     bounce = params_ref[0, 0]
     is_last = params_ref[0, 1] > 0
     textured = n_tex > 0
-    env_fn, outs, (scratch, sem) = _split_tail(accel_dims, env_dims, 16,
-                                               rest)
+    env_fn, outs, (scratch, sem, scratch2, sem2) = _split_tail(
+        accel_dims, env_dims, 16, rest)
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
      o_rx, o_ry, o_rz, o_rng, o_alive, o_emok, o_missed) = outs
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
                      a_sup_lo, a_sup_hi, a_sup_okey, a_inst, tri_hbm),
         sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
-        scratch=scratch, sem=sem,
+        scratch=scratch, sem=sem, scratch2=scratch2, sem2=sem2,
     )
     texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 
@@ -886,7 +891,7 @@ def _accel_inputs(scene: DeviceScene):
     if mode is not None:
         a = scene.accel
         z13 = jnp.zeros((1, 3), jnp.float32)
-        # accel modes read shading normals from tri_pack cols 19-27, not
+        # accel modes read shading normals from tri_pack cols 19-23, not
         # the flat table
         tri_tables = [z13, z13, z13, jnp.zeros((1, 1), jnp.int32), ns_dummy]
         if mode == "instanced":
@@ -897,7 +902,7 @@ def _accel_inputs(scene: DeviceScene):
                             ia.blas_okey, ia.inst_lo, ia.inst_hi,
                             ia.inst_okey, ia.inst, tex]
             return ((mode, ia.tri_pack.shape[0], ia.cluster_size,
-                     ia.tri_pack.shape[-1] >= 28), n_tex,
+                     ia.tri_pack.shape[-1] > 24), n_tex,
                     accel_tables, tri_tables, stream_dummy)
         if mode == "stream":
             accel_tables = [a.cluster_lo, a.cluster_hi, pack_dummy,
@@ -909,7 +914,7 @@ def _accel_inputs(scene: DeviceScene):
                             a.cl_okey, z83, z83, zi, inst_dummy, tex]
             tri_stream = stream_dummy
         return ((mode, a.num_clusters, a.cluster_size,
-                 a.tri_pack.shape[-1] >= 28), n_tex,
+                 a.tri_pack.shape[-1] > 24), n_tex,
                 accel_tables, tri_tables, tri_stream)
     accel_tables = [z83, z83, pack_dummy, zi, z83, z83, zi, inst_dummy, tex]
     tri_tables = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
@@ -921,14 +926,17 @@ def _accel_inputs(scene: DeviceScene):
 def _stream_scratch_shapes(accel_dims):
     """Scratch for the "stream" accel mode: the (SUPER_FAN, K, 128) VMEM
     block opened superclusters DMA through, plus its semaphore (shared
-    sequentially by the closest and shadow traces).  Empty otherwise."""
+    sequentially by the closest and shadow traces) — doubled when the
+    double-buffered super loop is on (pallas_stream._db_on).  Empty
+    otherwise."""
     if accel_dims is None or accel_dims[0] != "stream":
         return []
     from spt_tpu.ops.bvh import SUPER_FAN
+    from spt_tpu.ops.pallas_stream import _db_on
 
     k = accel_dims[2]
     return [pltpu.VMEM((SUPER_FAN, k, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA]
+            pltpu.SemaphoreType.DMA] * (2 if _db_on() else 1)
 
 
 def _env_setup(env):
@@ -1108,15 +1116,15 @@ def _frame_kernel(cfg: RenderConfig, has_emitters: bool, accel_dims,
     bounce0 = params_ref[0, 0]
     textured = n_tex > 0
 
-    env_fn, outs, (scratch, sem) = _split_tail(accel_dims, env_dims, 11,
-                                               rest)
+    env_fn, outs, (scratch, sem, scratch2, sem2) = _split_tail(
+        accel_dims, env_dims, 11, rest)
     (o_dx, o_dy, o_dz, o_tx, o_ty, o_tz,
      o_rx, o_ry, o_rz, o_missed, o_bounces) = outs
     closest_impl, occluded_impl = _make_trace_impls(
         accel_dims, (a_cl_lo, a_cl_hi, a_pack, a_cl_okey,
                      a_sup_lo, a_sup_hi, a_sup_okey, a_inst, tri_hbm),
         sph_c, sph_r, sph_m, n_sphs, with_uv=textured,
-        scratch=scratch, sem=sem,
+        scratch=scratch, sem=sem, scratch2=scratch2, sem2=sem2,
     )
     texture_fn = _make_texture_sampler(a_tex, n_tex) if textured else None
 

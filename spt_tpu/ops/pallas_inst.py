@@ -351,7 +351,7 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
         open_cluster = make_cluster_opener(
             k, s, l, oo3, dd3, tmin, tmax3, with_uv,
             finish=_lane_finish(planes),
-            with_ns=tri_pack.shape[-1] >= 28,
+            with_ns=tri_pack.shape[-1] > 24,
         )
 
         if _recheck_on():
@@ -596,7 +596,7 @@ def inst_closest_tile_union(inst_refs, k, n_sph, tmin,
             open_cluster = make_cluster_opener(
                 k, s, l, oo3, dd3, tmin, tmax3, with_uv,
                 finish=_make_finish(r, mat_ov, sg),
-                with_ns=tri_pack.shape[-1] >= 28,
+                with_ns=tri_pack.shape[-1] > 24,
             )
 
             def open_cl(_, kc):

@@ -87,10 +87,24 @@ def _recheck_on() -> bool:
     return os.environ.get("SPT_SUPER_RECHECK", "1") != "0"
 
 
+def _db_on() -> bool:
+    """Trace-time knob for double-buffered supercluster DMA: while super
+    j's 16-cluster pass runs against one VMEM buffer, super j+1's block
+    streams into the other, hiding the HBM->VMEM latency the
+    single-buffer loop pays between every pair of supers (it waits right
+    after the cluster flags — a few us of box tests — so most of the
+    copy is exposed).  Costs one extra (SUPER_FAN, K, 128) VMEM block
+    (512 KiB at K=64).  SPT_STREAM_DB=0 reverts to the single-buffer
+    loop for A/B."""
+    import os
+
+    return os.environ.get("SPT_STREAM_DB", "1") != "0"
+
+
 def stream_closest_tile(stream_refs, k, n_sph, tmin,
                         sph_c, sph_r, sph_m, o, d, tmax,
                         scratch, sem, with_uv: bool = False,
-                        with_ns: bool = False):
+                        with_ns: bool = False, scratch2=None, sem2=None):
     """Full streaming closest-hit for one (S, L) ray tile inside a Pallas
     kernel: sphere pass + supercluster cull + per-opened-super DMA +
     cluster-level min-extraction loop.
@@ -125,6 +139,69 @@ def stream_closest_tile(stream_refs, k, n_sph, tmin,
     open_cluster = make_cluster_opener(k, s, l, o3, d3, tmin,
                                        tmax.reshape(1, s, l), with_uv,
                                        with_ns=with_ns)
+
+    if scratch2 is not None and _db_on():
+        # Double-buffered super loop: iteration j prefetches super j+1's
+        # triangle block into the buffer it is NOT reading, so the copy
+        # overlaps the full 16-cluster pass instead of just the cluster
+        # flags.  The shrinking-bound recheck folds into the cluster cull
+        # (a dead super zeroes its cluster visit list; its speculative DMA
+        # is the price of the overlap).  Start/wait pairing is exact: the
+        # prologue starts super 0 iff scount > 0, iteration j starts super
+        # j+1 iff it exists, and iteration j+1 (which runs iff it does)
+        # waits it — a full fori run leaves nothing in flight.
+        def start_dma(g, scr, sm):
+            pltpu.make_async_copy(tri_hbm.at[pl.ds(g * f, f)], scr,
+                                  sm).start()
+
+        def wait_dma(g, scr, sm):
+            pltpu.make_async_copy(tri_hbm.at[pl.ds(g * f, f)], scr,
+                                  sm).wait()
+
+        m0 = jnp.min(skey0)
+        g0 = jnp.where(m0 == _OKEY_MISS, jnp.int32(-1), m0 & _OKEY_ID_MASK)
+        pl.when(g0 >= 0)(lambda: start_dma(g0, scratch, sem))
+        skey1 = jnp.where(skey0 == m0, _OKEY_MISS, skey0)
+
+        def open_super_db(j, state):
+            skey, g, carry = state[0], state[1], state[2:]
+            nm = jnp.min(skey)
+            ng = jnp.where(nm == _OKEY_MISS, jnp.int32(-1),
+                           nm & _OKEY_ID_MASK)
+
+            def process(scr, sm, nxt_scr, nxt_sm, carry):
+                pl.when(ng >= 0)(lambda: start_dma(ng, nxt_scr, nxt_sm))
+                base = g * f
+                bound = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
+                salive = _box_flag1(sup_lo, sup_hi, g, o3, inv3, tmin,
+                                    bound)
+                cflags = _box_flags(cl_lo[pl.ds(base, f)],
+                                    cl_hi[pl.ds(base, f)],
+                                    o3, inv3, tmin, bound) & salive
+                ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)],
+                                  _OKEY_MISS)
+                ccount = jnp.sum(cflags.astype(jnp.int32))
+                wait_dma(g, scr, sm)
+
+                def open_cl(i, kc):
+                    ckey, cr = kc[0], kc[1:]
+                    mm = jnp.min(ckey)
+                    cr = open_cluster(scr[(mm & _OKEY_ID_MASK) - base], cr)
+                    return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
+
+                return jax.lax.fori_loop(0, ccount, open_cl,
+                                         (ckey0,) + carry)[1:]
+
+            carry = jax.lax.cond(
+                jax.lax.rem(j, 2) == 0,
+                lambda c: process(scratch, sem, scratch2, sem2, c),
+                lambda c: process(scratch2, sem2, scratch, sem, c),
+                carry)
+            return (jnp.where(skey == nm, _OKEY_MISS, skey), ng) + carry
+
+        out_carry = jax.lax.fori_loop(0, scount, open_super_db,
+                                      (skey1, g0) + carry0)[2:]
+        return closest_epilogue(out_carry, o, d, rinv, with_uv)
 
     def open_super(j, key_and_carry):
         skey, carry = key_and_carry[0], key_and_carry[1:]
@@ -171,7 +248,8 @@ def stream_closest_tile(stream_refs, k, n_sph, tmin,
 
 
 def stream_any_tile(stream_refs, k, n_sph, tmin,
-                    sph_c, sph_r, sph_m, o, d, tmax, scratch, sem):
+                    sph_c, sph_r, sph_m, o, d, tmax, scratch, sem,
+                    scratch2=None, sem2=None):
     """Streaming occlusion for one (S, L) ray tile inside a Pallas kernel;
     returns (S, L) int32 blocked flags.  Same ref contract as
     stream_closest_tile; same empty-interval-reports-blocked contract as
@@ -185,6 +263,93 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
     # Empty-interval lanes count as blocked so the early exits can fire
     # (same contract as pallas_trace.any_hit).
     blocked0 = blocked0 | (tmax <= tmin).astype(jnp.int32)
+
+    def traced_db(blocked0):
+        # Double-buffered variant (see stream_closest_tile): the outer
+        # while_loop can exit early once every lane is blocked, so the
+        # in-flight prefetch is drained after the loop (tracked by the
+        # carried next-super id; -1 = nothing outstanding).
+        o3, d3, inv3 = _ray_planes(o, d, s, l)
+        bound = tmax.reshape(1, s, l)
+
+        def live_bound(blocked):
+            return jnp.where(blocked.reshape(1, s, l) != 0,
+                             jnp.float32(-1.0), bound)
+
+        def start_dma(g, scr, sm):
+            pltpu.make_async_copy(tri_hbm.at[pl.ds(g * f, f)], scr,
+                                  sm).start()
+
+        def wait_dma(g, scr, sm):
+            pltpu.make_async_copy(tri_hbm.at[pl.ds(g * f, f)], scr,
+                                  sm).wait()
+
+        sflags = _box_flags(sup_lo, sup_hi, o3, inv3, tmin,
+                            live_bound(blocked0))
+        scount, skey0 = _visit_keys(sflags, sup_okey, oct_)
+
+        m0 = jnp.min(skey0)
+        g0 = jnp.where(m0 == _OKEY_MISS, jnp.int32(-1), m0 & _OKEY_ID_MASK)
+        pl.when(g0 >= 0)(lambda: start_dma(g0, scratch, sem))
+        skey1 = jnp.where(skey0 == m0, _OKEY_MISS, skey0)
+
+        def scond(carry):
+            j, _, _, blocked = carry
+            return (j < scount) & ~jnp.all(blocked != 0)
+
+        def sbody(carry):
+            j, skey, g, blocked = carry
+            nm = jnp.min(skey)
+            ng = jnp.where(nm == _OKEY_MISS, jnp.int32(-1),
+                           nm & _OKEY_ID_MASK)
+
+            def process(scr, sm, nxt_scr, nxt_sm, blocked):
+                pl.when(ng >= 0)(lambda: start_dma(ng, nxt_scr, nxt_sm))
+                base = g * f
+                lb = live_bound(blocked)
+                salive = _box_flag1(sup_lo, sup_hi, g, o3, inv3, tmin, lb)
+                cflags = _box_flags(cl_lo[pl.ds(base, f)],
+                                    cl_hi[pl.ds(base, f)],
+                                    o3, inv3, tmin, lb) & salive
+                ckey0 = jnp.where(cflags, cl_okey[oct_, pl.ds(base, f)],
+                                  _OKEY_MISS)
+                ccount = jnp.sum(cflags.astype(jnp.int32))
+                wait_dma(g, scr, sm)
+
+                def ccond(cc):
+                    i, _, blocked = cc
+                    return (i < ccount) & ~jnp.all(blocked != 0)
+
+                def cbody(cc):
+                    i, ckey, blocked = cc
+                    mm = jnp.min(ckey)
+                    blk = scr[(mm & _OKEY_ID_MASK) - base]
+                    return (i + 1,
+                            jnp.where(ckey == mm, _OKEY_MISS, ckey),
+                            tri_block_any(blk, k, o3, d3, tmin, bound,
+                                          blocked))
+
+                _, _, blocked = jax.lax.while_loop(
+                    ccond, cbody, (jnp.int32(0), ckey0, blocked))
+                return blocked
+
+            blocked = jax.lax.cond(
+                jax.lax.rem(j, 2) == 0,
+                lambda b: process(scratch, sem, scratch2, sem2, b),
+                lambda b: process(scratch2, sem2, scratch, sem, b),
+                blocked)
+            return (j + 1, jnp.where(skey == nm, _OKEY_MISS, skey), ng,
+                    blocked)
+
+        jf, _, gf, blocked = jax.lax.while_loop(
+            scond, sbody, (jnp.int32(0), skey1, g0, blocked0))
+        # Early exit leaves the prefetch for the never-run iteration jf in
+        # buffer jf % 2; a completed run leaves gf = -1.
+        pl.when(gf >= 0)(lambda: jax.lax.cond(
+            jax.lax.rem(jf, 2) == 0,
+            lambda: wait_dma(gf, scratch, sem),
+            lambda: wait_dma(gf, scratch2, sem2)))
+        return blocked
 
     def traced(blocked0):
         o3, d3, inv3 = _ray_planes(o, d, s, l)
@@ -253,41 +418,47 @@ def stream_any_tile(stream_refs, k, n_sph, tmin,
             scond, sbody, (jnp.int32(0), skey0, blocked0))
         return blocked
 
+    body = traced_db if (scratch2 is not None and _db_on()) else traced
     return jax.lax.cond(jnp.all(blocked0 != 0), lambda b: b,
-                        traced, blocked0)
+                        body, blocked0)
 
 
-def _stream_closest_kernel(k, n_sph, tmin, with_uv, with_ns,
+def _stream_closest_kernel(k, n_sph, tmin, with_uv, with_ns, db,
                            ox, oy, oz, dx, dy, dz, tmaxr,
                            cl_lo, cl_hi, cl_okey,
                            sup_lo, sup_hi, sup_okey,
                            sph_c, sph_r, sph_m,
                            tri_hbm,
                            *outs_and_scratch):
-    outs = outs_and_scratch[:-2]
-    scratch, sem = outs_and_scratch[-2:]
+    nscr = 4 if db else 2
+    outs = outs_and_scratch[:-nscr]
+    scratch, sem = outs_and_scratch[-nscr:][:2]
+    scratch2, sem2 = outs_and_scratch[-2:] if db else (None, None)
     res = stream_closest_tile(
         (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm),
         k, n_sph, tmin, sph_c, sph_r, sph_m,
         Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
         scratch, sem, with_uv=with_uv, with_ns=with_ns,
+        scratch2=scratch2, sem2=sem2,
     )
     for r, v in zip(outs, res):
         r[:] = v
 
 
-def _stream_any_kernel(k, n_sph, tmin,
+def _stream_any_kernel(k, n_sph, tmin, db,
                        ox, oy, oz, dx, dy, dz, tmaxr,
                        cl_lo, cl_hi, cl_okey,
                        sup_lo, sup_hi, sup_okey,
                        sph_c, sph_r, sph_m,
                        tri_hbm,
-                       out_blocked, scratch, sem):
+                       out_blocked, *scratches):
+    scratch, sem = scratches[:2]
+    scratch2, sem2 = scratches[2:] if db else (None, None)
     out_blocked[:] = stream_any_tile(
         (cl_lo, cl_hi, cl_okey, sup_lo, sup_hi, sup_okey, tri_hbm),
         k, n_sph, tmin, sph_c, sph_r, sph_m,
         Vec3(ox[:], oy[:], oz[:]), Vec3(dx[:], dy[:], dz[:]), tmaxr[:],
-        scratch, sem,
+        scratch, sem, scratch2=scratch2, sem2=sem2,
     )
 
 
@@ -317,9 +488,14 @@ def _stream_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
                             memory_space=pltpu.VMEM)
 
     k = accel.cluster_size
+    db = _db_on()
     kern = functools.partial(
-        kernel, k, scene.num_spheres, np.float32(tmin), *extra_statics
+        kernel, k, scene.num_spheres, np.float32(tmin), *extra_statics, db
     )
+    scratch_shapes = [
+        pltpu.VMEM((SUPER_FAN, k, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ] * (2 if db else 1)
     outs = pl.pallas_call(
         kern,
         grid=(rows // tile_rows,),
@@ -327,10 +503,7 @@ def _stream_call(kernel, accel, scene, o: Vec3, d: Vec3, tmin, tmax,
         + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[block] * len(out_shapes),
         out_shape=[jax.ShapeDtypeStruct(shape2, dt) for dt in out_shapes],
-        scratch_shapes=[
-            pltpu.VMEM((SUPER_FAN, k, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
     )(*state, *vmem_tables, accel.tri_stream)
     return outs, n
 
@@ -348,7 +521,7 @@ def closest_hit(accel, scene, o: Vec3, d: Vec3, tmin=0.0,
     outs, n = _stream_call(
         _stream_closest_kernel, accel, scene, o, d, tmin, tmax,
         out_shapes=out_shapes,
-        extra_statics=(with_uv, accel.tri_pack.shape[-1] >= 28),
+        extra_statics=(with_uv, accel.tri_pack.shape[-1] > 24),
     )
     outs = [x.reshape(n) for x in outs]
     t, nx, ny, nz, mat, kind = outs[:6]

@@ -52,6 +52,7 @@ from spt_tpu.ops.vec3 import Vec3
 from spt_tpu.ops import intersect as isect
 
 from spt_tpu.ops.bvh import MAX_RESIDENT_TRIS  # noqa: F401  (routing limit)
+from spt_tpu.ops.bvh import NS_STEP as bvh_NS_STEP
 
 LANES = 128
 SUBTILE_ROWS = 8
@@ -348,7 +349,7 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool,
     (which must NOT: vertex normals transform by the pure
     inverse-transpose, EmbreeBackend.cpp:60-79).
 
-    `with_ns`: the block carries packed shading normals (cols 19-27,
+    `with_ns`: the block carries 12-bit-packed shading normals (cols 19-23,
     bvh.PACK_NS); the winner's normal becomes n0 + u*dn1 + v*dn2, with a
     per-lane fallback to the geometric normal where the mesh packed
     zeros (no NORMAL attribute)."""
@@ -384,12 +385,39 @@ def make_cluster_opener(k, s, l, o3, d3, tmin, tmax3, with_uv: bool,
             geom = None
             if with_ns:
                 pu, pv = res[2], res[3]
-                snx = pick(19) + pu * pick(22) + pv * pick(25)
-                sny = pick(20) + pu * pick(23) + pv * pick(26)
-                snz = pick(21) + pu * pick(24) + pv * pick(27)
-                # zero-packed rows (mesh without NORMALs) and degenerate
+                # 12-bit packed [n0 | dn1 | dn2] in cols 19-23 (bvh.encode_ns):
+                # five picks instead of the nine a float layout pays; the
+                # split-back (floor(p/4096), p - hi*4096) and the dequant are
+                # exact float32, so this reconstructs bvh.decode_ns — the
+                # values flatten stores in tri_ns for the XLA paths/oracle —
+                # bit-for-bit.
+                p0, p1, p2, p3, p4 = (pick(19), pick(20), pick(21),
+                                      pick(22), pick(23))
+                # all-zero planes = the no-NORMAL sentinel row (real
+                # encodings keep every field >= 1, so the packed column is
+                # >= 4097); sums of non-negative floats round to 0 only
+                # when every term is 0.
+                allz = (p0 + p1 + p2 + p3 + p4) <= 0.0
+
+                def split(p):
+                    h = jnp.floor(p * np.float32(1.0 / 4096.0))
+                    return h, p - h * np.float32(4096.0)
+
+                def dq(q):
+                    return ((q - np.float32(1.0)) * bvh_NS_STEP
+                            - np.float32(2.0))
+
+                n0x_q, n0y_q = split(p0)
+                n0z_q, d1x_q = split(p1)
+                d1y_q, d1z_q = split(p2)
+                d2x_q, d2y_q = split(p3)
+                d2z_q, _ = split(p4)
+                snx = dq(n0x_q) + pu * dq(d1x_q) + pv * dq(d2x_q)
+                sny = dq(n0y_q) + pu * dq(d1y_q) + pv * dq(d2y_q)
+                snz = dq(n0z_q) + pu * dq(d1z_q) + pv * dq(d2z_q)
+                # sentinel rows (mesh without NORMALs) and degenerate
                 # interpolations keep the geometric normal
-                geom = snx * snx + sny * sny + snz * snz <= 1e-12
+                geom = allz | (snx * snx + sny * sny + snz * snz <= 1e-12)
                 pnx = jnp.where(geom, pnx, snx)
                 pny = jnp.where(geom, pny, sny)
                 pnz = jnp.where(geom, pnz, snz)
@@ -453,7 +481,7 @@ def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
     cl_lo, cl_hi, tri_pack, cl_okey = accel_refs
     s, l = o.x.shape
     # the static pack width carries the shading-normal flag (bvh.PACK_NS)
-    with_ns = tri_pack.shape[-1] >= 28
+    with_ns = tri_pack.shape[-1] > 24
     oct_ = ((jnp.sum(d.x) < 0).astype(jnp.int32) * 4
             + (jnp.sum(d.y) < 0).astype(jnp.int32) * 2
             + (jnp.sum(d.z) < 0).astype(jnp.int32))

@@ -184,6 +184,14 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         tri_uv = np.zeros((0, 6), np.float32)
         tri_ns = np.zeros((0, 9), np.float32)
 
+    if has_ns:
+        # SPT_NS=0 drops shading normals entirely (flat shading, the
+        # reference backends' behavior) — the quality/speed knob and the
+        # A/B that prices the interpolation: the wider 28-col pack adds
+        # pick() passes at every winner resolution.
+        import os
+
+        has_ns = os.environ.get("SPT_NS", "1") != "0"
     if has_ns and v0.shape[0]:
         # Drop the table when interpolation is everywhere the geometric
         # normal anyway (flat meshes like the ground plane, whose vertex
@@ -198,6 +206,14 @@ def flatten_scene(desc: SceneDesc, pad_multiple: int = 1,
         nonzero = np.abs(tri_ns[:, 0:3]).max(axis=1) > 1e-12
         off_geom = np.abs(tri_ns[:, 0:3] - ngn).max(axis=1) > 1e-3
         has_ns = bool((real & nonzero & (varying | off_geom)).any())
+    if has_ns:
+        # Store the 12-bit-quantized values every kernel path shades with
+        # (bvh.encode_ns packs these into tri_pack cols 19-23), so the XLA
+        # trace paths and the CPU oracle agree with the Pallas kernels
+        # bit-for-bit.
+        from spt_tpu.ops.bvh import quantize_ns
+
+        tri_ns = quantize_ns(tri_ns)
 
     t_pad = _pad_to(v0.shape[0], pad_multiple)
     pad_n = t_pad - v0.shape[0]
@@ -323,7 +339,10 @@ def _maybe_build_inst(desc: SceneDesc, inst_records, total_tris: int,
             ).astype(np.float32)
         else:
             uv = None
-        if mesh.normals is not None and len(mesh.normals) == mesh.vertex_count:
+        import os as _os
+        if (mesh.normals is not None
+                and len(mesh.normals) == mesh.vertex_count
+                and _os.environ.get("SPT_NS", "1") != "0"):
             # OBJECT-space shading normals; the traversal's finish hook
             # applies the per-instance inverse-transpose (no sign(det) —
             # pallas_inst._make_finish)

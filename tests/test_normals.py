@@ -3,7 +3,7 @@
 The reference loads per-vertex NORMALs (GLTFLoader.cpp:219-331) and
 transforms them per instance (EmbreeBackend.cpp:60-79) — then both its
 backends shade with the geometric Ng anyway.  Round 5 carries the vertex
-normals all the way: tri_pack cols 19-27 / DeviceScene.tri_ns, interpolated
+normals all the way: tri_pack cols 19-23 (12-bit packed) / DeviceScene.tri_ns,
 at the winning hit with a per-lane fallback to Ng where a mesh has no
 NORMAL attribute.  These tests pin (a) the interpolation against the
 analytic sphere normal, (b) parity across the XLA chunked, Pallas resident
@@ -64,6 +64,36 @@ def _normals(hit):
                      np.asarray(hit.normal.z)], -1)
 
 
+class TestNsPacking:
+    def test_roundtrip_idempotent_and_bounded(self):
+        """decode(encode(x)) is within half a 12-bit step of clip(x), and a
+        second roundtrip is EXACT (flatten quantizes tri_ns, bvh re-encodes
+        the quantized table — the pack must reproduce it bit-for-bit)."""
+        from spt_tpu.ops.bvh import NS_STEP, decode_ns, encode_ns
+
+        rng = np.random.default_rng(0)
+        ns = rng.uniform(-2.3, 2.3, (4096, 9)).astype(np.float32)
+        ns[:7] = 0.0  # sentinel rows
+        q1 = decode_ns(encode_ns(ns))
+        err = np.abs(q1 - np.clip(ns, -2.0, 2.0))
+        assert err[7:].max() <= 0.5001 * float(NS_STEP)
+        assert (q1[:7] == 0.0).all()
+        q2 = decode_ns(encode_ns(q1))
+        np.testing.assert_array_equal(q1, q2)
+
+    def test_grid_values_roundtrip_exact(self):
+        from spt_tpu.ops.bvh import NS_STEP, decode_ns, encode_ns
+
+        q = np.arange(1, 4096, dtype=np.float32)
+        v = (q - np.float32(1.0)) * NS_STEP - np.float32(2.0)
+        ns = np.zeros((v.shape[0], 9), np.float32)
+        ns[:, 0] = v
+        ns[:, 4] = v[::-1]
+        out = decode_ns(encode_ns(ns))
+        np.testing.assert_array_equal(out[:, 0], ns[:, 0])
+        np.testing.assert_array_equal(out[:, 4], ns[:, 4])
+
+
 class TestSmoothVsAnalytic:
     def test_interpolated_beats_geometric_on_sphere(self):
         """On a coarse UV-sphere the interpolated normal must track the
@@ -111,7 +141,7 @@ class TestResidentTier:
 
         dev = _sphere_scene(stacks=16, slices=24)  # 768 tris > threshold
         assert dev.accel is not None
-        assert int(dev.accel.tri_pack.shape[-1]) == 28
+        assert int(dev.accel.tri_pack.shape[-1]) == 25
         ov, dv = _rays_at_sphere(n=512, seed=11)
         ref = isect._intersect_chunked(dev, ov, dv, np.float32(0.0),
                                        np.float32(np.inf))
@@ -167,7 +197,7 @@ class TestInstancedTier:
 
         dev = self._scene(mirror=mirror)
         assert dev.inst is not None
-        assert int(dev.inst.tri_pack.shape[-1]) == 28
+        assert int(dev.inst.tri_pack.shape[-1]) == 25
         ov, dv = _rays_at_sphere(n=512, seed=13)
         ref = isect._intersect_chunked(dev, ov, dv, np.float32(0.0),
                                        np.float32(np.inf))
@@ -189,6 +219,24 @@ class TestFlatScenesPayNothing:
         dev = flatten_scene(build_default_scene())
         # plane normals == winding normal, cube has none: table dropped
         assert dev.tri_ns is None
+
+    def test_spt_ns_0_forces_flat(self, monkeypatch):
+        # SPT_NS=0: the quality/speed knob drops shading normals at
+        # flatten time — narrow 24-col pack, no tri_ns, flat shading
+        # (the reference backends' behavior).
+        from spt_tpu.scene.desc import create_sphere_mesh
+
+        sc = SceneDesc()
+        sc.add_material(Material())
+        sc.add_instance(sc.add_mesh(create_sphere_mesh(8, 12, radius=1.0,
+                                                       material_id=0)))
+        smooth = flatten_scene(sc)
+        assert smooth.tri_ns is not None
+        monkeypatch.setenv("SPT_NS", "0")
+        flat = flatten_scene(sc)
+        assert flat.tri_ns is None
+        if flat.accel is not None:
+            assert int(flat.accel.tri_pack.shape[-1]) == 24
 
     def test_soup_mesh_has_no_ns_table(self):
         rng = np.random.default_rng(5)

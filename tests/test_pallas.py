@@ -239,6 +239,52 @@ class TestStreamTrace:
                               tmin=1e-4, tmax=tmax)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
 
+    def test_double_buffer_matches_single(self, stream_scene, rng,
+                                          monkeypatch):
+        """SPT_STREAM_DB=0 (single-buffer super loop) and the default
+        double-buffered loop are the same traversal in a different DMA
+        schedule: bit-identical hits and occlusion flags.  Rebuilt with
+        cluster_size=8 so the 400-tri soup spans FOUR superclusters and
+        the prefetch ping-pong (parity, prologue, drain) actually
+        interleaves — the class fixture's default K packs it into one
+        super, which never alternates buffers."""
+        import spt_tpu.ops.pallas_stream as pstream
+        from spt_tpu.ops.bvh import build_mesh_accel
+
+        sc = stream_scene
+        accel = build_mesh_accel(np.asarray(sc.tri_v0),
+                                 np.asarray(sc.tri_e1),
+                                 np.asarray(sc.tri_e2),
+                                 np.asarray(sc.tri_mat), cluster_size=8,
+                                 force_stream=True)
+        assert accel.sup_lo.shape[0] >= 4, "need multi-super interleaving"
+        sc = sc._replace(accel=accel)
+
+        n = 512
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        ov, dv = Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d))
+
+        def run():
+            hit = pstream.closest_hit(sc.accel, sc, ov, dv, tmin=0.0)
+            blk = pstream.any_hit(sc.accel, sc, ov, dv,
+                                  tmin=1e-4, tmax=np.float32(4.0))
+            return hit, blk
+
+        monkeypatch.setenv("SPT_STREAM_DB", "1")
+        hit_db, blk_db = run()
+        monkeypatch.setenv("SPT_STREAM_DB", "0")
+        hit_sb, blk_sb = run()
+        np.testing.assert_array_equal(np.asarray(hit_db.t),
+                                      np.asarray(hit_sb.t))
+        np.testing.assert_array_equal(np.asarray(hit_db.kind),
+                                      np.asarray(hit_sb.kind))
+        np.testing.assert_array_equal(np.asarray(hit_db.normal.to_array()),
+                                      np.asarray(hit_sb.normal.to_array()))
+        np.testing.assert_array_equal(np.asarray(blk_db),
+                                      np.asarray(blk_sb))
+
     def test_routing_by_size(self, stream_scene, monkeypatch):
         import spt_tpu.ops.pallas_stream as pstream
 
