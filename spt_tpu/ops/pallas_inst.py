@@ -138,6 +138,41 @@ def _recheck_on() -> bool:
     return os.environ.get("SPT_INST_RECHECK", "0") == "1"
 
 
+def _reflag_at() -> int:
+    """One VECTORIZED re-cull of a round's remaining cluster visit list
+    after the Nth open (SPT_INST_REFLAG=N; 0 disables): recompute the
+    (C, S, L) broadcast flag pass against the bound tightened by the
+    round's first opens and MISS-out every no-longer-reachable key.
+
+    This chases the same converged-bound headroom as the two refuted
+    mechanisms (docs/DESIGN.md "Where the bigmesh frame's time goes") at
+    a different cost point: the per-open scalar recheck paid six dynamic
+    scalar reads + a lax.cond per OPEN (measured net loss), and the
+    whole-tile early exit keyed on the max-over-lanes bound, which one
+    unconverged lane pins.  A re-flag is ONE vector broadcast per round
+    (~the cost of the round's original flag pass), and its slab test
+    uses each lane's OWN tightened bound — the per-lane reductions the
+    tile-exit provably cannot reach.  Front-to-back min-extraction order
+    makes the first opens exactly the ones that tighten bounds most, so
+    one early re-cull kills clusters that would otherwise be opened for
+    lanes that are already settled.  Correctness is containment: a
+    cluster whose box misses every lane's [tmin, best_t] interval cannot
+    hold a strictly closer hit (winners need tm < best_t), so culls are
+    radiometrically invisible — equality-tested against the
+    reflag-off loop (TestInstReflag).  The resident tier applies the
+    same re-cull (pallas_trace.closest_hit_tile), sharing this knob.
+
+    MEASURED: a net loss at every swept N on bigmesh (the knob's
+    docstring home, pallas_trace._reflag_at, carries the numbers), so
+    it ships default-OFF — the third refutation of the converged-bound
+    headroom, and the one that closes the question: per-open scalar,
+    whole-tile scalar, and per-round vector re-culls ALL cost more than
+    the late opens they cancel."""
+    from spt_tpu.ops.pallas_trace import _reflag_at as _impl
+
+    return _impl()
+
+
 def _rounds_ok(inst_refs) -> bool:
     """Per-LANE rounds traversal applies whenever there is more than one
     instance (at I=1 rounds is the union scheme with extra bookkeeping).
@@ -400,7 +435,37 @@ def inst_closest_tile_rounds(inst_refs, k, n_sph, tmin,
                 return (jnp.where(ckey == mm, _OKEY_MISS, ckey),) + cr
 
         base = mesh_r * cmax if multi else 0
-        carry = jax.lax.fori_loop(0, ccount, open_cl, (ckey0,) + carry)[1:]
+        reflag_n = 0 if _recheck_on() else _reflag_at()
+        if reflag_n > 0:
+            # min-terminated variant of the loop above (the re-cull kills
+            # keys, so the static ccount trip count no longer applies);
+            # the next min rides the carry so the cond stays scalar.
+            def rcond(kc):
+                return kc[0] != _OKEY_MISS
+
+            def rbody(kc):
+                mm, ckey, it = kc[0], kc[1], kc[2]
+                cr = kc[3:]
+                cr = open_cluster(tri_pack[base + (mm & _OKEY_ID_MASK)], cr)
+                ckey = jnp.where(ckey == mm, _OKEY_MISS, ckey)
+
+                def reflag(ck):
+                    bnow = jnp.where(active, jnp.minimum(tmax, cr[0]),
+                                     -_BIG_T).reshape(1, s, l)
+                    cf = _box_flags(blas_lo[mesh_r], blas_hi[mesh_r],
+                                    oo3, iinv3, tmin, bnow)
+                    return jnp.where(cf, ck, _OKEY_MISS)
+
+                ckey = jax.lax.cond(it == reflag_n, reflag,
+                                    lambda ck: ck, ckey)
+                return (jnp.min(ckey), ckey, it + 1) + cr
+
+            carry = jax.lax.while_loop(
+                rcond, rbody,
+                (jnp.min(ckey0), ckey0, jnp.int32(1)) + carry)[3:]
+        else:
+            carry = jax.lax.fori_loop(0, ccount, open_cl,
+                                      (ckey0,) + carry)[1:]
         nxt_tn, nxt_id = _next_inst(
             inst_lo, inst_hi, icount, o, invw, tmin,
             jnp.minimum(tmax, carry[0]), cur_tn, cur_id)
@@ -469,22 +534,54 @@ def inst_any_tile_rounds(inst_refs, k, n_sph, tmin,
             okey_row = oct_ * m_count + mesh_r if multi else oct_
             ccount, ckey0 = _visit_keys(cflags, blas_okey, okey_row)
             base = mesh_r * cmax if multi else 0
+            reflag_n = 0 if _recheck_on() else _reflag_at()
 
-            def ccond(cc):
-                ii, _, blocked = cc
-                return (ii < ccount) & ~jnp.all(blocked != 0)
+            if reflag_n > 0:
+                # re-cull the remaining visit list once newly-BLOCKED
+                # lanes have dropped out of the union (see _reflag_at:
+                # the tile-wide all-blocked exit below fires only at
+                # saturation; the re-flag prunes per-lane before it)
+                def ccond(cc):
+                    mm, _, blocked, _ = cc
+                    return (mm != _OKEY_MISS) & ~jnp.all(blocked != 0)
 
-            def cbody(cc):
-                ii, ckey, blocked = cc
-                mm = jnp.min(ckey)
-                blk = tri_pack[base + (mm & _OKEY_ID_MASK)]
-                return (ii + 1,
-                        jnp.where(ckey == mm, _OKEY_MISS, ckey),
-                        tri_block_any(blk, k, oo3, dd3, tmin, tmax3,
-                                      blocked))
+                def cbody(cc):
+                    mm, ckey, blocked, ii = cc
+                    blk = tri_pack[base + (mm & _OKEY_ID_MASK)]
+                    blocked = tri_block_any(blk, k, oo3, dd3, tmin,
+                                            tmax3, blocked)
+                    ckey = jnp.where(ckey == mm, _OKEY_MISS, ckey)
 
-            _, _, blocked = jax.lax.while_loop(
-                ccond, cbody, (jnp.int32(0), ckey0, blocked))
+                    def reflag(ck):
+                        lb2 = jnp.where(active & (blocked == 0), tmax,
+                                        -_BIG_T).reshape(1, s, l)
+                        cf = _box_flags(blas_lo[mesh_r], blas_hi[mesh_r],
+                                        oo3, iinv3, tmin, lb2)
+                        return jnp.where(cf, ck, _OKEY_MISS)
+
+                    ckey = jax.lax.cond(ii == reflag_n, reflag,
+                                        lambda ck: ck, ckey)
+                    return jnp.min(ckey), ckey, blocked, ii + 1
+
+                _, _, blocked, _ = jax.lax.while_loop(
+                    ccond, cbody,
+                    (jnp.min(ckey0), ckey0, blocked, jnp.int32(1)))
+            else:
+                def ccond(cc):
+                    ii, _, blocked = cc
+                    return (ii < ccount) & ~jnp.all(blocked != 0)
+
+                def cbody(cc):
+                    ii, ckey, blocked = cc
+                    mm = jnp.min(ckey)
+                    blk = tri_pack[base + (mm & _OKEY_ID_MASK)]
+                    return (ii + 1,
+                            jnp.where(ckey == mm, _OKEY_MISS, ckey),
+                            tri_block_any(blk, k, oo3, dd3, tmin, tmax3,
+                                          blocked))
+
+                _, _, blocked = jax.lax.while_loop(
+                    ccond, cbody, (jnp.int32(0), ckey0, blocked))
             nxt_tn, nxt_id = _next_inst(
                 inst_lo, inst_hi, icount, o, invw, tmin,
                 live_bound(blocked), cur_tn, cur_id)

@@ -135,6 +135,34 @@ def _box_flag1(lo, hi, i, o3, inv3, tmin, bound):
     return jnp.any(tnear <= tfar)
 
 
+
+def _reflag_at() -> int:
+    """One VECTORIZED re-cull of an open loop's remaining cluster visit
+    list after the Nth open (SPT_INST_REFLAG=N; default 0 = OFF) —
+    shared by the resident tier here and the instanced rounds tiers
+    (ops/pallas_inst, where the full rationale lives): one broadcast
+    flag pass against the bound tightened by the round's first opens,
+    using each lane's OWN bound — the per-lane reductions the refuted
+    per-open scalar recheck and whole-tile exit could not reach at
+    acceptable cost.  Culls are radiometrically invisible (containment:
+    an empty box-interval admits no strictly closer hit) and
+    equality-tested; but MEASURED on bigmesh the variant is the THIRD
+    net loss chasing this headroom — N=2: 52.85, N=1: 52.99, N=4:
+    53.92 vs 52.53 ms/frame off — so it ships default-off like the
+    per-open recheck.  The broadcast re-cull costs ~a full flag pass on
+    EVERY round (including the many whose visit lists are already
+    short), and the opens it cancels are exactly the late, mostly-dead
+    ones the sub-block test already skates through; the sim counts
+    opens, not open COST (the same divergence that killed the
+    recheck)."""
+    import os
+
+    try:
+        return int(os.environ.get("SPT_INST_REFLAG", "0"))
+    except ValueError:
+        return 0
+
+
 def _visit_keys(flags, cl_okey, oct_):
     """(count, key0): the flagged clusters as a (C, 1) packed-key vector.
 
@@ -511,7 +539,37 @@ def closest_hit_tile(accel_refs, n_clusters, k, n_sph, tmin,
         carry = open_cluster(tri_pack[m & _OKEY_ID_MASK], carry)
         return (jnp.where(key == m, _OKEY_MISS, key),) + carry
 
-    out_carry = jax.lax.fori_loop(0, count, open_body, (key0,) + carry0)[1:]
+    reflag_n = _reflag_at()
+    if reflag_n > 0:
+        # One vectorized re-cull of the remaining visit list after the
+        # Nth open (same mechanism and containment argument as the
+        # instanced tier, pallas_inst._reflag_at — the flag pass above
+        # used the PRE-open bound, and front-to-back order makes the
+        # first opens the ones that tighten per-lane bounds most).
+        # Min-terminated: the re-cull kills keys, so the static `count`
+        # no longer bounds the loop.
+        def rcond(kc):
+            return kc[0] != _OKEY_MISS
+
+        def rbody(kc):
+            m, key, it = kc[0], kc[1], kc[2]
+            carry = kc[3:]
+            carry = open_cluster(tri_pack[m & _OKEY_ID_MASK], carry)
+            key = jnp.where(key == m, _OKEY_MISS, key)
+
+            def reflag(ky):
+                bnow = jnp.minimum(tmax, carry[0]).reshape(1, s, l)
+                cf = _box_flags(cl_lo, cl_hi, o3, inv3, tmin, bnow)
+                return jnp.where(cf, ky, _OKEY_MISS)
+
+            key = jax.lax.cond(it == reflag_n, reflag, lambda ky: ky, key)
+            return (jnp.min(key), key, it + 1) + carry
+
+        out_carry = jax.lax.while_loop(
+            rcond, rbody, (jnp.min(key0), key0, jnp.int32(1)) + carry0)[3:]
+    else:
+        out_carry = jax.lax.fori_loop(0, count, open_body,
+                                      (key0,) + carry0)[1:]
     return closest_epilogue(out_carry, o, d, rinv, with_uv)
 
 

@@ -684,6 +684,36 @@ class TestInstRecheck:
                 np.asarray(getattr(rech.normal, ax))[hitm], atol=1e-6)
 
 
+class TestInstReflag:
+    """SPT_INST_REFLAG: the mid-round vectorized re-cull of the remaining
+    cluster visit list must be bit-identical to the reflag-off loop —
+    containment: a cluster whose box misses every lane's tightened
+    [tmin, best_t] interval cannot hold a strictly closer hit, and a
+    blocked lane cannot become unblocked."""
+
+    @pytest.mark.parametrize("n_reflag", ["1", "3"])
+    def test_closest_and_any_match_off(self, monkeypatch, n_reflag):
+        dev = _build_single_mesh(with_mirror=True)
+        ov, dv = _rays(np.random.default_rng(17))
+        tmax = np.float32(6.0)
+        monkeypatch.setenv("SPT_INST_REFLAG", "0")
+        base = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        basea = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        monkeypatch.setenv("SPT_INST_REFLAG", n_reflag)
+        ref = pinst.closest_hit(dev.inst, dev, ov, dv, tmin=0.0)
+        refa = pinst.any_hit(dev.inst, dev, ov, dv, tmin=1e-4, tmax=tmax)
+        np.testing.assert_array_equal(np.asarray(base.t), np.asarray(ref.t))
+        np.testing.assert_array_equal(np.asarray(base.kind),
+                                      np.asarray(ref.kind))
+        np.testing.assert_array_equal(np.asarray(base.mat_id),
+                                      np.asarray(ref.mat_id))
+        for ax in ("x", "y", "z"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base.normal, ax)),
+                np.asarray(getattr(ref.normal, ax)))
+        np.testing.assert_array_equal(np.asarray(basea), np.asarray(refa))
+
+
 class TestInstOracle:
     """End-to-end radiometric ground truth for the instanced tier: the
     fused per-lane rounds pipeline (the bigmesh production shape) must
