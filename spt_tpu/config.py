@@ -132,7 +132,13 @@ class RenderConfig:
     # How many early bounces get their own coherence sort (each sort goes
     # stale after one bounce: fresh diffuse directions decorrelate from the
     # octant key and dying lanes scatter).  Clamped to max_depth - 1.
-    ray_sort_stages: int = 2
+    # Default 3 since round 5: the round-3 tuning picked 2 pre-rounds /
+    # pre-condense, but re-swept on the round-5 kernels a third sort pays
+    # on BOTH mesh scenes (8-frame harness: chair 33.0 -> 30.7 ms,
+    # bigmesh 55.3 -> 52.8; a fourth is flat at 52.7) — by bounce 2 the
+    # condensed array is ~6x narrower, so the sort costs ~nothing while
+    # the bounce-2..3 trace still runs on freshly-coherent tiles.
+    ray_sort_stages: int = 3
 
     # Condense the sorted mesh frame after the primary bounce: chunked
     # sorting packs live lanes to the head of EVERY sort chunk (and the
